@@ -1,0 +1,103 @@
+# optpricer_tpu — TPU-native options pricing engine (JAX / XLA / Pallas).
+#
+# A from-scratch re-architecture of the capabilities of
+# mengrenman/options-pricing-engine-black-scholes-binomial-monte-carlo
+# (reference package `optpricer` 0.3.0, /root/reference/src/optpricer/__init__.py)
+# designed TPU-first: every engine is a pure jitted function, time recursions
+# are lax.scan, Monte-Carlo uses counter-based keys with fused
+# sufficient-statistics reduction, and data parallelism is a jax.sharding.Mesh
+# with psum over ICI instead of a process pool.
+#
+# Public API mirrors the reference's 41 exports
+# (reference __init__.py:46-72) for drop-in parity.
+
+# Legacy scalar interface
+from .core import OptionSpec, CALL, PUT
+from .ops.black_scholes import (
+    price as bs_price,
+    greeks as bs_greeks,
+    implied_vol,
+)
+from .models.monte_carlo import euro_price_mc
+from .models.binomial import crr
+
+# Production data model
+from .core import Instrument, MarketData, to_instrument_market
+
+# Vectorised pricers
+from .ops.black_scholes import bs_price_vec, bs_greeks_vec, bs_implied_vol_vec
+from .models.binomial import crr_vec
+
+# Exotic payoffs
+from .models.exotics import (
+    barrier_price,
+    asian_price,
+    digital_price,
+    lookback_price,
+)
+
+# Calibration & Dupire
+from .models.calibration import (
+    SVIParams,
+    VolSurface,
+    fit_svi,
+    fit_svi_surface,
+    dupire_local_vol,
+    dupire_local_vol_func,
+)
+
+# PDE (Finite Difference)
+from .models.pde import fd_price, fd_price_barrier, fd_greeks, fd_price_local_vol
+
+# FEM (Finite Element)
+from .models.fem import fem_price
+
+# Stochastic processes — Milstein schemes
+from .models.processes import gbm_milstein_paths, milstein_local_vol_paths
+
+# Risk engine
+from .risk import (
+    numerical_greeks,
+    scenario_grid,
+    portfolio_risk,
+    var_historical,
+    cvar_historical,
+)
+
+# Model validation
+from .validation import (
+    cross_validate,
+    convergence_analysis,
+    stress_test,
+    backtest_delta_hedge,
+)
+
+__all__ = [
+    # Legacy
+    "OptionSpec", "CALL", "PUT",
+    "bs_price", "bs_greeks", "implied_vol",
+    "euro_price_mc", "crr",
+    # Production data model
+    "Instrument", "MarketData", "to_instrument_market",
+    # Vectorised
+    "bs_price_vec", "bs_greeks_vec", "bs_implied_vol_vec", "crr_vec",
+    # Exotics
+    "barrier_price", "asian_price", "digital_price", "lookback_price",
+    # Calibration & Dupire
+    "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface",
+    "dupire_local_vol", "dupire_local_vol_func",
+    # PDE (Finite Difference)
+    "fd_price", "fd_price_barrier", "fd_greeks", "fd_price_local_vol",
+    # FEM (Finite Element)
+    "fem_price",
+    # Milstein
+    "gbm_milstein_paths", "milstein_local_vol_paths",
+    # Risk
+    "numerical_greeks", "scenario_grid", "portfolio_risk",
+    "var_historical", "cvar_historical",
+    # Validation
+    "cross_validate", "convergence_analysis", "stress_test",
+    "backtest_delta_hedge",
+]
+
+__version__ = "0.1.0"

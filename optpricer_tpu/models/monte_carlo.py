@@ -1,0 +1,183 @@
+"""Terminal-only GBM European Monte-Carlo pricer, TPU-native.
+
+Re-architecture of reference ``monte_carlo.py:11-163``:
+
+* The chunked streaming design and the exact sufficient-statistics reduction
+  (n, ΣX, ΣX², ΣY, ΣY², ΣXY) are preserved — they are what make the reduction
+  associative and layout-independent (reference ``monte_carlo.py:57-74``).
+* ``SeedSequence.spawn`` per-chunk independence (reference
+  ``monte_carlo.py:106,120,131``) becomes counter-based
+  ``jax.random.fold_in(root_key, chunk_index)`` — the chunk index alone
+  determines the stream, so results are reproducible regardless of which
+  device executes the chunk.
+* The ``ProcessPoolExecutor`` fan-out (reference ``monte_carlo.py:128-139``)
+  becomes a ``jax.sharding.Mesh`` data-parallel axis: each device scans its
+  chunk ids and the six statistics are ``psum``-ed over ICI
+  (see :mod:`optpricer_tpu.parallel.mesh`).
+* All chunks are a fixed static shape; the ragged tail is handled by a 0/1
+  weight mask so the whole pricer is one compiled XLA program.
+* On TPU a fused Pallas kernel (``ops/pallas_mc.py``) generates the normals,
+  payoff and partial reductions in-registers without materialising draws.
+
+Returns ``(price, stderr)`` like the reference.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import CALL, OptionSpec
+from ..dtypes import canonical
+from ..ops import stats as stats_ops
+from ..ops.black_scholes import is_call_mask
+
+__all__ = ["euro_price_mc", "mc_sumstats", "resolve_seed"]
+
+
+def resolve_seed(seed: Optional[int]) -> int:
+    """None → fresh OS entropy (reference semantics of SeedSequence(None))."""
+    if seed is None:
+        return int(np.random.SeedSequence().entropy % (2**63))
+    return int(seed)
+
+
+def _chunk_stats(key, chunk_idx, n_paths, S0, K, T, r, q, sigma, is_call,
+                 *, chunk_size: int, antithetic: bool, dtype):
+    """Sufficient statistics of one fixed-size chunk of terminal GBM draws.
+
+    Exact log-Euler terminal scheme (reference ``monte_carlo.py:30-55``):
+    S_T = S0·exp((r−q−σ²/2)T + σ√T·Z), X = e^{−rT}·payoff, Y = e^{−rT}·S_T.
+    """
+    mu = (r - q - 0.5 * sigma * sigma) * T
+    sig = sigma * jnp.sqrt(T)
+    df = jnp.exp(-r * T)
+
+    ck = jax.random.fold_in(key, chunk_idx)
+    Z = jax.random.normal(ck, (chunk_size,), dtype)
+
+    base = chunk_idx * chunk_size + jnp.arange(chunk_size)
+    w = (base < n_paths).astype(dtype)
+
+    def xy(z):
+        ST = S0 * jnp.exp(mu + sig * z)
+        payoff = jnp.where(is_call, jnp.maximum(ST - K, 0.0), jnp.maximum(K - ST, 0.0))
+        return df * payoff, df * ST
+
+    X, Y = xy(Z)
+    s = stats_ops.sumstats(X, Y, w)
+    if antithetic:
+        Xa, Ya = xy(-Z)
+        s = s + stats_ops.sumstats(Xa, Ya, w)
+    return s
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "antithetic", "dtype"))
+def mc_sumstats(key, chunk_ids, n_paths, S0, K, T, r, q, sigma, is_call,
+                *, chunk_size: int, antithetic: bool, dtype):
+    """Scan the given chunk ids, Kahan-accumulating the 6 sufficient stats.
+
+    ``chunk_ids`` is an explicit array so the same compiled function serves
+    the single-device path (arange) and each shard of a mesh-parallel run
+    (its local slice of the padded chunk grid); out-of-range ids contribute
+    zero weight, so padding is harmless.
+    """
+    dtype = jnp.dtype(dtype)
+
+    def step(carry, idx):
+        acc, comp = carry
+        s = _chunk_stats(
+            key, idx, n_paths, S0, K, T, r, q, sigma, is_call,
+            chunk_size=chunk_size, antithetic=antithetic, dtype=dtype,
+        )
+        acc, comp = stats_ops.kahan_add(acc, comp, s)
+        return (acc, comp), None
+
+    zero = jnp.zeros((stats_ops.STATS_DIM,), dtype)
+    (acc, _), _ = jax.lax.scan(step, (zero, zero), chunk_ids)
+    return acc
+
+
+def _estimate(stats_vec, S0, q, T, control_variate: bool):
+    """Turn the stats vector into (price, stderr) on the host."""
+    stats_vec = np.asarray(jax.device_get(stats_vec), dtype=np.float64)
+    n = stats_vec[stats_ops.N]
+    if n == 0:
+        return float("nan"), float("nan")
+    sv = jnp.asarray(stats_vec)
+    if control_variate:
+        EY = S0 * np.exp(-q * T)  # known E[e^{-rT}S_T] under Q
+        mean, se = stats_ops.cv_mean_se(sv, jnp.asarray(EY, sv.dtype))
+    else:
+        mean, se = stats_ops.mean_se(sv)
+    return float(mean), float(se)
+
+
+def euro_price_mc(
+    opt: OptionSpec,
+    kind: str = CALL,
+    *,
+    n_paths: int = 100_000,
+    seed: Optional[int] = None,
+    chunk_size: int = 100_000,
+    antithetic: bool = True,
+    control_variate: bool = True,
+    n_workers: int = 1,
+    dtype=None,
+    return_stderr: bool = True,
+    mesh=None,
+    backend: str = "auto",
+):
+    """European option Monte-Carlo pricer (terminal-only GBM).
+
+    API parity with reference ``euro_price_mc`` (``monte_carlo.py:77-163``).
+    ``n_workers`` is accepted for compatibility; device-level parallelism is
+    controlled by ``mesh`` (a ``jax.sharding.Mesh`` with a ``"paths"`` axis)
+    instead of a process pool. ``backend``: "auto" | "xla" | "pallas" —
+    "pallas" selects the fused TPU kernel for large path counts.
+
+    Returns ``(price, stderr)`` (or just price when ``return_stderr=False``).
+    """
+    del n_workers  # process pools replaced by the device mesh
+    dt = canonical(dtype)
+    S0, K, T, r, sigma = opt.S0, opt.K, opt.T, opt.r, opt.sigma
+    q = getattr(opt, "q", 0.0)
+    is_call = bool(is_call_mask(kind))
+    seed = resolve_seed(seed)
+    key = jax.random.key(seed)
+
+    n_chunks = -(-int(n_paths) // int(chunk_size))
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and n_paths >= 1_000_000
+        and mesh is None
+    )
+    if use_pallas:
+        from ..ops.pallas_mc import mc_sumstats_pallas
+
+        stats_vec = mc_sumstats_pallas(
+            seed, n_paths, S0, K, T, r, q, sigma, is_call,
+            antithetic=antithetic, dtype=dt,
+        )
+    elif mesh is not None:
+        from ..parallel.mesh import mc_sumstats_sharded
+
+        stats_vec = mc_sumstats_sharded(
+            mesh, key, n_chunks, n_paths, S0, K, T, r, q, sigma, is_call,
+            chunk_size=int(chunk_size), antithetic=antithetic, dtype=dt,
+        )
+    else:
+        args = [jnp.asarray(v, dt) for v in (S0, K, T, r, q, sigma)]
+        stats_vec = mc_sumstats(
+            key, jnp.arange(n_chunks), jnp.asarray(n_paths),
+            *args, jnp.asarray(is_call),
+            chunk_size=int(chunk_size), antithetic=antithetic, dtype=dt,
+        )
+
+    price, se = _estimate(stats_vec, S0, q, T, control_variate)
+    return (price, se) if return_stderr else price

@@ -1,0 +1,307 @@
+"""Finite-difference θ-scheme solver for the Black-Scholes PDE, TPU-native.
+
+Same mathematical scheme as reference ``pde.py``: uniform log-spot grid
+x = ln S where the constant-vol BS PDE has constant coefficients
+(reference ``pde.py:1-22``), θ time stepping (0 = explicit, ½ = CN,
+1 = implicit), Dirichlet boundaries with discounted-strike asymptotics
+(``pde.py:151-159``), post-solve American projection (``pde.py:205-207``),
+barrier-node Dirichlet override (``pde.py:209-211``), and knock-in via
+in/out parity (``pde.py:308-313``).
+
+TPU re-architecture:
+
+* The time march is one ``lax.scan``; the per-step tridiagonal solve is the
+  log-depth associative-scan solver from :mod:`optpricer_tpu.ops.tridiag`
+  (replacing the sequential Python Thomas loop, reference ``pde.py:62-88``).
+* With constant vol, the operator tridiagonals are assembled **once** outside
+  the scan; only the boundary values change per step. The local-vol variant
+  rebuilds coefficients inside the scan from a traceable ``sigma_func``.
+* Everything is batched-ready: the solver broadcasts over leading axes, so a
+  strike ladder prices as one kernel (see :func:`fd_price_batch`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import CALL, OptionSpec
+from ..dtypes import canonical
+from ..ops.black_scholes import is_call_mask
+from ..ops.tridiag import tridiag_solve, tridiag_solve_thomas
+
+__all__ = ["fd_price", "fd_price_barrier", "fd_greeks", "fd_price_local_vol",
+           "fd_price_batch"]
+
+
+def _build_grid(S0, T, sigma, N_S, N_t, S_max_mult):
+    """Uniform log-spot grid x ∈ ln(S0) ± S_max_mult·σ√T
+    (reference ``pde.py:44-59``)."""
+    x_range = S_max_mult * sigma * np.sqrt(T)
+    x_min = np.log(S0) - x_range
+    x_max = np.log(S0) + x_range
+    x_grid = np.linspace(x_min, x_max, N_S + 1)
+    dx = x_grid[1] - x_grid[0]
+    dt = T / N_t
+    return x_grid, dx, dt
+
+
+def _payoff(S, K, is_call):
+    return jnp.where(is_call, jnp.maximum(S - K, 0.0), jnp.maximum(K - S, 0.0))
+
+
+def _operator_tridiag(sig_int, dx, r, q):
+    """Interior-operator tridiagonals (a_L, b_L, c_L):
+    L V_j = α(V_{j−1} − 2V_j + V_{j+1}) + β(V_{j+1} − V_{j−1}) − rV_j
+    with α = σ²/2dx², β = μ/2dx, μ = r − q − σ²/2 (reference
+    ``pde.py:145-167``)."""
+    alpha = 0.5 * sig_int**2 / dx**2
+    mu = r - q - 0.5 * sig_int**2
+    beta = mu / (2.0 * dx)
+    return alpha - beta, -2.0 * alpha - r, alpha + beta
+
+
+def _bc_values(tau, K, r, S_min, S_max, is_call):
+    """Dirichlet boundary values with discounted-strike asymptotics."""
+    disc_K = K * jnp.exp(-r * tau)
+    bc_left = jnp.where(is_call, 0.0, jnp.maximum(disc_K - S_min, 0.0))
+    bc_right = jnp.where(is_call, jnp.maximum(S_max - disc_K, 0.0), 0.0)
+    return bc_left, bc_right
+
+
+@partial(jax.jit, static_argnames=("N_t", "american", "two_layers",
+                                   "sigma_func", "solver"))
+def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
+              barrier_mask, barrier_value,
+              *, N_t: int, american: bool, two_layers: bool,
+              sigma_func: Callable | None = None, solver: str = "parallel"):
+    """Backward θ-scheme march. Returns V (and the n=1 layer when
+    ``two_layers`` for theta extraction, reference ``pde.py:214-220``).
+
+    ``barrier_mask`` is a node mask (all-False for vanilla); masked nodes are
+    forced to ``barrier_value`` after each step.
+    """
+    N_S = x_grid.shape[0] - 1
+    dx = x_grid[1] - x_grid[0]
+    S_grid = jnp.exp(x_grid)
+    S_min, S_max = S_grid[0], S_grid[-1]
+
+    solve = tridiag_solve if solver == "parallel" else tridiag_solve_thomas
+    intrinsic = _payoff(S_grid, K, is_call)
+    V0 = jnp.where(barrier_mask, barrier_value, intrinsic) \
+        if barrier_mask is not None else intrinsic
+
+    const_coeff = sigma_func is None
+    if const_coeff:
+        sig_int = jnp.full((N_S - 1,), sigma, dtype=x_grid.dtype)
+        a_L, b_L, c_L = _operator_tridiag(sig_int, dx, r, q)
+        a_lhs = -theta * dt * a_L
+        b_lhs = 1.0 - theta * dt * b_L
+        c_lhs = -theta * dt * c_L
+
+    def step(carry, n):
+        V, V_dt = carry
+        tau = (N_t - n) * dt
+        t_now = n * dt
+
+        if const_coeff:
+            aL, bL, cL = a_L, b_L, c_L
+            al, bl, cl = a_lhs, b_lhs, c_lhs
+        else:
+            sig = jnp.asarray(sigma_func(S_grid, t_now), x_grid.dtype)
+            sig_i = sig[1:N_S]
+            aL, bL, cL = _operator_tridiag(sig_i, dx, r, q)
+            al = -theta * dt * aL
+            bl = 1.0 - theta * dt * bL
+            cl = -theta * dt * cL
+
+        bc_left, bc_right = _bc_values(tau, K, r, S_min, S_max, is_call)
+
+        # RHS = (I + (1−θ)dt·L) V_old on the interior + boundary transfer
+        e = (1.0 - theta) * dt
+        V_int = V[1:N_S]
+        rhs = (1.0 + e * bL) * V_int
+        rhs = rhs.at[1:].add(e * aL[1:] * V[1:N_S - 1])
+        rhs = rhs.at[0].add(e * aL[0] * V[0])
+        rhs = rhs.at[:-1].add(e * cL[:-1] * V[2:N_S])
+        rhs = rhs.at[-1].add(e * cL[-1] * V[N_S])
+        rhs = rhs.at[0].add(theta * dt * aL[0] * bc_left)
+        rhs = rhs.at[-1].add(theta * dt * cL[-1] * bc_right)
+
+        V_new_int = solve(al, bl, cl, rhs)
+        V_new = jnp.concatenate([bc_left[None], V_new_int, bc_right[None]])
+
+        if american:
+            V_new = jnp.maximum(V_new, intrinsic)
+        if barrier_mask is not None:
+            V_new = jnp.where(barrier_mask, barrier_value, V_new)
+
+        if two_layers:
+            V_dt = jnp.where(n == 1, V_new, V_dt)
+        return (V_new, V_dt), None
+
+    ns = jnp.arange(N_t - 1, -1, -1, dtype=x_grid.dtype)
+    (V, V_dt), _ = jax.lax.scan(step, (V0, V0), ns)
+    return (V, V_dt) if two_layers else (V, V)
+
+
+def _prep_solve(S0, K, T, r, q, sigma, kind, N_S, N_t, theta, S_max_mult,
+                dtype, grid_sigma=None):
+    dt_ = canonical(dtype)
+    x_grid_np, dx, dt = _build_grid(S0, T, grid_sigma or sigma, N_S, N_t,
+                                    S_max_mult)
+    x_grid = jnp.asarray(x_grid_np, dt_)
+    args = dict(
+        x_grid=x_grid,
+        dt=jnp.asarray(dt, dt_),
+        K=jnp.asarray(K, dt_),
+        r=jnp.asarray(r, dt_),
+        q=jnp.asarray(q, dt_),
+        sigma=jnp.asarray(sigma, dt_),
+        is_call=jnp.asarray(is_call_mask(kind)),
+        theta=jnp.asarray(theta, dt_),
+    )
+    return x_grid_np, x_grid, args
+
+
+def fd_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
+             N_S: int = 200, N_t: int = 200, theta: float = 0.5,
+             S_max_mult: float = 4.0, american: bool = False,
+             dtype=None, solver: str = "parallel") -> float:
+    """European/American vanilla price via the θ-scheme
+    (API parity: reference ``pde.py:228-268``)."""
+    x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
+                                     opt.sigma, kind, N_S, N_t, theta,
+                                     S_max_mult, dtype)
+    V, _ = _fd_solve(**args, barrier_mask=None, barrier_value=0.0,
+                     N_t=int(N_t), american=bool(american), two_layers=False,
+                     solver=solver)
+    return float(jnp.interp(jnp.log(jnp.asarray(opt.S0, x_grid.dtype)),
+                            x_grid, V))
+
+
+def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
+                     barrier: float = 0.0,
+                     barrier_type: str = "up-and-out", *,
+                     rebate: float = 0.0, N_S: int = 200, N_t: int = 200,
+                     theta: float = 0.5, S_max_mult: float = 4.0,
+                     dtype=None, solver: str = "parallel") -> float:
+    """European barrier price: knock-out via Dirichlet nodes at/beyond the
+    barrier; knock-in via parity V_in = V_vanilla − V_out
+    (reference ``pde.py:271-329``)."""
+    grid_kw = dict(N_S=N_S, N_t=N_t, theta=theta, S_max_mult=S_max_mult,
+                   dtype=dtype, solver=solver)
+    if barrier_type.endswith("in"):
+        out_type = barrier_type.replace("in", "out")
+        vanilla = fd_price(opt, kind, **grid_kw)
+        knock_out = fd_price_barrier(opt, kind, barrier, out_type,
+                                     rebate=rebate, **grid_kw)
+        return vanilla - knock_out
+
+    x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
+                                     opt.sigma, kind, N_S, N_t, theta,
+                                     S_max_mult, dtype)
+    x_barrier = np.log(barrier)
+    if barrier_type.startswith("up"):
+        mask = jnp.asarray(x_np >= x_barrier)
+    else:
+        mask = jnp.asarray(x_np <= x_barrier)
+    V, _ = _fd_solve(**args, barrier_mask=mask,
+                     barrier_value=jnp.asarray(rebate, x_grid.dtype),
+                     N_t=int(N_t), american=False, two_layers=False,
+                     solver=solver)
+    return float(jnp.interp(jnp.log(jnp.asarray(opt.S0, x_grid.dtype)),
+                            x_grid, V))
+
+
+def fd_greeks(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
+              **kwargs) -> dict:
+    """Grid Greeks: delta = (1/S)∂V/∂x, gamma = (1/S²)(∂²V/∂x² − ∂V/∂x)
+    (chain rule on the log grid), theta from the first two time layers
+    (reference ``pde.py:332-382``)."""
+    N_S = kwargs.pop("N_S", 200)
+    N_t = kwargs.pop("N_t", 200)
+    theta_scheme = kwargs.pop("theta", 0.5)
+    S_max_mult = kwargs.pop("S_max_mult", 4.0)
+    american = kwargs.pop("american", False)
+    dtype = kwargs.pop("dtype", None)
+    solver = kwargs.pop("solver", "parallel")
+
+    x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
+                                     opt.sigma, kind, N_S, N_t, theta_scheme,
+                                     S_max_mult, dtype)
+    V_0, V_dt = _fd_solve(**args, barrier_mask=None, barrier_value=0.0,
+                          N_t=int(N_t), american=bool(american),
+                          two_layers=True, solver=solver)
+    dx = x_np[1] - x_np[0]
+    dt = opt.T / N_t
+    x0 = np.log(opt.S0)
+    j = int(np.searchsorted(x_np, x0))
+    j = max(1, min(j, len(x_np) - 2))
+    V_0 = np.asarray(V_0)
+    V_dt = np.asarray(V_dt)
+
+    dVdx = (V_0[j + 1] - V_0[j - 1]) / (2.0 * dx)
+    d2Vdx2 = (V_0[j + 1] - 2.0 * V_0[j] + V_0[j - 1]) / dx**2
+    S0 = opt.S0
+    delta = dVdx / S0
+    gamma = (d2Vdx2 - dVdx) / S0**2
+    V0_val = float(np.interp(x0, x_np, V_0))
+    Vdt_val = float(np.interp(x0, x_np, V_dt))
+    theta_val = -(V0_val - Vdt_val) / dt
+    return {"delta": float(delta), "gamma": float(gamma),
+            "theta": float(theta_val)}
+
+
+def fd_price_local_vol(S0: float, K: float, T: float, r: float, q: float,
+                       sigma_func: Callable, kind: Literal["call", "put"] = CALL,
+                       *, N_S: int = 200, N_t: int = 200, theta: float = 0.5,
+                       S_max_mult: float = 4.0, ref_vol: float = 0.3,
+                       dtype=None, solver: str = "parallel") -> float:
+    """Local-vol FD price: node-wise σ(S, t) from a traceable ``sigma_func``
+    evaluated inside the scan (reference ``pde.py:385-426``); ``ref_vol``
+    only shapes the grid."""
+    x_np, x_grid, args = _prep_solve(S0, K, T, r, q, 0.0, kind, N_S, N_t,
+                                     theta, S_max_mult, dtype,
+                                     grid_sigma=ref_vol)
+    V, _ = _fd_solve(**args, barrier_mask=None, barrier_value=0.0,
+                     N_t=int(N_t), american=False, two_layers=False,
+                     sigma_func=sigma_func, solver=solver)
+    return float(jnp.interp(jnp.log(jnp.asarray(S0, x_grid.dtype)), x_grid, V))
+
+
+# ---------------------------------------------------------------------------
+# Batched pricing (TPU extension — no reference equivalent)
+# ---------------------------------------------------------------------------
+def fd_price_batch(S0, K, T, r, q, sigma, kind, *, N_S: int = 200,
+                   N_t: int = 200, theta: float = 0.5, S_max_mult: float = 4.0,
+                   american: bool = False, dtype=None) -> jax.Array:
+    """Price a strike/kind ladder on a shared grid in one fused solve.
+
+    The tridiagonal solver broadcasts over the batch axis, so the whole
+    ladder costs one time march. K/kind may be arrays; grid parameters are
+    shared (built from S0, T, sigma).
+    """
+    dt_ = canonical(dtype)
+    K_arr = np.atleast_1d(np.asarray(K, dtype=float))
+    mask = np.broadcast_to(np.atleast_1d(is_call_mask(kind)), K_arr.shape)
+
+    x_np, dx, dt = _build_grid(S0, T, sigma, N_S, N_t, S_max_mult)
+    x_grid = jnp.asarray(x_np, dt_)
+
+    solve = jax.vmap(
+        lambda Kv, cv: _fd_solve(
+            x_grid=x_grid, dt=jnp.asarray(dt, dt_), K=Kv,
+            r=jnp.asarray(r, dt_), q=jnp.asarray(q, dt_),
+            sigma=jnp.asarray(sigma, dt_), is_call=cv,
+            theta=jnp.asarray(theta, dt_), barrier_mask=None,
+            barrier_value=0.0, N_t=int(N_t), american=bool(american),
+            two_layers=False)[0]
+    )
+    V = solve(jnp.asarray(K_arr, dt_), jnp.asarray(mask))
+    x0 = jnp.log(jnp.asarray(S0, dt_))
+    prices = jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
+    return prices.reshape(np.shape(K_arr))

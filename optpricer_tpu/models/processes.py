@@ -1,0 +1,344 @@
+"""Stochastic-process path generators, TPU-native.
+
+Re-architecture of reference ``processes.py`` (7 generators, ``:12-20``).
+Contract preserved exactly: every generator returns an array of shape
+``(n_steps+1, n_paths_eff)`` including the t=0 row with S0; ``antithetic=True``
+doubles the number of returned columns (reference ``processes.py:3-5``).
+
+TPU-first design:
+
+* Python time loops (reference ``processes.py:153-161,206-216,251-257``)
+  become ``lax.scan`` over the step axis — one compiled program, static
+  shapes, remat-friendly.
+* GBM and Merton need no recursion at all: the log-increments are summed with
+  a single ``cumsum`` (log-depth on TPU).
+* Draw independence comes from counter-based ``fold_in`` sub-keys instead of
+  a stateful Generator; the *statistical* structure of the reference is kept
+  (e.g. Merton draws jumps before antithetic doubling so pairs share Poisson
+  counts, reference ``processes.py:92-101``).
+* ``sigma_loc(S, t)`` callbacks must be JAX-traceable; they are evaluated
+  functionally inside the scan (3 evaluations per Milstein step, mirroring
+  reference ``processes.py:361-371``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import canonical
+from .monte_carlo import resolve_seed
+
+__all__ = [
+    "gbm_paths",
+    "merton_jump_paths",
+    "heston_paths",
+    "sabr_paths",
+    "local_vol_paths",
+    "gbm_milstein_paths",
+    "milstein_local_vol_paths",
+]
+
+
+def _validate(n_steps: int, n_paths: int):
+    if n_steps <= 0 or n_paths <= 0:
+        raise ValueError("n_steps and n_paths must be positive.")
+
+
+def _key(seed: Optional[int]):
+    return jax.random.key(resolve_seed(seed))
+
+
+def _anti(Z: jax.Array, antithetic: bool) -> jax.Array:
+    """Antithetic doubling along the path axis (axis=1)."""
+    return jnp.concatenate([Z, -Z], axis=1) if antithetic else Z
+
+
+def _with_s0_row(log_paths: jax.Array, S0, dtype) -> jax.Array:
+    S = S0 * jnp.exp(log_paths)
+    s0_row = jnp.full((1, S.shape[1]), S0, dtype=dtype)
+    return jnp.concatenate([s0_row, S], axis=0)
+
+
+# -----------------------------
+# 1) Geometric Brownian Motion
+# -----------------------------
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "dtype"))
+def _gbm_core(key, S0, r, q, sigma, T, *, n_steps, n_paths, antithetic, dtype):
+    dt = T / n_steps
+    drift = (r - q - 0.5 * sigma * sigma) * dt
+    vol = sigma * jnp.sqrt(dt)
+    Z = _anti(jax.random.normal(key, (n_steps, n_paths), dtype), antithetic)
+    log_paths = jnp.cumsum(drift + vol * Z, axis=0)
+    return _with_s0_row(log_paths, S0, dtype)
+
+
+def gbm_paths(S0, r, q, sigma, T, n_steps, n_paths,
+              *, antithetic: bool = True, seed: Optional[int] = None,
+              dtype=None) -> jax.Array:
+    """Exact-discretisation GBM paths (reference ``processes.py:30-56``)."""
+    _validate(n_steps, n_paths)
+    dt = canonical(dtype)
+    args = [jnp.asarray(v, dt) for v in (S0, r, q, sigma, T)]
+    return _gbm_core(_key(seed), *args, n_steps=int(n_steps),
+                     n_paths=int(n_paths), antithetic=bool(antithetic), dtype=dt)
+
+
+# ------------------------------------
+# 2) Merton Jump-Diffusion (lognormal)
+# ------------------------------------
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "dtype"))
+def _merton_core(key, S0, r, q, sigma, T, lam, mJ, sJ,
+                 *, n_steps, n_paths, antithetic, dtype):
+    dt = T / n_steps
+    kappa = jnp.exp(mJ + 0.5 * sJ * sJ) - 1.0
+    drift = (r - q - 0.5 * sigma * sigma - lam * kappa) * dt
+    vol = sigma * jnp.sqrt(dt)
+
+    kz, kp, kj = jax.random.split(key, 3)
+    Z = _anti(jax.random.normal(kz, (n_steps, n_paths), dtype), antithetic)
+    # Jumps drawn before antithetic doubling so pairs share Poisson counts
+    K_base = jax.random.poisson(kp, lam * dt, (n_steps, n_paths)).astype(dtype)
+    ZJ_base = jax.random.normal(kj, (n_steps, n_paths), dtype)
+    if antithetic:
+        K = jnp.concatenate([K_base, K_base], axis=1)
+        ZJ = jnp.concatenate([ZJ_base, -ZJ_base], axis=1)
+    else:
+        K, ZJ = K_base, ZJ_base
+
+    # Sum of K lognormal jump sizes ~ Normal(K·mJ, √K·sJ)
+    Y_sum = mJ * K + sJ * jnp.sqrt(K) * ZJ
+    log_paths = jnp.cumsum(drift + vol * Z + Y_sum, axis=0)
+    return _with_s0_row(log_paths, S0, dtype)
+
+
+def merton_jump_paths(S0, r, q, sigma, T, n_steps, n_paths,
+                      *, lam, mJ, sJ, antithetic: bool = True,
+                      seed: Optional[int] = None, dtype=None) -> jax.Array:
+    """Merton jump-diffusion paths (reference ``processes.py:62-111``)."""
+    _validate(n_steps, n_paths)
+    if lam < 0 or sJ < 0:
+        raise ValueError("lam and sJ must be non-negative.")
+    dt = canonical(dtype)
+    args = [jnp.asarray(v, dt) for v in (S0, r, q, sigma, T, lam, mJ, sJ)]
+    return _merton_core(_key(seed), *args, n_steps=int(n_steps),
+                        n_paths=int(n_paths), antithetic=bool(antithetic), dtype=dt)
+
+
+# -------------------------------
+# 3) Heston (CIR variance process)
+# -------------------------------
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "dtype"))
+def _heston_core(key, S0, r, q, v0, kappa, theta, xi, rho, T,
+                 *, n_steps, n_paths, antithetic, dtype):
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    k2, kp = jax.random.split(key)
+    Z2 = _anti(jax.random.normal(k2, (n_steps, n_paths), dtype), antithetic)
+    Zp = _anti(jax.random.normal(kp, (n_steps, n_paths), dtype), antithetic)
+    Z1 = rho * Z2 + jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)) * Zp
+
+    n_cols = Z1.shape[1]
+    v_init = jnp.full((n_cols,), jnp.maximum(v0, 0.0), dtype=dtype)
+    s_init = jnp.full((n_cols,), S0, dtype=dtype)
+
+    def step(carry, zs):
+        S_t, v_t = carry
+        z1, z2 = zs
+        v_eff = jnp.maximum(v_t, 0.0)  # full-truncation Euler
+        S_n = S_t * jnp.exp((r - q - 0.5 * v_eff) * dt + jnp.sqrt(v_eff) * sqrt_dt * z1)
+        v_n = jnp.maximum(v_t + kappa * (theta - v_eff) * dt
+                          + xi * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
+        return (S_n, v_n), (S_n, v_n)
+
+    (_, _), (S_rows, v_rows) = jax.lax.scan(step, (s_init, v_init), (Z1, Z2))
+    S = jnp.concatenate([s_init[None, :], S_rows], axis=0)
+    v = jnp.concatenate([v_init[None, :], v_rows], axis=0)
+    return S, v
+
+
+def heston_paths(S0, r, q, v0, kappa, theta, xi, rho, T, n_steps, n_paths,
+                 *, antithetic: bool = True, seed: Optional[int] = None,
+                 return_variance: bool = False, dtype=None):
+    """Heston paths, full-truncation Euler variance + log-Euler asset
+    (reference ``processes.py:117-162``)."""
+    _validate(n_steps, n_paths)
+    if not (-1.0 <= rho <= 1.0):
+        raise ValueError("rho must be in [-1, 1].")
+    dt = canonical(dtype)
+    args = [jnp.asarray(v, dt) for v in (S0, r, q, v0, kappa, theta, xi, rho, T)]
+    S, v = _heston_core(_key(seed), *args, n_steps=int(n_steps),
+                        n_paths=int(n_paths), antithetic=bool(antithetic), dtype=dt)
+    return (S, v) if return_variance else S
+
+
+# ---------------------------
+# 4) SABR (σ lognormal case)
+# ---------------------------
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic",
+                                   "dtype", "lognormal"))
+def _sabr_core(key, S0, r, q, alpha0, beta, nu, rho, T,
+               *, n_steps, n_paths, antithetic, dtype, lognormal):
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    k2, kp = jax.random.split(key)
+    Z2 = _anti(jax.random.normal(k2, (n_steps, n_paths), dtype), antithetic)
+    Zp = _anti(jax.random.normal(kp, (n_steps, n_paths), dtype), antithetic)
+    Z1 = rho * Z2 + jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)) * Zp
+
+    n_cols = Z1.shape[1]
+    s_init = jnp.full((n_cols,), S0, dtype=dtype)
+    sig_init = jnp.full((n_cols,), alpha0, dtype=dtype)
+
+    def step(carry, zs):
+        S_t, sig_t = carry
+        z1, z2 = zs
+        sig_n = sig_t * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)  # exact
+        if lognormal:  # beta == 1: log-Euler (exact for GBM with sig_n)
+            S_n = S_t * jnp.exp((r - q - 0.5 * sig_n * sig_n) * dt
+                                + sig_n * sqrt_dt * z1)
+        else:  # Euler with positivity clamp
+            S_n = S_t + (r - q) * S_t * dt + sig_n * (S_t ** beta) * sqrt_dt * z1
+            S_n = jnp.maximum(S_n, 1e-12)
+        return (S_n, sig_n), S_n
+
+    (_, _), S_rows = jax.lax.scan(step, (s_init, sig_init), (Z1, Z2))
+    return jnp.concatenate([s_init[None, :], S_rows], axis=0)
+
+
+def sabr_paths(S0, r, q, alpha0, beta, nu, rho, T, n_steps, n_paths,
+               *, antithetic: bool = True, seed: Optional[int] = None,
+               dtype=None) -> jax.Array:
+    """SABR paths with exact lognormal σ evolution
+    (reference ``processes.py:168-217``)."""
+    _validate(n_steps, n_paths)
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError("beta must be in [0, 1].")
+    if alpha0 <= 0.0 or nu < 0.0:
+        raise ValueError("alpha0 must be >0, nu >= 0.")
+    if not (-1.0 <= rho <= 1.0):
+        raise ValueError("rho must be in [-1, 1].")
+    dt = canonical(dtype)
+    args = [jnp.asarray(v, dt) for v in (S0, r, q, alpha0, beta, nu, rho, T)]
+    return _sabr_core(_key(seed), *args, n_steps=int(n_steps),
+                      n_paths=int(n_paths), antithetic=bool(antithetic),
+                      dtype=dt, lognormal=(float(beta) == 1.0))
+
+
+# -----------------------------------------
+# 5) Local Volatility (Dupire-style driver)
+# -----------------------------------------
+def local_vol_paths(S0, r, q, T, n_steps, n_paths,
+                    sigma_loc: Callable, *, antithetic: bool = True,
+                    seed: Optional[int] = None, dtype=None) -> jax.Array:
+    """Log-Euler local-vol paths; ``sigma_loc(S_array, t) -> sigma_array``
+    must be JAX-traceable (reference ``processes.py:223-258``)."""
+    _validate(n_steps, n_paths)
+    dt_ = canonical(dtype)
+    S0_, r_, q_, T_ = (jnp.asarray(v, dt_) for v in (S0, r, q, T))
+
+    @partial(jax.jit, static_argnames=())
+    def core(key):
+        dt = T_ / n_steps
+        sqrt_dt = jnp.sqrt(dt)
+        Z = _anti(jax.random.normal(key, (n_steps, int(n_paths)), dt_),
+                  bool(antithetic))
+        s_init = jnp.full((Z.shape[1],), S0_, dtype=dt_)
+
+        def step(S_t, inp):
+            t_idx, z = inp
+            t_now = t_idx * dt
+            sig = jnp.clip(jnp.asarray(sigma_loc(S_t, t_now), dt_), 0.0, jnp.inf)
+            S_n = S_t * jnp.exp((r_ - q_ - 0.5 * sig * sig) * dt + sig * sqrt_dt * z)
+            return S_n, S_n
+
+        t_ids = jnp.arange(n_steps, dtype=dt_)
+        _, S_rows = jax.lax.scan(step, s_init, (t_ids, Z))
+        return jnp.concatenate([s_init[None, :], S_rows], axis=0)
+
+    return core(_key(seed))
+
+
+# ---------------------------------------------------------------------------
+# 6) GBM Milstein (constant vol — demonstrates the scheme)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic", "dtype"))
+def _gbm_milstein_core(key, S0, r, q, sigma, T,
+                       *, n_steps, n_paths, antithetic, dtype):
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    Z = _anti(jax.random.normal(key, (n_steps, n_paths), dtype), antithetic)
+    s_init = jnp.full((Z.shape[1],), S0, dtype=dtype)
+
+    def step(S_t, z):
+        S_n = (S_t + (r - q) * S_t * dt + sigma * S_t * sqrt_dt * z
+               + 0.5 * sigma * sigma * S_t * (z * z - 1.0) * dt)
+        S_n = jnp.maximum(S_n, 1e-10)
+        return S_n, S_n
+
+    _, S_rows = jax.lax.scan(step, s_init, Z)
+    return jnp.concatenate([s_init[None, :], S_rows], axis=0)
+
+
+def gbm_milstein_paths(S0, r, q, sigma, T, n_steps, n_paths,
+                       *, antithetic: bool = True, seed: Optional[int] = None,
+                       dtype=None) -> jax.Array:
+    """Explicit Milstein GBM paths (reference ``processes.py:264-305``);
+    with constant σ this is strong order 1.0 and exists mainly for
+    convergence testing."""
+    _validate(n_steps, n_paths)
+    dt = canonical(dtype)
+    args = [jnp.asarray(v, dt) for v in (S0, r, q, sigma, T)]
+    return _gbm_milstein_core(_key(seed), *args, n_steps=int(n_steps),
+                              n_paths=int(n_paths), antithetic=bool(antithetic),
+                              dtype=dt)
+
+
+# ---------------------------------------------------------------------------
+# 7) Milstein for local vol
+# ---------------------------------------------------------------------------
+def milstein_local_vol_paths(S0, r, q, T, n_steps, n_paths,
+                             sigma_loc: Callable, *, antithetic: bool = True,
+                             seed: Optional[int] = None, dS_bump: float = 0.01,
+                             dtype=None) -> jax.Array:
+    """Local-vol Milstein paths (strong order 1.0).
+
+    σ′ of the diffusion coefficient a(S)=σ(S,t)·S is approximated by the same
+    central finite difference as the reference (``processes.py:361-371``):
+    bump size ``dS_bump·S``, three ``sigma_loc`` evaluations per step.
+    """
+    _validate(n_steps, n_paths)
+    dt_ = canonical(dtype)
+    S0_, r_, q_, T_, bump = (jnp.asarray(v, dt_) for v in (S0, r, q, T, dS_bump))
+
+    @jax.jit
+    def core(key):
+        dt = T_ / n_steps
+        sqrt_dt = jnp.sqrt(dt)
+        Z = _anti(jax.random.normal(key, (n_steps, int(n_paths)), dt_),
+                  bool(antithetic))
+        s_init = jnp.full((Z.shape[1],), S0_, dtype=dt_)
+
+        def step(S_t, inp):
+            t_idx, z = inp
+            t_now = t_idx * dt
+            sig = jnp.clip(jnp.asarray(sigma_loc(S_t, t_now), dt_), 1e-8, 10.0)
+            eps = bump * S_t
+            S_up = S_t + eps
+            S_dn = jnp.maximum(S_t - eps, 1e-10)
+            sig_up = jnp.asarray(sigma_loc(S_up, t_now), dt_)
+            sig_dn = jnp.asarray(sigma_loc(S_dn, t_now), dt_)
+            da_dS = (sig_up * S_up - sig_dn * S_dn) / (S_up - S_dn)
+            a_t = sig * S_t
+            S_n = (S_t + (r_ - q_) * S_t * dt + a_t * sqrt_dt * z
+                   + 0.5 * a_t * da_dS * (z * z - 1.0) * dt)
+            S_n = jnp.maximum(S_n, 1e-10)
+            return S_n, S_n
+
+        t_ids = jnp.arange(n_steps, dtype=dt_)
+        _, S_rows = jax.lax.scan(step, s_init, (t_ids, Z))
+        return jnp.concatenate([s_init[None, :], S_rows], axis=0)
+
+    return core(_key(seed))

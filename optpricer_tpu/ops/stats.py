@@ -1,0 +1,91 @@
+"""Sufficient-statistics reductions for Monte-Carlo estimators.
+
+The reference's key distributed-correctness design (``monte_carlo.py:11-74``)
+is that every worker returns only six sufficient statistics
+``(n, ΣX, ΣX², ΣY, ΣY², ΣXY)`` so chunk aggregation is exact, associative and
+layout-independent. The TPU build keeps exactly that contract: stats are a
+dense ``(6,)`` vector so they can be ``psum``-ed over an ICI mesh axis, and
+cross-chunk accumulation uses Kahan compensation so float32 on TPU holds the
+|err| ≤ 1e-4 accuracy gate at billions of paths.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Layout of the stats vector
+N, SX, SX2, SY, SY2, SXY = range(6)
+STATS_DIM = 6
+
+
+def sumstats(X: jax.Array, Y: jax.Array, weight: jax.Array | None = None) -> jax.Array:
+    """Sufficient statistics (6,) of payoff X and control variate Y.
+
+    ``weight`` is an optional 0/1 mask (tail-chunk masking) broadcast to X.
+    """
+    if weight is None:
+        n = jnp.asarray(X.size, X.dtype)
+        WX, WY = X, Y
+    else:
+        w = weight.astype(X.dtype)
+        n = jnp.sum(w)
+        WX, WY = X * w, Y * w
+    return jnp.stack([
+        n,
+        jnp.sum(WX),
+        jnp.sum(WX * X),
+        jnp.sum(WY),
+        jnp.sum(WY * Y),
+        jnp.sum(WX * Y),
+    ])
+
+
+def kahan_add(acc, comp, x):
+    """One compensated (Kahan) accumulation step; acc/comp/x broadcast."""
+    y = x - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
+def combine_scan(stats_seq: jax.Array) -> jax.Array:
+    """Deterministic compensated reduction of a (n_chunks, 6) stats array.
+
+    Fixed sequential order (lax.scan) ⇒ results are independent of how the
+    chunks were produced — the seed-reproducibility contract.
+    """
+
+    def step(carry, s):
+        acc, comp = carry
+        acc, comp = kahan_add(acc, comp, s)
+        return (acc, comp), None
+
+    zero = jnp.zeros((STATS_DIM,), stats_seq.dtype)
+    (acc, _), _ = jax.lax.scan(step, (zero, zero), stats_seq)
+    return acc
+
+
+def mean_se(stats: jax.Array):
+    """Plain estimator: (mean, stderr) from a stats vector."""
+    n = stats[N]
+    mean = stats[SX] / n
+    var = jnp.maximum(0.0, stats[SX2] / n - mean * mean)
+    return mean, jnp.sqrt(var / n)
+
+
+def cv_mean_se(stats: jax.Array, EY: jax.Array):
+    """Control-variate estimator with known E[Y].
+
+    ĉ = Cov(X,Y)/Var(Y); mean_cv = mean(X) − ĉ(mean(Y) − EY);
+    Var_cv = Var(X) − 2ĉCov + ĉ²Var(Y) (reference ``monte_carlo.py:150-163``).
+    """
+    n = stats[N]
+    meanX = stats[SX] / n
+    varX = jnp.maximum(0.0, stats[SX2] / n - meanX * meanX)
+    meanY = stats[SY] / n
+    varY = jnp.maximum(0.0, stats[SY2] / n - meanY * meanY)
+    covXY = stats[SXY] / n - meanX * meanY
+    c_hat = jnp.where(varY == 0.0, 0.0, covXY / jnp.where(varY == 0.0, 1.0, varY))
+    mean_cv = meanX - c_hat * (meanY - EY)
+    var_cv = jnp.maximum(0.0, varX - 2.0 * c_hat * covXY + c_hat * c_hat * varY)
+    return mean_cv, jnp.sqrt(var_cv / n)

@@ -1,0 +1,145 @@
+"""Tridiagonal system solvers, TPU-first.
+
+The reference solves its θ-scheme time steps with a pure-Python sequential
+Thomas loop (``pde.py:62-88``, duplicated ``fem.py:57-75``) — the slowest part
+of its PDE stack. Here the solve is re-architected for the TPU's vector unit:
+
+* :func:`tridiag_solve` — log-depth solver built from three
+  ``lax.associative_scan`` passes (a projective 2×2 scan for the LU pivots and
+  two affine scans for the forward/backward substitutions). Fully vectorised
+  across the system dimension and trivially batched over leading axes; this is
+  the production path inside the PDE/FEM time march.
+* :func:`tridiag_solve_thomas` — sequential ``lax.scan`` Thomas algorithm,
+  kept as a cross-check oracle and for very small systems.
+
+Both take ``(a, b, c, d)`` along the last axis with ``a[...,0]`` and
+``c[...,-1]`` unused, matching the reference's convention.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tridiag_solve", "tridiag_solve_thomas", "tridiag_matvec"]
+
+
+def tridiag_matvec(a, b, c, x):
+    """y = T x for tridiagonal T=(a,b,c) along the last axis."""
+    y = b * x
+    y = y.at[..., 1:].add(a[..., 1:] * x[..., :-1])
+    y = y.at[..., :-1].add(c[..., :-1] * x[..., 1:])
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Parallel (associative-scan) solver
+# ---------------------------------------------------------------------------
+def _pivots(a, b, c):
+    """LU pivots b'_i of the Thomas elimination via a projective 2×2 scan.
+
+    b'_i = b_i − a_i c_{i−1} / b'_{i−1} equals p_i / p_{i−1} where
+    [p_i, p_{i−1}] = M_i···M_0 [1, 0]ᵀ, M_i = [[b_i, −a_i c_{i−1}],[1,0]].
+    The prefix products are computed with ``associative_scan``; each partial
+    product is rescaled by its max-abs entry (the p-ratio is scale invariant)
+    to avoid overflow of the characteristic-polynomial values.
+    """
+    n = b.shape[-1]
+    off = jnp.zeros_like(b)
+    off = off.at[..., 1:].set(-a[..., 1:] * c[..., :-1])
+    # Elements M_i as four component arrays: [[b_i, off_i], [1, 0]]
+    m00, m01 = b, off
+    m10 = jnp.ones_like(b)
+    m11 = jnp.zeros_like(b)
+
+    def combine(x, y):
+        # y ∘ x  (x earlier in the sequence): Y @ X
+        x00, x01, x10, x11 = x
+        y00, y01, y10, y11 = y
+        r00 = y00 * x00 + y01 * x10
+        r01 = y00 * x01 + y01 * x11
+        r10 = y10 * x00 + y11 * x10
+        r11 = y10 * x01 + y11 * x11
+        scale = jnp.maximum(
+            jnp.maximum(jnp.abs(r00), jnp.abs(r01)),
+            jnp.maximum(jnp.abs(r10), jnp.abs(r11)),
+        )
+        inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 1.0)
+        return r00 * inv, r01 * inv, r10 * inv, r11 * inv
+
+    c00, c01, c10, c11 = jax.lax.associative_scan(
+        combine, (m00, m01, m10, m11), axis=-1
+    )
+    # [p_i, p_{i-1}] = C_i [1, 0]^T  =>  b'_i = C_i[0,0] / C_i[1,0]
+    del c01, c11, n
+    return c00 / c10
+
+
+def _affine_scan(l, d, reverse=False):
+    """Solve y_i = l_i y_{i±1} + d_i via associative scan of affine maps."""
+
+    def combine(x, y):
+        lx, dx = x
+        ly, dy = y
+        return lx * ly, ly * dx + dy
+
+    ll, dd = jax.lax.associative_scan(combine, (l, d), axis=-1, reverse=reverse)
+    del ll
+    return dd
+
+
+def tridiag_solve(a, b, c, d):
+    """Solve T x = d along the last axis; log-depth, batched over leading axes.
+
+    Parameters follow the reference convention (``pde.py:62-88``):
+    ``a`` sub-diagonal (``a[...,0]`` unused), ``b`` main, ``c`` super
+    (``c[...,-1]`` unused), ``d`` right-hand side.
+    """
+    bp = _pivots(a, b, c)
+    # Forward substitution: d'_i = d_i − (a_i / b'_{i−1}) d'_{i−1}
+    l_fwd = jnp.zeros_like(b)
+    l_fwd = l_fwd.at[..., 1:].set(-a[..., 1:] / bp[..., :-1])
+    dp = _affine_scan(l_fwd, d)
+    # Back substitution: x_i = (d'_i − c_i x_{i+1}) / b'_i
+    v = dp / bp
+    u = jnp.zeros_like(b)
+    u = u.at[..., :-1].set(-c[..., :-1] / bp[..., :-1])
+    return _affine_scan(u, v, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequential Thomas (oracle / small systems)
+# ---------------------------------------------------------------------------
+def _thomas_1d(a, b, c, d):
+    def fwd(carry, abcd):
+        bp_prev, dp_prev = carry
+        ai, bi, ci_prev, di = abcd
+        w = ai / bp_prev
+        bp = bi - w * ci_prev
+        dp = di - w * dp_prev
+        return (bp, dp), (bp, dp)
+
+    c_prev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]])
+    (_, _), (bp_tail, dp_tail) = jax.lax.scan(
+        fwd, (b[0], d[0]), (a[1:], b[1:], c_prev[1:], d[1:])
+    )
+    bp = jnp.concatenate([b[:1], bp_tail])
+    dp = jnp.concatenate([d[:1], dp_tail])
+
+    def back(x_next, t):
+        dpi, ci, bpi = t
+        x = (dpi - ci * x_next) / bpi
+        return x, x
+
+    x_last = dp[-1] / bp[-1]
+    _, xs = jax.lax.scan(
+        back, x_last, (dp[:-1], c[:-1], bp[:-1]), reverse=True
+    )
+    return jnp.concatenate([xs, x_last[None]])
+
+
+_thomas_vec = jnp.vectorize(_thomas_1d, signature="(n),(n),(n),(n)->(n)")
+
+
+def tridiag_solve_thomas(a, b, c, d):
+    """Sequential Thomas algorithm (lax.scan); batched over leading axes."""
+    return _thomas_vec(a, b, c, d)

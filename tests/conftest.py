@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+Tests run on CPU with a virtual 8-device platform so the mesh-parallel paths
+(shard_map + psum over a 'paths' axis) are exercised without TPU hardware,
+and with x64 enabled so tight reference tolerances can be validated in f64
+while the default f32 TPU path is covered by dtype-parameterised tests.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; the
+# config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,129 @@
+"""Black-Scholes golden values, Greeks and implied vol.
+
+Mirrors the reference test strategy (SURVEY §4): golden literature values,
+scalar↔vector equivalence, round-trips, monotonicity — plus f32-path coverage
+for the TPU default dtype.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optpricer_tpu import (
+    CALL, PUT, OptionSpec, bs_greeks, bs_greeks_vec, bs_implied_vol_vec,
+    bs_price, bs_price_vec, implied_vol,
+)
+
+OPT = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+
+
+class TestGoldenValues:
+    def test_call_price(self):
+        assert abs(bs_price(OPT, CALL) - 10.4506) < 1e-3
+
+    def test_put_price(self):
+        assert abs(bs_price(OPT, PUT) - 5.5735) < 1e-3
+
+    def test_put_call_parity(self):
+        c = bs_price(OPT, CALL)
+        p = bs_price(OPT, PUT)
+        parity = OPT.S0 - OPT.K * np.exp(-OPT.r * OPT.T)
+        assert abs((c - p) - parity) < 1e-9
+
+
+class TestGreeks:
+    def test_keys(self):
+        g = bs_greeks(OPT, CALL)
+        assert set(g) == {"delta", "gamma", "vega", "theta", "rho"}
+
+    def test_call_delta_range(self):
+        g = bs_greeks(OPT, CALL)
+        assert 0.0 < g["delta"] < 1.0
+
+    def test_put_call_delta_parity(self):
+        gc = bs_greeks(OPT, CALL)
+        gp = bs_greeks(OPT, PUT)
+        disc_q = np.exp(-OPT.q * OPT.T)
+        assert abs((gc["delta"] - gp["delta"]) - disc_q) < 1e-9
+        assert abs(gc["gamma"] - gp["gamma"]) < 1e-12
+        assert abs(gc["vega"] - gp["vega"]) < 1e-9
+
+    def test_greeks_match_finite_difference(self):
+        g = bs_greeks(OPT, CALL)
+        eps = 1e-4
+        up = bs_price(OptionSpec(OPT.S0 + eps, OPT.K, OPT.T, OPT.r, OPT.sigma), CALL)
+        dn = bs_price(OptionSpec(OPT.S0 - eps, OPT.K, OPT.T, OPT.r, OPT.sigma), CALL)
+        assert abs(g["delta"] - (up - dn) / (2 * eps)) < 1e-6
+
+    def test_vega_absolute_units(self):
+        g = bs_greeks(OPT, CALL)
+        eps = 1e-5
+        up = bs_price(OptionSpec(OPT.S0, OPT.K, OPT.T, OPT.r, OPT.sigma + eps), CALL)
+        dn = bs_price(OptionSpec(OPT.S0, OPT.K, OPT.T, OPT.r, OPT.sigma - eps), CALL)
+        assert abs(g["vega"] - (up - dn) / (2 * eps)) < 1e-5
+
+
+class TestVectorised:
+    def test_matches_scalar(self):
+        S = np.array([80.0, 100.0, 120.0])
+        px = bs_price_vec(S, 100.0, 1.0, 0.05, 0.0, 0.2, CALL)
+        for i, s in enumerate(S):
+            scalar = bs_price(OptionSpec(float(s), 100.0, 1.0, 0.05, 0.2), CALL)
+            assert abs(float(px[i]) - scalar) < 1e-10
+
+    def test_mixed_kinds(self):
+        kinds = np.array(["call", "put", "call"])
+        px = bs_price_vec(100.0, np.array([90.0, 100.0, 110.0]), 1.0,
+                          0.05, 0.0, 0.2, kinds)
+        assert float(px[0]) > float(px[2])  # ITM call > OTM call
+        assert np.all(np.asarray(px) > 0)
+
+    def test_monotone_in_spot(self):
+        S = np.linspace(50, 150, 21)
+        px = np.asarray(bs_price_vec(S, 100.0, 1.0, 0.05, 0.0, 0.2, CALL))
+        assert np.all(np.diff(px) > 0)
+
+    def test_monotone_in_strike(self):
+        K = np.linspace(50, 150, 21)
+        px = np.asarray(bs_price_vec(100.0, K, 1.0, 0.05, 0.0, 0.2, CALL))
+        assert np.all(np.diff(px) < 0)
+
+    def test_greeks_vec_matches_scalar(self):
+        S = np.array([90.0, 100.0, 110.0])
+        gv = bs_greeks_vec(S, 100.0, 1.0, 0.05, 0.0, 0.2, PUT)
+        for i, s in enumerate(S):
+            gs = bs_greeks(OptionSpec(float(s), 100.0, 1.0, 0.05, 0.2), PUT)
+            for key in gs:
+                assert abs(float(gv[key][i]) - gs[key]) < 1e-10
+
+    def test_f32_close_to_f64(self):
+        S = np.linspace(80, 120, 9)
+        p32 = np.asarray(bs_price_vec(S, 100.0, 1.0, 0.05, 0.0, 0.2, CALL,
+                                      dtype=jnp.float32))
+        p64 = np.asarray(bs_price_vec(S, 100.0, 1.0, 0.05, 0.0, 0.2, CALL,
+                                      dtype=jnp.float64))
+        assert np.max(np.abs(p32 - p64)) < 1e-4
+
+
+class TestImpliedVol:
+    def test_scalar_round_trip(self):
+        px = bs_price(OPT, CALL)
+        iv = implied_vol(OPT, px, CALL)
+        assert abs(iv - OPT.sigma) < 1e-6
+
+    def test_scalar_round_trip_put(self):
+        px = bs_price(OPT, PUT)
+        iv = implied_vol(OPT, px, PUT)
+        assert abs(iv - OPT.sigma) < 1e-6
+
+    def test_vec_round_trip(self):
+        sigmas = np.array([0.1, 0.2, 0.35, 0.6])
+        px = bs_price_vec(100.0, 100.0, 1.0, 0.05, 0.0, sigmas, CALL)
+        ivs = np.asarray(bs_implied_vol_vec(100.0, 100.0, 1.0, 0.05, 0.0,
+                                            px, CALL))
+        np.testing.assert_allclose(ivs, sigmas, atol=1e-6)
+
+    def test_vec_bad_price_is_nan(self):
+        # Price below intrinsic-forward lower bound cannot be matched
+        ivs = bs_implied_vol_vec(100.0, 100.0, 1.0, 0.05, 0.0,
+                                 np.array([1e-12]), CALL)
+        assert np.isnan(np.asarray(ivs)).all()
