@@ -96,7 +96,10 @@ def mc_sumstats(key, chunk_ids, n_paths, S0, K, T, r, q, sigma, is_call,
         acc, comp = stats_ops.kahan_add(acc, comp, s)
         return (acc, comp), None
 
-    zero = jnp.zeros((stats_ops.STATS_DIM,), dtype)
+    # Derive the zero carry from chunk_ids so its varying-axis type matches
+    # inside shard_map (scan requires carry in/out manual-axes agreement).
+    zero = jnp.zeros((stats_ops.STATS_DIM,), dtype) \
+        + jnp.zeros((), dtype) * chunk_ids[0].astype(dtype)
     (acc, _), _ = jax.lax.scan(step, (zero, zero), chunk_ids)
     return acc
 

@@ -82,7 +82,9 @@ def _affine_scan(l, d, reverse=False):
         ly, dy = y
         return lx * ly, ly * dx + dy
 
-    ll, dd = jax.lax.associative_scan(combine, (l, d), axis=-1, reverse=reverse)
+    # associative_scan(reverse=True) requires a nonnegative axis index
+    ll, dd = jax.lax.associative_scan(combine, (l, d), axis=l.ndim - 1,
+                                      reverse=reverse)
     del ll
     return dd
 

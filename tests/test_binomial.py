@@ -1,0 +1,73 @@
+"""CRR binomial lattice: convergence to BS, American premium, batch parity."""
+import numpy as np
+import pytest
+
+from optpricer_tpu import CALL, PUT, OptionSpec, bs_price, crr, crr_vec
+
+OPT = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+
+
+class TestCRR:
+    def test_european_converges_to_bs(self):
+        ref = bs_price(OPT, CALL)
+        px = crr(OPT, CALL, N=1000)
+        assert abs(px - ref) / ref < 1e-3
+
+    def test_put_converges_to_bs(self):
+        ref = bs_price(OPT, PUT)
+        px = crr(OPT, PUT, N=1000)
+        assert abs(px - ref) / ref < 1e-3
+
+    def test_american_put_premium(self):
+        eu = crr(OPT, PUT, N=500)
+        am = crr(OPT, PUT, N=500, american=True)
+        assert am > eu
+        # American ≥ intrinsic
+        assert am >= max(OPT.K - OPT.S0, 0.0)
+
+    def test_american_call_no_dividend_equals_european(self):
+        eu = crr(OPT, CALL, N=500)
+        am = crr(OPT, CALL, N=500, american=True)
+        assert abs(am - eu) < 1e-8
+
+    def test_convergence_with_N(self):
+        ref = bs_price(OPT, CALL)
+        errs = [abs(crr(OPT, CALL, N=N) - ref) for N in (50, 200, 800)]
+        assert errs[2] < errs[0]
+
+    def test_invalid_N_raises(self):
+        with pytest.raises(ValueError):
+            crr(OPT, CALL, N=0)
+
+
+class TestCRRVec:
+    def test_matches_scalar(self):
+        Ks = np.array([80.0, 100.0, 120.0])
+        px = np.asarray(crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, CALL, N=300))
+        for i, K in enumerate(Ks):
+            scalar = crr(OptionSpec(100.0, float(K), 1.0, 0.05, 0.2), CALL,
+                         N=300)
+            assert abs(px[i] - scalar) < 1e-10
+
+    def test_matches_scalar_american(self):
+        Ks = np.array([90.0, 110.0])
+        px = np.asarray(crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, PUT, N=300,
+                                american=True))
+        for i, K in enumerate(Ks):
+            scalar = crr(OptionSpec(100.0, float(K), 1.0, 0.05, 0.2), PUT,
+                         N=300, american=True)
+            assert abs(px[i] - scalar) < 1e-10
+
+    def test_mixed_kinds(self):
+        Ks = np.array([100.0, 100.0])
+        kinds = np.array(["call", "put"])
+        px = np.asarray(crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, kinds, N=200))
+        assert abs(px[0] - crr(OPT, CALL, N=200)) < 1e-10
+        assert abs(px[1] - crr(OPT, PUT, N=200)) < 1e-10
+
+    def test_large_batch_shape(self):
+        Ks = np.linspace(50, 150, 1000)
+        px = np.asarray(crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, PUT, N=100,
+                                american=True))
+        assert px.shape == (1000,)
+        assert np.all(np.diff(px) > 0)  # put price increasing in strike

@@ -1,0 +1,143 @@
+"""FDM θ-scheme: oracle vs BS, parity, American premium, barriers, Greeks.
+
+Mirrors reference test_pde.py tolerances: <0.1% rel @400², Δ<0.005, Γ<0.002,
+theta rel <1%, in/out parity <0.1.
+"""
+import numpy as np
+import pytest
+
+from optpricer_tpu import (
+    CALL, PUT, OptionSpec, bs_greeks, bs_price, fd_greeks, fd_price,
+    fd_price_barrier, fd_price_local_vol,
+)
+
+OPT = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+
+
+class TestVanilla:
+    def test_call_accuracy(self):
+        px = fd_price(OPT, CALL, N_S=400, N_t=400)
+        ref = bs_price(OPT, CALL)
+        assert abs(px - ref) / ref < 0.001
+
+    def test_put_accuracy(self):
+        px = fd_price(OPT, PUT, N_S=400, N_t=400)
+        ref = bs_price(OPT, PUT)
+        assert abs(px - ref) / ref < 0.001
+
+    def test_put_call_parity(self):
+        c = fd_price(OPT, CALL, N_S=300, N_t=300)
+        p = fd_price(OPT, PUT, N_S=300, N_t=300)
+        parity = OPT.S0 - OPT.K * np.exp(-OPT.r * OPT.T)
+        assert abs((c - p) - parity) < 0.02
+
+    def test_dividend_yield(self):
+        opt = OptionSpec(100.0, 100.0, 1.0, 0.05, 0.2, q=0.03)
+        px = fd_price(opt, CALL, N_S=400, N_t=400)
+        ref = bs_price(opt, CALL)
+        assert abs(px - ref) / ref < 0.001
+
+    @pytest.mark.parametrize("theta", [0.5, 1.0])
+    def test_schemes_converge(self, theta):
+        px = fd_price(OPT, CALL, N_S=400, N_t=400, theta=theta)
+        ref = bs_price(OPT, CALL)
+        assert abs(px - ref) / ref < 0.005
+
+    def test_thomas_solver_matches_parallel(self):
+        p1 = fd_price(OPT, CALL, N_S=200, N_t=200, solver="parallel")
+        p2 = fd_price(OPT, CALL, N_S=200, N_t=200, solver="thomas")
+        assert abs(p1 - p2) < 1e-8
+
+    def test_convergence_with_refinement(self):
+        ref = bs_price(OPT, CALL)
+        errs = [abs(fd_price(OPT, CALL, N_S=n, N_t=n) - ref)
+                for n in (50, 100, 200)]
+        assert errs[2] < errs[0]
+
+
+class TestAmerican:
+    def test_american_put_above_european(self):
+        eu = fd_price(OPT, PUT, N_S=300, N_t=300)
+        am = fd_price(OPT, PUT, N_S=300, N_t=300, american=True)
+        assert am > eu
+        assert am >= max(OPT.K - OPT.S0, 0.0)
+
+    def test_american_matches_binomial(self):
+        from optpricer_tpu import crr
+        am_fd = fd_price(OPT, PUT, N_S=400, N_t=400, american=True)
+        am_tree = crr(OPT, PUT, N=2000, american=True)
+        assert abs(am_fd - am_tree) / am_tree < 0.005
+
+
+class TestBarrier:
+    def test_in_out_parity(self):
+        vanilla = fd_price(OPT, CALL, N_S=400, N_t=400)
+        out_px = fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                                  N_S=400, N_t=400)
+        in_px = fd_price_barrier(OPT, CALL, 130.0, "up-and-in",
+                                 N_S=400, N_t=400)
+        assert abs((out_px + in_px) - vanilla) < 0.1
+
+    def test_knockout_below_vanilla(self):
+        vanilla = fd_price(OPT, CALL, N_S=200, N_t=200)
+        out_px = fd_price_barrier(OPT, CALL, 120.0, "up-and-out",
+                                  N_S=200, N_t=200)
+        assert out_px < vanilla
+
+    def test_far_barrier_is_vanilla(self):
+        vanilla = fd_price(OPT, CALL, N_S=200, N_t=200)
+        out_px = fd_price_barrier(OPT, CALL, 1000.0, "up-and-out",
+                                  N_S=200, N_t=200)
+        assert abs(out_px - vanilla) < 0.01
+
+    def test_down_and_out_put(self):
+        out_px = fd_price_barrier(OPT, PUT, 70.0, "down-and-out",
+                                  N_S=300, N_t=300)
+        vanilla = fd_price(OPT, PUT, N_S=300, N_t=300)
+        assert 0 < out_px < vanilla
+
+
+class TestGreeks:
+    def test_vs_analytic(self):
+        g_fd = fd_greeks(OPT, CALL, N_S=400, N_t=400)
+        g_bs = bs_greeks(OPT, CALL)
+        assert abs(g_fd["delta"] - g_bs["delta"]) < 0.005
+        assert abs(g_fd["gamma"] - g_bs["gamma"]) < 0.002
+        assert abs(g_fd["theta"] - g_bs["theta"]) / abs(g_bs["theta"]) < 0.01
+
+    def test_put_delta(self):
+        g_fd = fd_greeks(OPT, PUT, N_S=400, N_t=400)
+        g_bs = bs_greeks(OPT, PUT)
+        assert abs(g_fd["delta"] - g_bs["delta"]) < 0.005
+
+
+class TestLocalVol:
+    def test_const_sigma_func_matches_bs(self):
+        import jax.numpy as jnp
+        sigma_fn = lambda S, t: 0.2 * jnp.ones_like(S)
+        px = fd_price_local_vol(100.0, 100.0, 1.0, 0.05, 0.0, sigma_fn, CALL,
+                                N_S=200, N_t=200, ref_vol=0.2)
+        ref = bs_price(OPT, CALL)
+        assert abs(px - ref) / ref < 0.002
+
+    def test_term_structure_sigma(self):
+        """σ(t) only: price should equal BS with RMS vol."""
+        import jax.numpy as jnp
+        sigma_fn = lambda S, t: jnp.sqrt(0.03 + 0.02 * t) * jnp.ones_like(S)
+        px = fd_price_local_vol(100.0, 100.0, 1.0, 0.05, 0.0, sigma_fn, CALL,
+                                N_S=300, N_t=300, ref_vol=0.2)
+        rms = np.sqrt(0.03 + 0.02 * 0.5)  # ∫σ²dt = 0.04
+        ref = bs_price(OptionSpec(100.0, 100.0, 1.0, 0.05, float(rms)), CALL)
+        assert abs(px - ref) / ref < 0.005
+
+
+class TestBatch:
+    def test_fd_price_batch_matches_scalar(self):
+        from optpricer_tpu.models.pde import fd_price_batch
+        Ks = np.array([90.0, 100.0, 110.0])
+        px = np.asarray(fd_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.2, CALL,
+                                       N_S=200, N_t=200))
+        for i, K in enumerate(Ks):
+            scalar = fd_price(OptionSpec(100.0, float(K), 1.0, 0.05, 0.2),
+                              CALL, N_S=200, N_t=200)
+            assert abs(px[i] - scalar) < 1e-8

@@ -1,0 +1,123 @@
+"""Risk engine: bump Greeks vs analytic, AD Greeks, scenarios, VaR/CVaR.
+
+Mirrors reference test_risk.py (greeks key sets, monotonicity, CVaR≥VaR,
+VaR of N(0,1) ≈ 2.326).
+"""
+import numpy as np
+
+from optpricer_tpu import (
+    CALL, PUT, bs_greeks, bs_price_vec, cvar_historical, numerical_greeks,
+    portfolio_risk, scenario_grid, var_historical,
+)
+from optpricer_tpu.core import OptionSpec
+from optpricer_tpu.risk import ad_greeks
+
+
+def _bs_pricer(S, K, T, r, q, sigma, kind):
+    return float(bs_price_vec(S, K, T, r, q, sigma, kind))
+
+
+ARGS = dict(S=100.0, K=100.0, T=1.0, r=0.05, q=0.0, sigma=0.2)
+
+
+class TestNumericalGreeks:
+    def test_keys(self):
+        g = numerical_greeks(_bs_pricer, **ARGS, kind=CALL)
+        assert set(g) == {"delta", "gamma", "vega", "theta", "rho"}
+
+    def test_matches_analytic(self):
+        g = numerical_greeks(_bs_pricer, **ARGS, kind=CALL, bump_pct=0.001)
+        ref = bs_greeks(OptionSpec(100.0, 100.0, 1.0, 0.05, 0.2), CALL)
+        assert abs(g["delta"] - ref["delta"]) < 1e-3
+        assert abs(g["gamma"] - ref["gamma"]) < 1e-3
+        assert abs(g["vega"] - ref["vega"]) < 0.05
+        assert abs(g["rho"] - ref["rho"]) < 0.1
+        # theta: forward 1-day difference vs instantaneous
+        assert abs(g["theta"] - ref["theta"]) / abs(ref["theta"]) < 0.05
+
+    def test_put_delta_negative(self):
+        g = numerical_greeks(_bs_pricer, **ARGS, kind=PUT)
+        assert g["delta"] < 0
+
+
+class TestADGreeks:
+    def test_matches_analytic_exactly(self):
+        from optpricer_tpu.ops.black_scholes import price_core
+        g = ad_greeks(price_core, 100.0, 100.0, 1.0, 0.05, 0.0, 0.2, CALL)
+        ref = bs_greeks(OptionSpec(100.0, 100.0, 1.0, 0.05, 0.2), CALL)
+        assert abs(g["delta"] - ref["delta"]) < 1e-9
+        assert abs(g["gamma"] - ref["gamma"]) < 1e-9
+        assert abs(g["vega"] - ref["vega"]) < 1e-8
+        assert abs(g["rho"] - ref["rho"]) < 1e-8
+        assert abs(g["theta"] - ref["theta"]) < 1e-8
+
+
+class TestScenarioGrid:
+    def test_shape_and_monotonicity(self):
+        out = scenario_grid(_bs_pricer, **ARGS, kind=CALL,
+                            spot_range=np.linspace(80, 120, 5),
+                            vol_range=np.linspace(0.1, 0.4, 4))
+        assert out["prices"].shape == (5, 4)
+        assert np.all(np.diff(out["prices"], axis=0) > 0)  # call ↑ in spot
+        assert np.all(np.diff(out["prices"], axis=1) > 0)  # call ↑ in vol
+
+    def test_vectorized_matches_loop(self):
+        spot = np.linspace(90, 110, 3)
+        vol = np.linspace(0.15, 0.25, 3)
+        loop = scenario_grid(_bs_pricer, **ARGS, kind=CALL,
+                             spot_range=spot, vol_range=vol)
+        vec = scenario_grid(
+            lambda S, K, T, r, q, sigma, kind: bs_price_vec(
+                S, K, T, r, q, sigma, kind),
+            **ARGS, kind=CALL, spot_range=spot, vol_range=vol,
+            vectorized=True)
+        np.testing.assert_allclose(loop["prices"], vec["prices"], atol=1e-10)
+
+
+class TestPortfolioRisk:
+    def test_aggregation(self):
+        insts = [
+            {**ARGS, "kind": CALL, "position": 1.0},
+            {**ARGS, "kind": PUT, "position": -2.0},
+        ]
+        out = portfolio_risk(insts, _bs_pricer)
+        assert len(out["instrument_greeks"]) == 2
+        g1 = numerical_greeks(_bs_pricer, **ARGS, kind=CALL)
+        g2 = numerical_greeks(_bs_pricer, **ARGS, kind=PUT)
+        assert abs(out["total_delta"] - (g1["delta"] - 2 * g2["delta"])) < 1e-9
+        assert abs(out["total_gamma"] - (g1["gamma"] - 2 * g2["gamma"])) < 1e-9
+
+    def test_long_short_cancel(self):
+        insts = [
+            {**ARGS, "kind": CALL, "position": 1.0},
+            {**ARGS, "kind": CALL, "position": -1.0},
+        ]
+        out = portfolio_risk(insts, _bs_pricer)
+        assert abs(out["total_delta"]) < 1e-12
+        assert abs(out["total_value"]) < 1e-12
+
+
+class TestVaR:
+    def test_var_of_standard_normal(self):
+        rng = np.random.default_rng(1)
+        returns = rng.normal(0, 1, 200_000)
+        v = var_historical(returns, confidence=0.99)
+        assert abs(v - 2.326) < 0.05
+
+    def test_cvar_geq_var(self):
+        rng = np.random.default_rng(2)
+        returns = rng.normal(0, 0.02, 10_000)
+        v = var_historical(returns, 0.99)
+        c = cvar_historical(returns, 0.99)
+        assert c >= v
+
+    def test_horizon_scaling(self):
+        rng = np.random.default_rng(3)
+        returns = rng.normal(0, 0.01, 50_000)
+        v1 = var_historical(returns, 0.99, horizon=1)
+        v4 = var_historical(returns, 0.99, horizon=4)
+        assert abs(v4 - 2 * v1) < 1e-12
+
+    def test_var_positive_for_loss_tail(self):
+        returns = np.concatenate([np.full(90, 0.001), np.full(10, -0.10)])
+        assert var_historical(returns, confidence=0.95) > 0
