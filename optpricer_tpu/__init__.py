@@ -11,6 +11,20 @@
 # Public API mirrors the reference's 41 exports
 # (reference __init__.py:46-72) for drop-in parity.
 
+import os as _os
+
+import jax as _jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS from the environment; honour the
+# user's/driver's explicit platform request via the config (authoritative).
+# No-op when unset or when backends are already initialised.
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and _env_platforms != "axon":
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+
 # Legacy scalar interface
 from .core import OptionSpec, CALL, PUT
 from .ops.black_scholes import (

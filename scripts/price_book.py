@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Batch-price an options portfolio (CSV → CSV/JSON).
+
+TPU-native counterpart of reference ``scripts/price_book.py``: same CSV
+schema (``id,S0,K,T,r,sigma,q,kind,method[,exotic columns]``), same output
+columns, same per-row error capture so one bad position never aborts the
+batch. The TPU difference: all vanilla BS rows are priced in ONE fused
+vectorised kernel call (the reference loops rows), and Greeks for the whole
+book are one batched call.
+
+Usage:
+    python scripts/price_book.py --input portfolio.csv --output prices.csv
+    python scripts/price_book.py --input portfolio.csv --output prices.json --greeks
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from optpricer_tpu.core import OptionSpec  # noqa: E402
+from optpricer_tpu.models.binomial import crr  # noqa: E402
+from optpricer_tpu.models.exotics import (  # noqa: E402
+    asian_price, barrier_price, digital_price, lookback_price,
+)
+from optpricer_tpu.models.monte_carlo import euro_price_mc  # noqa: E402
+from optpricer_tpu.models.processes import gbm_paths  # noqa: E402
+from optpricer_tpu.ops.black_scholes import (  # noqa: E402
+    bs_greeks_vec, bs_price_vec,
+)
+
+GREEK_KEYS = ("delta", "gamma", "vega", "theta", "rho")
+
+
+def _price_row(row: dict, compute_greeks: bool) -> dict:
+    rid = row.get("id", "")
+    S0, K, T = float(row["S0"]), float(row["K"]), float(row["T"])
+    r, sigma = float(row["r"]), float(row["sigma"])
+    q = float(row.get("q", 0.0) or 0.0)
+    kind = row["kind"].strip().lower()
+    method = row["method"].strip().lower()
+    result = {"id": rid, "price": None, "stderr": None}
+
+    if method == "bs":
+        result["price"] = float(bs_price_vec(S0, K, T, r, q, sigma, kind))
+    elif method == "binomial":
+        opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
+        american = str(row.get("american", "false")).strip().lower() == "true"
+        result["price"] = crr(opt, kind, N=500, american=american)
+    elif method == "mc":
+        opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
+        px, se = euro_price_mc(opt, kind, n_paths=100_000, seed=1)
+        result["price"], result["stderr"] = px, se
+    elif method == "exotic":
+        exotic_type = row.get("exotic_type", "").strip().lower()
+        n_steps = int(row.get("n_steps", 500) or 500)
+        n_paths = int(row.get("n_paths", 100_000) or 100_000)
+        paths = gbm_paths(S0, r, q, sigma, T, n_steps, n_paths,
+                          antithetic=True, seed=1)
+        if exotic_type == "barrier":
+            px, se = barrier_price(
+                paths, K, r, T, kind, float(row["barrier"]),
+                row["barrier_type"].strip().lower(),
+                float(row.get("rebate", 0.0) or 0.0))
+        elif exotic_type == "asian":
+            px, se = asian_price(
+                paths, K, r, T, kind,
+                row.get("average_type", "arithmetic").strip().lower(),
+                row.get("strike_type", "fixed").strip().lower())
+        elif exotic_type == "digital":
+            px, se = digital_price(paths, K, r, T, kind,
+                                   float(row.get("payout", 1.0) or 1.0))
+        elif exotic_type == "lookback":
+            px, se = lookback_price(
+                paths, r, T, kind, K=K,
+                strike_type=row.get("strike_type", "floating").strip().lower())
+        else:
+            raise ValueError(f"Unknown exotic_type: {exotic_type!r}")
+        result["price"], result["stderr"] = px, se
+    else:
+        raise ValueError(f"Unknown method: {method!r}")
+
+    if compute_greeks and method in ("bs", "binomial", "mc"):
+        # BS-analytic Greeks for vanilla rows (reference behaviour
+        # price_book.py:74-76,84-86); one vectorised call per row here,
+        # batched across the book below when possible.
+        g = bs_greeks_vec(S0, K, T, r, q, sigma, kind)
+        for key in GREEK_KEYS:
+            result[key] = float(g[key])
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Batch-price an options portfolio.")
+    ap.add_argument("--input", required=True, help="portfolio CSV")
+    ap.add_argument("--output", required=True, help="output path (.csv/.json)")
+    ap.add_argument("--greeks", action="store_true", help="compute Greeks")
+    args = ap.parse_args()
+
+    with open(args.input, newline="") as f:
+        rows = list(csv.DictReader(f))
+    print(f"Pricing {len(rows)} positions...")
+
+    # Fused fast path: every vanilla-BS row in one batched kernel call.
+    bs_idx = [i for i, row in enumerate(rows)
+              if row["method"].strip().lower() == "bs"]
+    batch_prices = {}
+    batch_greeks = {}
+    if len(bs_idx) > 1:
+        try:
+            cols = {c: np.array([float(rows[i][c]) for i in bs_idx])
+                    for c in ("S0", "K", "T", "r", "sigma")}
+            qv = np.array([float(rows[i].get("q", 0.0) or 0.0) for i in bs_idx])
+            kinds = np.array([rows[i]["kind"].strip().lower() for i in bs_idx])
+            px = np.asarray(bs_price_vec(cols["S0"], cols["K"], cols["T"],
+                                         cols["r"], qv, cols["sigma"], kinds))
+            batch_prices = dict(zip(bs_idx, px))
+            if args.greeks:
+                g = bs_greeks_vec(cols["S0"], cols["K"], cols["T"], cols["r"],
+                                  qv, cols["sigma"], kinds)
+                batch_greeks = {
+                    i: {k: float(np.asarray(g[k])[j]) for k in GREEK_KEYS}
+                    for j, i in enumerate(bs_idx)}
+        except Exception:
+            batch_prices = {}
+
+    results = []
+    for i, row in enumerate(rows):
+        try:
+            if i in batch_prices:
+                res = {"id": row.get("id", ""),
+                       "price": float(batch_prices[i]), "stderr": None}
+                res.update(batch_greeks.get(i, {}))
+            else:
+                res = _price_row(row, args.greeks)
+            results.append(res)
+        except Exception as e:
+            print(f"  Row {i} (id={row.get('id', '?')}): ERROR — {e}")
+            results.append({"id": row.get("id", ""), "price": None,
+                            "error": str(e)})
+
+    output_path = Path(args.output)
+    if output_path.suffix == ".json":
+        with open(output_path, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+    else:
+        fieldnames = list(results[0].keys())
+        for r in results:
+            for k in r:
+                if k not in fieldnames:
+                    fieldnames.append(k)
+        with open(output_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=fieldnames,
+                                    extrasaction="ignore")
+            writer.writeheader()
+            writer.writerows(results)
+    print(f"Results written to {args.output}")
+
+    priced = [r for r in results if r.get("price") is not None]
+    print(f"  Priced: {len(priced)}  |  Failed: {len(results) - len(priced)}")
+
+
+if __name__ == "__main__":
+    main()
