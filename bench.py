@@ -29,15 +29,26 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _bs_call_f64(S0, K, T, r, q, sigma) -> float:
+    """Float64 analytic reference on the host (the on-device f32 closed form
+    itself carries ~6e-5 error — too coarse to be the accuracy oracle)."""
+    from math import erfc, exp, log, sqrt
+
+    d1 = (log(S0 / K) + (r - q + 0.5 * sigma * sigma) * T) / (sigma * sqrt(T))
+    d2 = d1 - sigma * sqrt(T)
+    Phi = lambda x: 0.5 * erfc(-x / sqrt(2.0))
+    return S0 * exp(-q * T) * Phi(d1) - K * exp(-r * T) * Phi(d2)
+
+
 def bench_mc() -> tuple[float, float, float]:
     """Returns (paths_per_sec, price, bs_ref)."""
-    from optpricer_tpu import CALL, OptionSpec, bs_price
+    from optpricer_tpu import CALL, OptionSpec
     from optpricer_tpu.models.monte_carlo import euro_price_mc
 
     opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
-    ref = bs_price(opt, CALL)
+    ref = _bs_call_f64(100.0, 110.0, 1.0, 0.03, 0.0, 0.2)
 
-    n_base = 1 << 29  # base draws; antithetic doubles → ~1.07e9 eff paths
+    n_base = 1 << 30  # base draws; antithetic doubles → ~2.1e9 eff paths
     eff = 2 * n_base
 
     on_tpu = jax.default_backend() == "tpu"

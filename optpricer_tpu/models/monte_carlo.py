@@ -161,13 +161,16 @@ def euro_price_mc(
         and mesh is None
     )
     if use_pallas:
-        from ..ops.pallas_mc import mc_sumstats_pallas
+        from ..ops.pallas_mc import mc_sumstats_pallas, pallas_estimate
 
         stats_vec = mc_sumstats_pallas(
             seed, n_paths, S0, K, T, r, q, sigma, is_call,
             antithetic=antithetic, dtype=dt,
         )
-    elif mesh is not None:
+        price, se = pallas_estimate(stats_vec, S0, K, T, r, q, sigma,
+                                    is_call, control_variate)
+        return (price, se) if return_stderr else price
+    if mesh is not None:
         from ..parallel.mesh import mc_sumstats_sharded
 
         stats_vec = mc_sumstats_sharded(

@@ -2,30 +2,37 @@
 
 The reference's hot loop is host RNG + payoff over a materialised draw vector
 (``monte_carlo.py:30-64``). This kernel is the speed-of-light version for
-TPU: random bits are generated by the per-core hardware PRNG, converted to
-normals via Box-Muller, pushed through the exact terminal GBM map and the
-payoff, and reduced to the six sufficient statistics **in registers** — no
-draw array ever touches HBM. The only HBM traffic is one (programs, 128)
-stats row per grid program; the op is compute-bound on transcendentals.
+TPU: random bits come from the per-core hardware PRNG, become normals via
+Box-Muller, go through the exact terminal GBM map and payoff, and are reduced
+to sufficient statistics **in registers** — no draw array ever touches HBM.
+The only HBM traffic is one stats row per grid program; the op is
+compute-bound on transcendentals.
 
-Per grid program: a distinct PRNG stream (seed ⊕ program_id), ``reps``
-iterations of a (BLOCK_R, 128) tile, two normals per bit-pair (cos/sin
-branches of Box-Muller), optional antithetic mirroring (±z) fused in the
-same pass.
+Statistics layout (``stats.STATS2_DIM`` = 10) supports a *dual* control
+variate — Y1 = e^{−rT}·S_T (E = S0·e^{−qT−rT}·e^{rT}… i.e. S0·e^{−qT}) and
+Y2 = e^{−rT}·1{S_T>K} (E = e^{−rT}·Φ(±d2)) — which captures both the linear
+part and the kink of the payoff, cutting the estimator variance far below
+the single-CV design of the reference (``monte_carlo.py:150-163``).
+
+Numerics: per-program accumulation over reps is Kahan-compensated in
+registers; cross-program reduction is a deterministic compensated scan.
 """
 from __future__ import annotations
 
 from functools import partial
+from math import erf, exp, log, sqrt
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import stats as stats_ops
+from .fastmath import exp32, log32
 
 BLOCK_R = 256           # sublane rows per rep tile
 LANES = 128
 TILE = BLOCK_R * LANES  # draws per bit-tile; 2 tiles of normals per rep
+NSTAT = stats_ops.STATS2_DIM
 
 
 def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
@@ -33,60 +40,100 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     pid = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + pid)
+    # Distinct stream per (seed, program): mix with an odd constant so that
+    # nearby seeds do not share per-program streams (seed+pid would overlap
+    # 63/64 streams between consecutive seeds).
+    pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
 
     S0 = par_ref[0]
     K = par_ref[1]
     mu = par_ref[2]        # (r - q - σ²/2)·T
     sig = par_ref[3]       # σ√T
     df = par_ref[4]        # e^{-rT}
-    n_paths = par_ref[5]   # float compare is exact for counts < 2^24 per tile
+    n_paths = par_ref[5]   # float; tile-remainder masking keeps this exact
     sign = par_ref[6]      # +1 call, −1 put
 
     two_pi = 6.283185307179586
     tiny = 5.9604645e-8  # 2^-24: keeps u1 in (0, 1]
 
-    base_elem = jax.lax.broadcasted_iota(jnp.float32, (BLOCK_R, LANES), 0) * LANES \
-        + jax.lax.broadcasted_iota(jnp.float32, (BLOCK_R, LANES), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 1)
+    base_elem = (rows * LANES + cols).astype(jnp.float32)  # [0, TILE), exact
 
-    def rep_body(j, acc):
-        bits_a = pltpu.prng_random_bits((BLOCK_R, LANES))
-        bits_b = pltpu.prng_random_bits((BLOCK_R, LANES))
-        # uint32 → uniform in (0,1]: use the top 24 bits
-        u1 = (bits_a >> 8).astype(jnp.float32) * tiny + tiny
-        u2 = (bits_b >> 8).astype(jnp.float32) * tiny
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
+    def rep_body(j, carry):
+        acc, comp = carry
+        # bitcast: random bits may surface as int32; shifts must be unsigned
+        bits_a = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                               jnp.uint32)
+        bits_b = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                               jnp.uint32)
+        # uint32 → uniform in (0,1): top 24 bits, bin midpoints (the +0.5
+        # debias matters: bin-edge placement shifts E[-2ln u] by ~3e-7).
+        # Mosaic lacks a u32→f32 cast; after >>8 the value fits in 24 bits,
+        # so view as i32 first.
+        u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
+              + 0.5) * tiny
+        u2 = pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32) * tiny
+        # log32: the VPU's own f32 log/exp carry ~1e-6-level systematic
+        # bias — fatal at the 1e-4 price-accuracy gate (see ops/fastmath.py).
+        rad = jnp.sqrt(-2.0 * log32(u1))
         theta = two_pi * u2
-        z1 = r * jnp.cos(theta)
-        z2 = r * jnp.sin(theta)
+        z1 = rad * jnp.cos(theta)
+        z2 = rad * jnp.sin(theta)
 
-        # Global base-draw indices for tail masking
+        # Tail masking via the per-tile remainder: rem = n_paths − tile_start.
+        # Operands are multiples of the tile size (exact in f32 up to
+        # 2^24·TILE) and close subtractions are exact (Sterbenz), so the
+        # in-tile threshold compare is exact.
         prog_offset = (pid.astype(jnp.float32) * reps + j.astype(jnp.float32)) \
             * (2.0 * TILE)
-        idx1 = prog_offset + base_elem
-        idx2 = prog_offset + TILE + base_elem
-        w1 = (idx1 < n_paths).astype(jnp.float32)
-        w2 = (idx2 < n_paths).astype(jnp.float32)
+        rem1 = n_paths - prog_offset
+        rem2 = rem1 - TILE
+        w1 = (base_elem < rem1).astype(jnp.float32)
+        w2 = (base_elem < rem2).astype(jnp.float32)
 
-        def stats_of(z, w):
-            ST = S0 * jnp.exp(mu + sig * z)
-            pay = jnp.maximum(sign * (ST - K), 0.0)
-            X = df * pay
-            Y = df * ST
+        def xy(z):
+            ST = S0 * exp32(mu + sig * z)
+            X = df * jnp.maximum(sign * (ST - K), 0.0)
+            Y1 = df * ST
+            Y2 = df * (sign * (ST - K) > 0.0).astype(jnp.float32)
+            return X, Y1, Y2
+
+        def moments(X, Y1, Y2, w):
             WX = X * w
-            WY = Y * w
+            WY1 = Y1 * w
+            WY2 = Y2 * w
             return jnp.stack([
-                jnp.sum(w), jnp.sum(WX), jnp.sum(WX * X),
-                jnp.sum(WY), jnp.sum(WY * Y), jnp.sum(WX * Y)])
+                jnp.sum(w),
+                jnp.sum(WX), jnp.sum(WX * X),
+                jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
+                jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
+                jnp.sum(WY1 * Y2),
+            ])
 
-        s = stats_of(z1, w1) + stats_of(z2, w2)
         if antithetic:
-            s = s + stats_of(-z1, w1) + stats_of(-z2, w2)
-        return acc + s
+            # Pair-averaged observations: (f(z)+f(−z))/2 is ONE sample. The
+            # CV regression then runs at pair level, so both the estimator
+            # variance and the reported stderr credit the pairing (the
+            # reference pools ±z draws and understates neither/none —
+            # monte_carlo.py:38-39 — its stderr ignores pairing entirely).
+            def pair_stats(z, w):
+                Xa, Y1a, Y2a = xy(z)
+                Xb, Y1b, Y2b = xy(-z)
+                return moments(0.5 * (Xa + Xb), 0.5 * (Y1a + Y1b),
+                               0.5 * (Y2a + Y2b), w)
 
-    acc = jax.lax.fori_loop(0, reps, rep_body,
-                            jnp.zeros((6,), jnp.float32))
-    row = jnp.concatenate([acc, jnp.zeros((LANES - 6,), jnp.float32)])
+            s = pair_stats(z1, w1) + pair_stats(z2, w2)
+        else:
+            Xa, Y1a, Y2a = xy(z1)
+            Xb, Y1b, Y2b = xy(z2)
+            s = moments(Xa, Y1a, Y2a, w1) + moments(Xb, Y1b, Y2b, w2)
+        acc, comp = stats_ops.kahan_add(acc, comp, s)
+        return acc, comp
+
+    zero = jnp.zeros((NSTAT,), jnp.float32)
+    acc, _ = jax.lax.fori_loop(0, reps, rep_body, (zero, zero))
+    row = jnp.concatenate([acc, jnp.zeros((LANES - NSTAT,), jnp.float32)])
     # Output tile is (8, 128) for TPU sublane alignment; row 0 carries stats.
     out_ref[0, :, :] = jnp.broadcast_to(row[None, :], (8, LANES))
 
@@ -109,17 +156,16 @@ def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool):
                                memory_space=pltpu.VMEM),
     )(seed, params)
     # Deterministic compensated combine of per-program stats
-    return stats_ops.combine_scan(out[:, 0, :6])
+    return stats_ops.combine_scan(out[:, 0, :NSTAT])
 
 
 def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
                        is_call: bool, *, antithetic: bool, dtype=None):
-    """Six sufficient statistics for n_paths terminal GBM draws (f32).
+    """(10,) sufficient statistics for n_paths terminal GBM draws (f32).
 
-    Work decomposition: each grid program produces ``2·TILE·reps`` base draws
-    (two Box-Muller normals per bit-pair); the grid is sized so the padded
-    draw count just covers ``n_paths``, and the tail is masked by global
-    index, so any n_paths is exact.
+    Each grid program produces ``2·TILE·reps`` base draws (two Box-Muller
+    normals per bit-pair); the grid is sized so the padded draw count just
+    covers ``n_paths`` and the tail is masked by tile-local remainder.
     """
     per_rep = 2 * TILE
     target_programs = 64
@@ -135,3 +181,22 @@ def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
     seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
     return _run_kernel(seed_arr, params, n_programs=int(n_programs),
                        reps=int(reps), antithetic=bool(antithetic))
+
+
+def pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
+                    control_variate: bool):
+    """(price, stderr) from the 10-stat vector; dual CV when enabled."""
+    s = np.asarray(jax.device_get(stats_vec), np.float64)
+    if s[0] == 0:
+        return float("nan"), float("nan")
+    if not control_variate:
+        n, sx, sx2 = s[0], s[1], s[2]
+        m = sx / n
+        v = max(0.0, sx2 / n - m * m)
+        return float(m), float(sqrt(v / n))
+    EY1 = S0 * exp(-q * T)  # E[e^{−rT}·S_T] under Q
+    d2 = (log(S0 / K) + (r - q - 0.5 * sigma * sigma) * T) / (sigma * sqrt(T))
+    Phi = lambda x: 0.5 * (1.0 + erf(x / sqrt(2.0)))
+    p_itm = Phi(d2) if is_call else Phi(-d2)
+    EY2 = exp(-r * T) * p_itm
+    return stats_ops.cv2_mean_se(s, EY1, EY2)

@@ -60,7 +60,7 @@ def combine_scan(stats_seq: jax.Array) -> jax.Array:
         acc, comp = kahan_add(acc, comp, s)
         return (acc, comp), None
 
-    zero = jnp.zeros((STATS_DIM,), stats_seq.dtype)
+    zero = jnp.zeros((stats_seq.shape[-1],), stats_seq.dtype)
     (acc, _), _ = jax.lax.scan(step, (zero, zero), stats_seq)
     return acc
 
@@ -71,6 +71,40 @@ def mean_se(stats: jax.Array):
     mean = stats[SX] / n
     var = jnp.maximum(0.0, stats[SX2] / n - mean * mean)
     return mean, jnp.sqrt(var / n)
+
+
+# Extended layout for the dual-control-variate estimator (Pallas path):
+# (n, ΣX, ΣX², ΣY1, ΣY1², ΣXY1, ΣY2, ΣY2², ΣXY2, ΣY1Y2)
+STATS2_DIM = 10
+
+
+def cv2_mean_se(stats: "np.ndarray", EY1: float, EY2: float):
+    """Two-variable control-variate estimator with known means.
+
+    β = Cov(Y,Y)⁻¹ Cov(Y,X); mean = m_X − βᵀ(m_Y − EY);
+    Var = Var(X) − Cov(Y,X)ᵀβ (optimal-β variance). Host-side float64.
+    """
+    import numpy as np
+
+    s = np.asarray(stats, np.float64)
+    n = s[0]
+    mX = s[1] / n
+    vX = max(0.0, s[2] / n - mX * mX)
+    m1, m2 = s[3] / n, s[6] / n
+    v11 = max(0.0, s[4] / n - m1 * m1)
+    v22 = max(0.0, s[7] / n - m2 * m2)
+    c1X = s[5] / n - m1 * mX
+    c2X = s[8] / n - m2 * mX
+    c12 = s[9] / n - m1 * m2
+    C = np.array([[v11, c12], [c12, v22]])
+    b = np.array([c1X, c2X])
+    try:
+        beta = np.linalg.solve(C + 1e-18 * np.eye(2), b)
+    except np.linalg.LinAlgError:
+        beta = np.zeros(2)
+    mean = mX - beta[0] * (m1 - EY1) - beta[1] * (m2 - EY2)
+    var = max(0.0, vX - float(b @ beta))
+    return float(mean), float(np.sqrt(var / n))
 
 
 def cv_mean_se(stats: jax.Array, EY: jax.Array):
