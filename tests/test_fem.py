@@ -49,3 +49,10 @@ class TestFEM:
         ref_otm = bs_price(OptionSpec(100.0, 120.0, 1.0, 0.05, 0.2), CALL)
         assert abs(itm - ref_itm) / ref_itm < 0.002
         assert abs(otm - ref_otm) / ref_otm < 0.01
+
+
+class TestFEMSolverEquivalence:
+    def test_propagator_matches_tridiag(self):
+        pp = fem_price(OPT, CALL, N_S=200, N_t=200, solver="propagator")
+        pt = fem_price(OPT, CALL, N_S=200, N_t=200, solver="parallel")
+        assert abs(pp - pt) < 1e-7

@@ -1,0 +1,123 @@
+"""Fused exotic MC vs the path-matrix engines and closed forms."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optpricer_tpu import (
+    CALL, PUT, OptionSpec, asian_price, barrier_price, bs_price,
+    digital_price, lookback_price,
+)
+from optpricer_tpu.models.mc_fused import exotic_price_mc
+from optpricer_tpu.models.processes import gbm_paths
+
+S0, K, R, T, SIG = 100.0, 100.0, 0.05, 1.0, 0.2
+N_STEPS, N_PATHS = 100, 100_000
+
+
+@pytest.fixture(scope="module")
+def paths():
+    return gbm_paths(S0, R, 0.0, SIG, T, N_STEPS, N_PATHS, antithetic=True,
+                     seed=42)
+
+
+def _agree(a, sa, b, sb, nsig=4.0, extra=1e-3):
+    assert abs(a - b) <= nsig * np.hypot(sa, sb) + extra, (a, b, sa, sb)
+
+
+class TestFusedVsPathMatrix:
+    def test_vanilla_vs_bs(self):
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, sigma=SIG,
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=1)
+        ref = bs_price(OptionSpec(S0, K, T, R, SIG), CALL)
+        assert abs(px - ref) < 4 * se + 1e-3
+
+    def test_barrier(self, paths):
+        ref, se_ref = barrier_price(paths, K, R, T, CALL, 120.0, "up-and-out")
+        px, se = exotic_price_mc("barrier", S0, K, T, R, sigma=SIG,
+                                 barrier=120.0, barrier_type="up-and-out",
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=2)
+        _agree(px, se, ref, se_ref)
+
+    def test_barrier_knock_in(self, paths):
+        ref, se_ref = barrier_price(paths, K, R, T, PUT, 80.0, "down-and-in")
+        px, se = exotic_price_mc("barrier", S0, K, T, R, sigma=SIG, kind="put",
+                                 barrier=80.0, barrier_type="down-and-in",
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=3)
+        _agree(px, se, ref, se_ref)
+
+    def test_asian_arithmetic(self, paths):
+        ref, se_ref = asian_price(paths, K, R, T, CALL, "arithmetic")
+        px, se = exotic_price_mc("asian", S0, K, T, R, sigma=SIG,
+                                 average_type="arithmetic",
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=4)
+        _agree(px, se, ref, se_ref)
+
+    def test_asian_geometric_floating(self, paths):
+        ref, se_ref = asian_price(paths, K, R, T, PUT, "geometric", "floating")
+        px, se = exotic_price_mc("asian", S0, K, T, R, sigma=SIG, kind="put",
+                                 average_type="geometric",
+                                 strike_type="floating",
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=5)
+        _agree(px, se, ref, se_ref)
+
+    def test_digital(self, paths):
+        ref, se_ref = digital_price(paths, K, R, T, CALL)
+        px, se = exotic_price_mc("digital", S0, K, T, R, sigma=SIG,
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=6)
+        _agree(px, se, ref, se_ref)
+
+    def test_lookback_floating(self, paths):
+        ref, se_ref = lookback_price(paths, R, T, CALL)
+        px, se = exotic_price_mc("lookback", S0, K, T, R, sigma=SIG,
+                                 strike_type="floating",
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=7)
+        _agree(px, se, ref, se_ref)
+
+    def test_lookback_fixed(self, paths):
+        ref, se_ref = lookback_price(paths, R, T, PUT, K=K,
+                                     strike_type="fixed")
+        px, se = exotic_price_mc("lookback", S0, K, T, R, sigma=SIG,
+                                 kind="put", strike_type="fixed",
+                                 n_steps=N_STEPS, n_paths=N_PATHS, seed=8)
+        _agree(px, se, ref, se_ref)
+
+
+class TestFusedLocalVol:
+    def test_const_local_vol_matches_gbm(self):
+        sigma_fn = lambda S, t: SIG * jnp.ones_like(S)
+        p1, se1 = exotic_price_mc("vanilla", S0, K, T, R, sigma=SIG,
+                                  n_steps=50, n_paths=50_000, seed=9)
+        p2, se2 = exotic_price_mc("vanilla", S0, K, T, R, sigma_loc=sigma_fn,
+                                  n_steps=50, n_paths=50_000, seed=9)
+        _agree(p1, se1, p2, se2)
+
+    def test_milstein_scheme(self):
+        sigma_fn = lambda S, t: SIG * jnp.ones_like(S)
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, sigma_loc=sigma_fn,
+                                 scheme="milstein", n_steps=100,
+                                 n_paths=50_000, seed=10)
+        ref = bs_price(OptionSpec(S0, K, T, R, SIG), CALL)
+        assert abs(px - ref) < 4 * se + 5e-2
+
+    def test_barrier_local_vol(self):
+        sigma_fn = lambda S, t: SIG * jnp.ones_like(S)
+        px, se = exotic_price_mc("barrier", S0, K, T, R, sigma_loc=sigma_fn,
+                                 barrier=130.0, barrier_type="up-and-out",
+                                 n_steps=100, n_paths=50_000, seed=11)
+        px_g, se_g = exotic_price_mc("barrier", S0, K, T, R, sigma=SIG,
+                                     barrier=130.0, barrier_type="up-and-out",
+                                     n_steps=100, n_paths=50_000, seed=12)
+        _agree(px, se, px_g, se_g)
+
+
+class TestValidation:
+    def test_bad_payoff(self):
+        with pytest.raises(ValueError):
+            exotic_price_mc("rainbow", S0, K, T, R, sigma=SIG)
+
+    def test_sigma_exclusive(self):
+        with pytest.raises(ValueError):
+            exotic_price_mc("vanilla", S0, K, T, R)
+        with pytest.raises(ValueError):
+            exotic_price_mc("vanilla", S0, K, T, R, sigma=SIG,
+                            sigma_loc=lambda S, t: S)

@@ -141,3 +141,24 @@ class TestBatch:
             scalar = fd_price(OptionSpec(100.0, float(K), 1.0, 0.05, 0.2),
                               CALL, N_S=200, N_t=200)
             assert abs(px[i] - scalar) < 1e-8
+
+
+class TestSolverEquivalence:
+    def test_propagator_matches_tridiag(self):
+        pp = fd_price(OPT, CALL, N_S=200, N_t=200, solver="propagator")
+        pt = fd_price(OPT, CALL, N_S=200, N_t=200, solver="parallel")
+        assert abs(pp - pt) < 1e-7
+
+    def test_propagator_american(self):
+        pp = fd_price(OPT, PUT, N_S=200, N_t=200, solver="propagator",
+                      american=True)
+        pt = fd_price(OPT, PUT, N_S=200, N_t=200, solver="parallel",
+                      american=True)
+        assert abs(pp - pt) < 1e-7
+
+    def test_propagator_barrier(self):
+        pp = fd_price_barrier(OPT, CALL, 120.0, "up-and-out", N_S=200,
+                              N_t=200, solver="propagator")
+        pt = fd_price_barrier(OPT, CALL, 120.0, "up-and-out", N_S=200,
+                              N_t=200, solver="parallel")
+        assert abs(pp - pt) < 1e-7
