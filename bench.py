@@ -79,20 +79,32 @@ def bench_mc() -> tuple[float, float, float]:
 
 
 def bench_pde() -> float:
-    """Secondary: θ-scheme grid sweeps/sec (512 nodes × 512 steps)."""
+    """Secondary: θ-scheme option-solves/sec, 1024-strike American-put
+    ladder on a 512×512 grid sharing one propagator and one scan."""
+    import numpy as np
+
     from optpricer_tpu import CALL, OptionSpec, fd_price
+    from optpricer_tpu.models.pde import fd_price_batch
+
+    Ks = np.linspace(50.0, 150.0, 1024)
+    kw = dict(N_S=512, N_t=512, american=True)
+    run = lambda: fd_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", **kw)
+    run()  # compile
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    import jax as _jax
+
+    _jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    log(f"[pde] 1024-ladder 512x512 American: {dt*1e3:.1f} ms "
+        f"→ {1024/dt:.0f} option-solves/s")
 
     opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
-    kw = dict(N_S=512, N_t=512)
-    fd_price(opt, CALL, **kw)  # compile
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        fd_price(opt, CALL, **kw)
-    dt = (time.perf_counter() - t0) / iters
-    sweeps = 512 / dt  # time-steps (tridiag solves) per second
-    log(f"[pde] {dt*1e3:.1f} ms/solve → {sweeps:.0f} grid-sweeps/s")
-    return sweeps
+    single = fd_price(opt, CALL, N_S=512, N_t=512)
+    log(f"[pde] single CN 512² call = {single:.4f}")
+    return 1024 / dt
 
 
 def main():

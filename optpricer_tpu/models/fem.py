@@ -72,17 +72,24 @@ def _fem_solve(x_grid, dt, K_strike, r, q, sigma, is_call, theta,
     R_sup = M_sup - e * K_sup
 
     if use_prop:
-        # Dense propagator P = L⁻¹R built once; each step is an MXU matvec
-        # (same redesign as the FDM solver — see models/pde.py).
+        # Dense propagator P = L⁻¹R built once via the batched tridiagonal
+        # solver; each step is an MXU matvec at HIGHEST precision (TPU's
+        # default bf16 matmul diverges over hundreds of steps) — same
+        # redesign as the FDM solver, see models/pde.py.
         def dense(sub, main, sup):
             return (jnp.diag(main) + jnp.diag(sub[1:], -1)
                     + jnp.diag(sup[:-1], 1))
 
-        inv_lhs = jnp.linalg.solve(dense(L_sub, L_main, L_sup),
-                                   jnp.eye(M_int, dtype=x_grid.dtype))
-        P = inv_lhs @ dense(R_sub, R_main, R_sup)
-        w_lo = inv_lhs[:, 0]
-        w_hi = inv_lhs[:, M_int - 1]
+        R_dense = dense(R_sub, R_main, R_sup)
+        bcast = lambda v: jnp.broadcast_to(v, (M_int, M_int))
+        P = tridiag_solve(bcast(L_sub), bcast(L_main), bcast(L_sup),
+                          R_dense.T).T
+        unit = jnp.zeros((2, M_int), x_grid.dtype).at[0, 0].set(1.0) \
+            .at[1, M_int - 1].set(1.0)
+        w = tridiag_solve(jnp.broadcast_to(L_sub, (2, M_int)),
+                          jnp.broadcast_to(L_main, (2, M_int)),
+                          jnp.broadcast_to(L_sup, (2, M_int)), unit)
+        w_lo, w_hi = w[0], w[1]
 
     V0 = _payoff(S_grid, K_strike, is_call)
 
@@ -94,7 +101,9 @@ def _fem_solve(x_grid, dt, K_strike, r, q, sigma, is_call, theta,
         if use_prop:
             lc = R_sub[0] * V[0] - L_sub[0] * bc_left
             rc = R_sup[-1] * V[N_S] - L_sup[-1] * bc_right
-            V_new_int = P @ V_int + lc * w_lo + rc * w_hi
+            V_new_int = jnp.matmul(P, V_int,
+                                   precision=jax.lax.Precision.HIGHEST) \
+                + lc * w_lo + rc * w_hi
         else:
             rhs = R_main * V_int
             rhs = rhs.at[1:].add(R_sub[1:] * V_int[:-1])

@@ -88,15 +88,25 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
 
     ``barrier_mask`` is a node mask (all-False for vanilla); masked nodes are
     forced to ``barrier_value`` after each step.
+
+    ``K``/``is_call`` may be scalars or (B,)-batched: the whole ladder shares
+    one grid, one propagator, and one scan (V carries shape (B, N_S+1) and
+    the per-step matvec becomes an MXU matmul).
     """
     N_S = x_grid.shape[0] - 1
     M = N_S - 1
     dx = x_grid[1] - x_grid[0]
     S_grid = jnp.exp(x_grid)
     S_min, S_max = S_grid[0], S_grid[-1]
+    batched = K.ndim == 1
+    if batched:
+        K_b = K[:, None]
+        call_b = is_call[:, None]
+    else:
+        K_b, call_b = K, is_call
 
     solve = tridiag_solve if solver != "thomas" else tridiag_solve_thomas
-    intrinsic = _payoff(S_grid, K, is_call)
+    intrinsic = _payoff(S_grid, K_b, call_b)
     V0 = jnp.where(barrier_mask, barrier_value, intrinsic) \
         if barrier_mask is not None else intrinsic
 
@@ -110,20 +120,27 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
         b_lhs = 1.0 - theta * dt * b_L
         c_lhs = -theta * dt * c_L
     if use_prop:
-        # Dense θ-scheme propagator: one (M,M) system solve at setup, then
-        # every step is a single MXU matvec + two boundary-response axpys.
+        # Dense θ-scheme propagator: solve A_lhs·P = A_rhs column-by-column
+        # with the batched tridiagonal solver (cheap, LU-free), then every
+        # step is a single MXU matvec + two boundary-response axpys.
+        # NOTE: TPU matmuls default to bf16 — 512 repeated applications of P
+        # in bf16 destroy the solution, hence Precision.HIGHEST throughout.
         def dense(sub, main, sup):
             A = jnp.diag(main)
             A = A + jnp.diag(sub[1:], -1) + jnp.diag(sup[:-1], 1)
             return A
 
-        A_lhs = dense(a_lhs, b_lhs, c_lhs)
         A_rhs = dense(e * a_L, 1.0 + e * b_L, e * c_L)
-        eye = jnp.eye(M, dtype=x_grid.dtype)
-        inv_lhs = jnp.linalg.solve(A_lhs, eye)
-        P = inv_lhs @ A_rhs
-        w_lo = inv_lhs[:, 0]
-        w_hi = inv_lhs[:, M - 1]
+        bcast = lambda v: jnp.broadcast_to(v, (M, M))
+        # rows of A_rhs.T are columns of A_rhs; each solve gives a P column
+        P = tridiag_solve(bcast(a_lhs), bcast(b_lhs), bcast(c_lhs),
+                          A_rhs.T).T
+        unit = jnp.zeros((2, M), x_grid.dtype).at[0, 0].set(1.0) \
+            .at[1, M - 1].set(1.0)
+        w = tridiag_solve(jnp.broadcast_to(a_lhs, (2, M)),
+                          jnp.broadcast_to(b_lhs, (2, M)),
+                          jnp.broadcast_to(c_lhs, (2, M)), unit)
+        w_lo, w_hi = w[0], w[1]
 
     def step(carry, n):
         V, V_dt = carry
@@ -131,12 +148,14 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
         t_now = n * dt
 
         bc_left, bc_right = _bc_values(tau, K, r, S_min, S_max, is_call)
-        V_int = V[1:N_S]
+        V_int = V[..., 1:N_S]
 
         if use_prop:
-            lc = e * a_L[0] * V[0] + theta * dt * a_L[0] * bc_left
-            rc = e * c_L[-1] * V[N_S] + theta * dt * c_L[-1] * bc_right
-            V_new_int = P @ V_int + lc * w_lo + rc * w_hi
+            lc = e * a_L[0] * V[..., 0] + theta * dt * a_L[0] * bc_left
+            rc = e * c_L[-1] * V[..., N_S] + theta * dt * c_L[-1] * bc_right
+            V_new_int = jnp.matmul(V_int, P.T,
+                                   precision=jax.lax.Precision.HIGHEST) \
+                + lc[..., None] * w_lo + rc[..., None] * w_hi
         else:
             if const_coeff:
                 aL, bL, cL = a_L, b_L, c_L
@@ -151,15 +170,19 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
 
             # RHS = (I + (1−θ)dt·L) V_old on the interior + boundary transfer
             rhs = (1.0 + e * bL) * V_int
-            rhs = rhs.at[1:].add(e * aL[1:] * V[1:N_S - 1])
-            rhs = rhs.at[0].add(e * aL[0] * V[0])
-            rhs = rhs.at[:-1].add(e * cL[:-1] * V[2:N_S])
-            rhs = rhs.at[-1].add(e * cL[-1] * V[N_S])
-            rhs = rhs.at[0].add(theta * dt * aL[0] * bc_left)
-            rhs = rhs.at[-1].add(theta * dt * cL[-1] * bc_right)
-            V_new_int = solve(al, bl, cl, rhs)
+            rhs = rhs.at[..., 1:].add(e * aL[1:] * V[..., 1:N_S - 1])
+            rhs = rhs.at[..., 0].add(e * aL[0] * V[..., 0])
+            rhs = rhs.at[..., :-1].add(e * cL[:-1] * V[..., 2:N_S])
+            rhs = rhs.at[..., -1].add(e * cL[-1] * V[..., N_S])
+            rhs = rhs.at[..., 0].add(theta * dt * aL[0] * bc_left)
+            rhs = rhs.at[..., -1].add(theta * dt * cL[-1] * bc_right)
+            V_new_int = solve(jnp.broadcast_to(al, rhs.shape),
+                              jnp.broadcast_to(bl, rhs.shape),
+                              jnp.broadcast_to(cl, rhs.shape), rhs)
 
-        V_new = jnp.concatenate([bc_left[None], V_new_int, bc_right[None]])
+        bc_l = jnp.broadcast_to(bc_left, V_new_int.shape[:-1])[..., None]
+        bc_r = jnp.broadcast_to(bc_right, V_new_int.shape[:-1])[..., None]
+        V_new = jnp.concatenate([bc_l, V_new_int, bc_r], axis=-1)
 
         if american:
             V_new = jnp.maximum(V_new, intrinsic)
@@ -319,16 +342,14 @@ def fd_price_batch(S0, K, T, r, q, sigma, kind, *, N_S: int = 200,
     x_np, dx, dt = _build_grid(S0, T, sigma, N_S, N_t, S_max_mult)
     x_grid = jnp.asarray(x_np, dt_)
 
-    solve = jax.vmap(
-        lambda Kv, cv: _fd_solve(
-            x_grid=x_grid, dt=jnp.asarray(dt, dt_), K=Kv,
-            r=jnp.asarray(r, dt_), q=jnp.asarray(q, dt_),
-            sigma=jnp.asarray(sigma, dt_), is_call=cv,
-            theta=jnp.asarray(theta, dt_), barrier_mask=None,
-            barrier_value=0.0, N_t=int(N_t), american=bool(american),
-            two_layers=False)[0]
-    )
-    V = solve(jnp.asarray(K_arr, dt_), jnp.asarray(mask))
+    # One grid, one propagator, one scan: K/is_call batched inside _fd_solve.
+    V, _ = _fd_solve(
+        x_grid=x_grid, dt=jnp.asarray(dt, dt_), K=jnp.asarray(K_arr, dt_),
+        r=jnp.asarray(r, dt_), q=jnp.asarray(q, dt_),
+        sigma=jnp.asarray(sigma, dt_), is_call=jnp.asarray(mask),
+        theta=jnp.asarray(theta, dt_), barrier_mask=None,
+        barrier_value=0.0, N_t=int(N_t), american=bool(american),
+        two_layers=False)
     x0 = jnp.log(jnp.asarray(S0, dt_))
     prices = jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
     return prices.reshape(np.shape(K_arr))

@@ -137,3 +137,21 @@ class TestFitSVISurface:
         for T in (0.25, 0.5, 1.0):
             iv = surface.iv(100.0, T)
             assert 0.05 < iv < 1.0
+
+
+class TestSerialization:
+    def test_surface_round_trip(self, tmp_path):
+        from optpricer_tpu.utils.serialization import (
+            load_surface, save_surface,
+        )
+        s1 = SVIParams(a=0.03, b=0.10, rho=-0.2, m=0.0, sigma=0.10,
+                       expiry=0.25)
+        s2 = SVIParams(a=0.05, b=0.12, rho=-0.15, m=0.0, sigma=0.12,
+                       expiry=1.0)
+        surf = VolSurface({0.25: s1, 1.0: s2},
+                          forward_curve={0.25: 100.0, 1.0: 101.0})
+        p = tmp_path / "surf.json"
+        save_surface(surf, p)
+        back = load_surface(p)
+        assert abs(back.iv(100.0, 0.5) - surf.iv(100.0, 0.5)) < 1e-12
+        assert list(back.expiries) == [0.25, 1.0]
