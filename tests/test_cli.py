@@ -1,0 +1,122 @@
+"""CLI and scripts smoke tests (reference cli.py + scripts/ parity)."""
+import csv
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run_cli(*args):
+    from optpricer_tpu import cli
+
+    argv = sys.argv
+    sys.argv = ["optpricer-tpu", *args]
+    try:
+        cli.main()
+    finally:
+        sys.argv = argv
+
+
+class TestCLI(object):
+    COMMON = ["--S0", "100", "--K", "100", "--T", "1", "--r", "0.05",
+              "--sigma", "0.2"]
+
+    def test_bs(self, capsys):
+        _run_cli("bs", *self.COMMON)
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 10.4506) < 1e-3
+
+    def test_bs_put_short_kind(self, capsys):
+        _run_cli("bs", *self.COMMON, "--kind", "p")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 5.5735) < 1e-3
+
+    def test_binomial_american(self, capsys):
+        _run_cli("binomial", *self.COMMON, "--kind", "put", "--N", "200",
+                 "--american")
+        out = capsys.readouterr().out.strip()
+        assert float(out) > 5.5735  # American premium
+
+    def test_mc(self, capsys):
+        _run_cli("mc", *self.COMMON, "--n-paths", "20000", "--seed", "7")
+        out = capsys.readouterr().out.strip()
+        px = float(out.split()[0])
+        assert abs(px - 10.4506) / 10.4506 < 0.02
+        assert "stderr" in out
+
+    def test_bad_kind(self):
+        with pytest.raises(SystemExit):
+            _run_cli("bs", *self.COMMON, "--kind", "x")
+
+
+class TestPriceBookScript:
+    def test_end_to_end(self, tmp_path):
+        book = tmp_path / "book.csv"
+        with open(book, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=[
+                "id", "S0", "K", "T", "r", "sigma", "q", "kind", "method",
+                "exotic_type", "barrier", "barrier_type"])
+            w.writeheader()
+            w.writerow(dict(id=1, S0=100, K=100, T=1, r=0.05, sigma=0.2,
+                            q=0, kind="call", method="bs", exotic_type="",
+                            barrier="", barrier_type=""))
+            w.writerow(dict(id=2, S0=100, K=110, T=1, r=0.05, sigma=0.2,
+                            q=0, kind="put", method="bs", exotic_type="",
+                            barrier="", barrier_type=""))
+            w.writerow(dict(id=3, S0=100, K=100, T=0.5, r=0.05, sigma=0.25,
+                            q=0, kind="call", method="binomial",
+                            exotic_type="", barrier="", barrier_type=""))
+            w.writerow(dict(id=4, S0=100, K=100, T=1, r=0.05, sigma=0.2,
+                            q=0, kind="call", method="exotic",
+                            exotic_type="barrier", barrier=130,
+                            barrier_type="up-and-out"))
+            w.writerow(dict(id=5, S0=100, K=100, T=1, r=0.05, sigma=0.2,
+                            q=0, kind="call", method="nope",
+                            exotic_type="", barrier="", barrier_type=""))
+        out = tmp_path / "out.json"
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts/price_book.py"),
+             "--input", str(book), "--output", str(out), "--greeks"],
+            capture_output=True, text=True, cwd=REPO,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": str(REPO)},
+        )
+        assert proc.returncode == 0, proc.stderr
+        results = json.loads(out.read_text())
+        assert len(results) == 5
+        assert abs(results[0]["price"] - 10.4506) < 1e-3
+        assert "delta" in results[0]
+        # bad method captured per-row, doesn't abort the batch
+        assert results[4]["price"] is None and "error" in results[4]
+
+
+class TestCalibrateScript:
+    def test_end_to_end(self, tmp_path):
+        from optpricer_tpu import SVIParams
+
+        true = SVIParams(a=0.04, b=0.12, rho=-0.2, m=0.0, sigma=0.1,
+                         expiry=0.5)
+        k = np.linspace(-0.3, 0.3, 15)
+        quotes = tmp_path / "quotes.csv"
+        with open(quotes, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["expiry", "strike", "forward", "iv"])
+            for ki, iv in zip(k, np.asarray(true.iv(k))):
+                w.writerow([0.5, 100 * np.exp(ki), 100.0, float(iv)])
+        out = tmp_path / "fit.json"
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts/calibrate_surface.py"),
+             "--input", str(quotes), "--output", str(out)],
+            capture_output=True, text=True, cwd=REPO,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": str(REPO)},
+        )
+        assert proc.returncode == 0, proc.stderr
+        fit = json.loads(out.read_text())["0.5"]
+        assert fit["rmse"] < 1e-4
+        assert abs(fit["b"] - 0.12) < 0.02

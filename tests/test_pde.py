@@ -162,3 +162,27 @@ class TestSolverEquivalence:
         pt = fd_price_barrier(OPT, CALL, 120.0, "up-and-out", N_S=200,
                               N_t=200, solver="parallel")
         assert abs(pp - pt) < 1e-7
+
+
+class TestPSOR:
+    def test_psor_vs_binomial(self):
+        from optpricer_tpu import crr
+        am_psor = fd_price(OPT, PUT, N_S=400, N_t=400, american=True,
+                           american_method="psor", psor_sweeps=40)
+        am_tree = crr(OPT, PUT, N=4000, american=True)
+        assert abs(am_psor - am_tree) / am_tree < 0.003
+
+    def test_psor_close_to_projection(self):
+        proj = fd_price(OPT, PUT, N_S=300, N_t=300, american=True)
+        psor = fd_price(OPT, PUT, N_S=300, N_t=300, american=True,
+                        american_method="psor")
+        # Both converge to the same LCP solution at this resolution
+        assert abs(proj - psor) < 0.01
+        assert psor >= max(OPT.K - OPT.S0, 0.0)
+
+    def test_psor_european_unchanged(self):
+        """psor flag has no effect on European pricing."""
+        eu1 = fd_price(OPT, CALL, N_S=200, N_t=200)
+        eu2 = fd_price(OPT, CALL, N_S=200, N_t=200,
+                       american_method="psor")
+        assert abs(eu1 - eu2) < 1e-9
