@@ -241,9 +241,14 @@ def _iv_newton_core(S, K, T, r, q, target, is_call, sigma0, tol, maxiter=50):
     sigma, _, _ = jax.lax.while_loop(
         cond, body, (sigma0, jnp.asarray(False), 0)
     )
-    # Mark non-converged entries NaN (reference black_scholes_vec.py:149-152)
+    # Mark non-converged entries NaN (reference black_scholes_vec.py:149-152).
+    # The acceptance band is dtype-aware: the reference's absolute 100·tol
+    # presumes f64; in f32 the attainable price residual is ~eps·|price|.
     px_final = price_core(S, K, T, r, q, sigma, is_call)
-    bad = jnp.abs(px_final - target) > tol * 100.0
+    eps = jnp.finfo(sigma.dtype).eps
+    band = jnp.maximum(tol * 100.0,
+                       100.0 * eps * jnp.maximum(1.0, jnp.abs(target)))
+    bad = jnp.abs(px_final - target) > band
     return jnp.where(bad, jnp.nan, sigma)
 
 
