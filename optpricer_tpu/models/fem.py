@@ -82,13 +82,13 @@ def _fem_solve(x_grid, dt, K_strike, r, q, sigma, is_call, theta,
 
         R_dense = dense(R_sub, R_main, R_sup)
         bcast = lambda v: jnp.broadcast_to(v, (M_int, M_int))
-        P = tridiag_solve(bcast(L_sub), bcast(L_main), bcast(L_sup),
-                          R_dense.T).T
+        P = tridiag_solve_thomas(bcast(L_sub), bcast(L_main), bcast(L_sup),
+                                 R_dense.T).T
         unit = jnp.zeros((2, M_int), x_grid.dtype).at[0, 0].set(1.0) \
             .at[1, M_int - 1].set(1.0)
-        w = tridiag_solve(jnp.broadcast_to(L_sub, (2, M_int)),
-                          jnp.broadcast_to(L_main, (2, M_int)),
-                          jnp.broadcast_to(L_sup, (2, M_int)), unit)
+        w = tridiag_solve_thomas(jnp.broadcast_to(L_sub, (2, M_int)),
+                                 jnp.broadcast_to(L_main, (2, M_int)),
+                                 jnp.broadcast_to(L_sup, (2, M_int)), unit)
         w_lo, w_hi = w[0], w[1]
 
     V0 = _payoff(S_grid, K_strike, is_call)

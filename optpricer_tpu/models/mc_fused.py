@@ -72,6 +72,7 @@ def exotic_price_mc(
     S0: float, K: float, T: float, r: float, q: float = 0.0, *,
     sigma: Optional[float] = None,
     sigma_loc: Optional[Callable] = None,
+    heston: Optional[dict] = None,
     kind: str = "call",
     n_steps: int = 252,
     n_paths: int = 100_000,
@@ -93,13 +94,16 @@ def exotic_price_mc(
     payoff conventions match :mod:`optpricer_tpu.models.exotics` (discrete
     monitoring at the n_steps grid, t=0 excluded from Asian averages, both
     endpoints monitored for barrier/lookback). Dynamics: constant ``sigma``
-    (exact GBM step) or traceable ``sigma_loc(S, t)`` with log-Euler or
-    Milstein (``scheme``).
+    (exact GBM step), traceable ``sigma_loc(S, t)`` with log-Euler or
+    Milstein (``scheme``), or ``heston={'v0','kappa','theta','xi','rho'}``
+    (full-truncation Euler variance, log-Euler asset — same discretisation
+    as :func:`~optpricer_tpu.models.processes.heston_paths`).
     """
     if payoff not in _PAYOFFS:
         raise ValueError(f"payoff must be one of {_PAYOFFS}, got {payoff!r}")
-    if (sigma is None) == (sigma_loc is None):
-        raise ValueError("provide exactly one of sigma / sigma_loc")
+    n_models = sum(x is not None for x in (sigma, sigma_loc, heston))
+    if n_models != 1:
+        raise ValueError("provide exactly one of sigma / sigma_loc / heston")
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
     dt_ = canonical(dtype)
@@ -124,6 +128,9 @@ def exotic_price_mc(
         crossed0 = (S_init >= fixed["barrier"]) if up else \
             (S_init <= fixed["barrier"])
 
+        v_init = jnp.full_like(
+            S_init, jnp.maximum(jnp.asarray(
+                heston["v0"] if heston else 0.0, dt_), 0.0))
         carry0 = (
             S_init,
             jnp.zeros_like(S_init),                 # running sum (excl. t=0)
@@ -131,6 +138,7 @@ def exotic_price_mc(
             S_init,                                 # running max (incl. t=0)
             S_init,                                 # running min
             crossed0 if payoff == "barrier" else jnp.zeros_like(S_init, bool),
+            v_init,                                 # Heston variance state
         )
 
         def gbm_step(S, z, t_now):
@@ -155,21 +163,48 @@ def exotic_price_mc(
                    + 0.5 * a_t * da_dS * (z * z - 1.0) * dt)
             return jnp.maximum(S_n, 1e-10)
 
-        if sigma_loc is None:
+        if heston is not None:
+            h = {k: jnp.asarray(v, dt_) for k, v in heston.items()}
+
+            def heston_step(S, v, z1, z2):
+                v_eff = jnp.maximum(v, 0.0)  # full truncation
+                S_new = S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * v_eff)
+                                    * dt + jnp.sqrt(v_eff) * sqrt_dt * z1)
+                v_new = jnp.maximum(
+                    v + h["kappa"] * (h["theta"] - v_eff) * dt
+                    + h["xi"] * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
+                return S_new, v_new
+
+            rho_h = jnp.asarray(heston["rho"], dt_)
+            rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho_h * rho_h))
+
+        if sigma_loc is None and heston is None:
             step_fn = gbm_step
+        elif heston is not None:
+            step_fn = None
         elif scheme == "milstein":
             step_fn = lv_milstein_step
         else:
             step_fn = lv_log_euler_step
 
         def step(carry, t_idx):
-            S, rsum, rlog, rmax, rmin, crossed = carry
+            S, rsum, rlog, rmax, rmin, crossed, v = carry
             zk = jax.random.fold_in(key, t_idx)
-            z = jax.random.normal(zk, (n_paths,), dt_)
-            if antithetic:
-                z = jnp.concatenate([z, -z])
             t_now = t_idx.astype(dt_) * dt
-            S_new = step_fn(S, z, t_now)
+            if heston is not None:
+                k2, kp = jax.random.split(zk)
+                z2 = jax.random.normal(k2, (n_paths,), dt_)
+                zp = jax.random.normal(kp, (n_paths,), dt_)
+                if antithetic:
+                    z2 = jnp.concatenate([z2, -z2])
+                    zp = jnp.concatenate([zp, -zp])
+                z1 = rho_h * z2 + rho_perp * zp
+                S_new, v = heston_step(S, v, z1, z2)
+            else:
+                z = jax.random.normal(zk, (n_paths,), dt_)
+                if antithetic:
+                    z = jnp.concatenate([z, -z])
+                S_new = step_fn(S, z, t_now)
             if payoff == "asian":
                 rsum = rsum + S_new
                 if average_type == "geometric":
@@ -181,9 +216,10 @@ def exotic_price_mc(
                 hit = (S_new >= fixed["barrier"]) if up else \
                     (S_new <= fixed["barrier"])
                 crossed = jnp.logical_or(crossed, hit)
-            return (S_new, rsum, rlog, rmax, rmin, crossed), None
+            return (S_new, rsum, rlog, rmax, rmin, crossed, v), None
 
         carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
+        carry = carry[:6]
         pay = _terminal_payoff(
             payoff, carry, K=fixed["K"], kind=kind, n_steps=n_steps,
             barrier_type=barrier_type, rebate=fixed["rebate"],

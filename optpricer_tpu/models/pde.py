@@ -135,16 +135,18 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
             A = A + jnp.diag(sub[1:], -1) + jnp.diag(sup[:-1], 1)
             return A
 
+        # One-time setup: the sequential Thomas solver compiles far lighter
+        # than the log-depth scan and its O(M) step chain runs once.
         A_rhs = dense(e * a_L, 1.0 + e * b_L, e * c_L)
         bcast = lambda v: jnp.broadcast_to(v, (M, M))
         # rows of A_rhs.T are columns of A_rhs; each solve gives a P column
-        P = tridiag_solve(bcast(a_lhs), bcast(b_lhs), bcast(c_lhs),
-                          A_rhs.T).T
+        P = tridiag_solve_thomas(bcast(a_lhs), bcast(b_lhs), bcast(c_lhs),
+                                 A_rhs.T).T
         unit = jnp.zeros((2, M), x_grid.dtype).at[0, 0].set(1.0) \
             .at[1, M - 1].set(1.0)
-        w = tridiag_solve(jnp.broadcast_to(a_lhs, (2, M)),
-                          jnp.broadcast_to(b_lhs, (2, M)),
-                          jnp.broadcast_to(c_lhs, (2, M)), unit)
+        w = tridiag_solve_thomas(jnp.broadcast_to(a_lhs, (2, M)),
+                                 jnp.broadcast_to(b_lhs, (2, M)),
+                                 jnp.broadcast_to(c_lhs, (2, M)), unit)
         w_lo, w_hi = w[0], w[1]
 
     def step(carry, n):

@@ -121,3 +121,29 @@ class TestValidation:
         with pytest.raises(ValueError):
             exotic_price_mc("vanilla", S0, K, T, R, sigma=SIG,
                             sigma_loc=lambda S, t: S)
+
+
+class TestFusedHeston:
+    def test_heston_vanilla_vs_path_engine(self):
+        from optpricer_tpu.models.processes import heston_paths
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.3, rho=-0.5)
+        paths = heston_paths(S0, R, 0.0, hp["v0"], hp["kappa"], hp["theta"],
+                             hp["xi"], hp["rho"], T, 100, 50_000, seed=20)
+        ST = np.asarray(paths[-1])
+        ref = float(np.exp(-R * T) * np.maximum(ST - K, 0.0).mean())
+        se_ref = float(np.exp(-R * T) * np.maximum(ST - K, 0.0).std()
+                       / np.sqrt(ST.size))
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, heston=hp,
+                                 n_steps=100, n_paths=50_000, seed=21)
+        _agree(px, se, ref, se_ref)
+
+    def test_heston_asian(self):
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.3, rho=-0.5)
+        px, se = exotic_price_mc("asian", S0, K, T, R, heston=hp,
+                                 n_steps=100, n_paths=50_000, seed=22)
+        assert 0 < px < 20 and se > 0
+
+    def test_model_exclusivity(self):
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.3, rho=-0.5)
+        with pytest.raises(ValueError):
+            exotic_price_mc("vanilla", S0, K, T, R, sigma=SIG, heston=hp)
