@@ -107,16 +107,56 @@ def bench_pde() -> float:
     return 1024 / dt
 
 
+def bench_crr() -> None:
+    """Diagnostic: CRR American put, N=500, 1024-strike batch (BASELINE
+    config 2)."""
+    import numpy as np
+
+    from optpricer_tpu import crr_vec
+
+    Ks = np.linspace(50.0, 150.0, 1024)
+    run = lambda: crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", N=500,
+                          american=True)
+    run()
+    import jax as _jax
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    _jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    log(f"[crr] 1024-strike American, N=500: {dt*1e3:.1f} ms "
+        f"→ {1024/dt:.0f} options/s")
+
+
+def bench_asian() -> None:
+    """Diagnostic: fused arithmetic-Asian MC, 1M paths (BASELINE config 3)."""
+    from optpricer_tpu.models.mc_fused import exotic_price_mc
+
+    run = lambda: exotic_price_mc(
+        "asian", 100.0, 100.0, 1.0, 0.03, sigma=0.2, n_steps=252,
+        n_paths=1_000_000, seed=7)
+    px, se = run()
+    t0 = time.perf_counter()
+    px, se = run()
+    dt = time.perf_counter() - t0
+    log(f"[asian] 1M paths × 252 steps fused: {dt*1e3:.0f} ms, "
+        f"price={px:.4f} ± {se:.1e}")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
     gate = 1e-4
     if err > gate:
         log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
-    try:
-        bench_pde()
-    except Exception as e:  # secondary metric must not break the bench line
-        log(f"[pde] skipped: {e}")
+    for name, fn in (("pde", bench_pde), ("crr", bench_crr),
+                     ("asian", bench_asian)):
+        try:  # secondary metrics must not break the bench line
+            fn()
+        except Exception as e:
+            log(f"[{name}] skipped: {e}")
 
     print(json.dumps({
         "metric": "mc_gbm_paths_per_sec_per_chip",

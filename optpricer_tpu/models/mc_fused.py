@@ -73,6 +73,7 @@ def exotic_price_mc(
     sigma: Optional[float] = None,
     sigma_loc: Optional[Callable] = None,
     heston: Optional[dict] = None,
+    merton: Optional[dict] = None,
     kind: str = "call",
     n_steps: int = 252,
     n_paths: int = 100_000,
@@ -101,9 +102,12 @@ def exotic_price_mc(
     """
     if payoff not in _PAYOFFS:
         raise ValueError(f"payoff must be one of {_PAYOFFS}, got {payoff!r}")
-    n_models = sum(x is not None for x in (sigma, sigma_loc, heston))
+    n_models = sum(x is not None for x in (sigma, sigma_loc, heston, merton))
     if n_models != 1:
-        raise ValueError("provide exactly one of sigma / sigma_loc / heston")
+        raise ValueError(
+            "provide exactly one of sigma / sigma_loc / heston / merton")
+    if merton is not None and sigma is None:
+        sigma = merton["sigma"]
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
     dt_ = canonical(dtype)
@@ -178,9 +182,22 @@ def exotic_price_mc(
             rho_h = jnp.asarray(heston["rho"], dt_)
             rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho_h * rho_h))
 
-        if sigma_loc is None and heston is None:
+        if merton is not None:
+            m = {k: jnp.asarray(v, dt_) for k, v in merton.items()}
+            kappa_j = jnp.exp(m["mJ"] + 0.5 * m["sJ"] ** 2) - 1.0
+
+            def merton_step(S, z, kp_counts, zj):
+                # GBM + compound Poisson in log space with λκ compensator
+                # (same discretisation as processes.merton_jump_paths)
+                drift = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2
+                         - m["lam"] * kappa_j) * dt
+                y_sum = m["mJ"] * kp_counts + m["sJ"] * jnp.sqrt(kp_counts) * zj
+                return S * jnp.exp(drift + fixed["sigma"] * sqrt_dt * z
+                                   + y_sum)
+
+        if sigma_loc is None and heston is None and merton is None:
             step_fn = gbm_step
-        elif heston is not None:
+        elif heston is not None or merton is not None:
             step_fn = None
         elif scheme == "milstein":
             step_fn = lv_milstein_step
@@ -200,6 +217,17 @@ def exotic_price_mc(
                     zp = jnp.concatenate([zp, -zp])
                 z1 = rho_h * z2 + rho_perp * zp
                 S_new, v = heston_step(S, v, z1, z2)
+            elif merton is not None:
+                kz, kn, kj = jax.random.split(zk, 3)
+                z = jax.random.normal(kz, (n_paths,), dt_)
+                counts = jax.random.poisson(
+                    kn, m["lam"] * dt, (n_paths,)).astype(dt_)
+                zj = jax.random.normal(kj, (n_paths,), dt_)
+                if antithetic:
+                    z = jnp.concatenate([z, -z])
+                    counts = jnp.concatenate([counts, counts])
+                    zj = jnp.concatenate([zj, -zj])
+                S_new = merton_step(S, z, counts, zj)
             else:
                 z = jax.random.normal(zk, (n_paths,), dt_)
                 if antithetic:

@@ -147,3 +147,27 @@ class TestFusedHeston:
         hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.3, rho=-0.5)
         with pytest.raises(ValueError):
             exotic_price_mc("vanilla", S0, K, T, R, sigma=SIG, heston=hp)
+
+
+class TestFusedMerton:
+    def test_merton_vanilla_vs_path_engine(self):
+        from optpricer_tpu.models.processes import merton_jump_paths
+        mp = dict(sigma=SIG, lam=0.5, mJ=-0.05, sJ=0.1)
+        paths = merton_jump_paths(S0, R, 0.0, SIG, T, 100, 50_000,
+                                  lam=0.5, mJ=-0.05, sJ=0.1, seed=30)
+        ST = np.asarray(paths[-1])
+        disc_pay = np.exp(-R * T) * np.maximum(ST - K, 0.0)
+        ref, se_ref = float(disc_pay.mean()), float(
+            disc_pay.std() / np.sqrt(ST.size))
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, merton=mp,
+                                 n_steps=100, n_paths=50_000, seed=31)
+        _agree(px, se, ref, se_ref)
+
+    def test_merton_martingale(self):
+        """Compensated jumps keep the forward: price of zero-strike call
+        = discounted forward."""
+        mp = dict(sigma=SIG, lam=1.0, mJ=0.08, sJ=0.15)
+        px, se = exotic_price_mc("vanilla", S0, 1e-6, T, R, merton=mp,
+                                 n_steps=100, n_paths=200_000, seed=32)
+        fwd = S0  # e^{-rT}·E[S_T] = S0·e^{-qT}, q=0
+        assert abs(px - fwd) < 5 * se + 0.05
