@@ -88,6 +88,8 @@ def exotic_price_mc(
     seed: Optional[int] = None,
     dS_bump: float = 0.01,
     dtype=None,
+    backend: str = "auto",
+    control_variate: bool = False,
 ):
     """Price a path-dependent option without materialising paths.
 
@@ -111,7 +113,27 @@ def exotic_price_mc(
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
     dt_ = canonical(dtype)
-    key = jax.random.key(resolve_seed(seed))
+    seed_val = resolve_seed(seed)
+    key = jax.random.key(seed_val)
+
+    # TPU fast path: the whole time loop runs inside one Pallas kernel
+    # (hardware PRNG, state in registers — see ops/pallas_path_mc.py).
+    gbm_only = (sigma_loc is None and heston is None and merton is None)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu" and gbm_only
+        and n_steps % 2 == 0 and n_paths * n_steps >= 4_000_000)
+    if use_pallas and gbm_only and n_steps % 2 == 0:
+        from ..ops.pallas_mc import pallas_estimate
+        from ..ops.pallas_path_mc import path_mc_sumstats_pallas
+
+        stats_vec = path_mc_sumstats_pallas(
+            seed_val, int(n_paths), int(n_steps), S0, K, T, r, q, sigma,
+            kind == "call", payoff=payoff, antithetic=bool(antithetic),
+            barrier=barrier, barrier_type=barrier_type, rebate=rebate,
+            average_type=average_type, strike_type=strike_type,
+            payout=payout)
+        return pallas_estimate(stats_vec, S0, K, T, r, q, sigma,
+                               kind == "call", control_variate)
 
     fixed = dict(
         S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),

@@ -1,0 +1,256 @@
+"""Fused Pallas TPU kernel for path-dependent GBM Monte-Carlo.
+
+Extends the terminal-only kernel (``pallas_mc.py``) with a per-step time
+loop held entirely in registers: each grid program carries a tile of paths
+(spot, running sum, running max/min, barrier-crossed flag) through all
+n_steps, then reduces the discounted payoff to sufficient statistics.
+Nothing path-shaped ever touches HBM — the XLA scan version moves
+O(n_steps·n_paths) normals through memory and is ~100-700× slower.
+
+Design notes:
+* Box-Muller yields two normal tiles per two bit tiles; the kernel
+  advances **two time steps per loop iteration** so no randomness is wasted
+  (n_steps is padded to even; the kernel handles odd counts by a half
+  iteration flag... n_steps must be even — callers pad).
+* Antithetic pairing carries mirrored state (S⁺ with +z, S⁻ with −z) in the
+  same program; statistics are pair-averaged, so the estimator and its
+  stderr credit the pairing (see pallas_mc.py).
+* Dual control variates (terminal spot + digital) have known means under
+  GBM regardless of payoff, so the same 10-stat layout and host estimator
+  are reused.
+* Uses the bias-free exp/log from ops/fastmath (the VPU's own exp carries
+  a −8.6e-7 mean relative bias — see that module).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import stats as stats_ops
+from .fastmath import exp32, log32
+
+BLOCK_R = 32            # sublane rows per path tile
+LANES = 128
+TILE = BLOCK_R * LANES  # paths per tile (4096)
+NSTAT = stats_ops.STATS2_DIM
+
+PAYOFF_IDS = {"vanilla": 0, "barrier": 1, "asian": 2, "digital": 3,
+              "lookback": 4}
+
+
+def _path_kernel(seed_ref, par_ref, out_ref, *, n_steps: int, reps: int,
+                 antithetic: bool, payoff_id: int, barrier_up: bool,
+                 knock_out: bool, average_geo: bool, strike_floating: bool,
+                 is_call: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
+
+    S0 = par_ref[0]
+    K = par_ref[1]
+    mu = par_ref[2]         # (r−q−σ²/2)·dt
+    sig = par_ref[3]        # σ√dt
+    df = par_ref[4]         # e^{−rT}
+    n_paths = par_ref[5]
+    sign = par_ref[6]       # +1 call, −1 put
+    barrier = par_ref[7]
+    rebate = par_ref[8]
+    payout = par_ref[9]
+
+    two_pi = 6.283185307179586
+    tiny = 5.9604645e-8
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 1)
+    base_elem = (rows * LANES + cols).astype(jnp.float32)
+
+    shape = (BLOCK_R, LANES)
+    n_half = n_steps // 2
+
+    def normals():
+        bits_a = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits_b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
+              + 0.5) * tiny
+        u2 = pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32) * tiny
+        rad = jnp.sqrt(-2.0 * log32(u1))
+        theta = two_pi * u2
+        return rad * jnp.cos(theta), rad * jnp.sin(theta)
+
+    def chunk_body(c, carry):
+        acc, comp = carry
+
+        def init_state():
+            S = jnp.full(shape, S0)
+            # crossed is carried as f32 0/1 — Mosaic cannot carry bool
+            # vectors through scf.for loops.
+            if payoff_id == 1:
+                crossed = ((S >= barrier) if barrier_up
+                           else (S <= barrier)).astype(jnp.float32)
+            else:
+                crossed = jnp.zeros(shape, jnp.float32)
+            # (S, run_sum, run_logsum, run_max, run_min, crossed)
+            return (S, jnp.zeros(shape), jnp.zeros(shape), S, S, crossed)
+
+        st_p = init_state()
+        st_m = init_state()
+
+        def advance(st, z):
+            S, rsum, rlog, rmax, rmin, crossed = st
+            S = S * exp32(mu + sig * z)
+            if payoff_id == 2:  # asian
+                rsum = rsum + S
+                if average_geo:
+                    rlog = rlog + log32(S)
+            if payoff_id == 4:  # lookback
+                rmax = jnp.maximum(rmax, S)
+                rmin = jnp.minimum(rmin, S)
+            if payoff_id == 1:  # barrier
+                hit = ((S >= barrier) if barrier_up
+                       else (S <= barrier)).astype(jnp.float32)
+                crossed = jnp.maximum(crossed, hit)
+            return (S, rsum, rlog, rmax, rmin, crossed)
+
+        def step_body(t, states):
+            st_p, st_m = states
+            z1, z2 = normals()
+            st_p = advance(st_p, z1)
+            st_p = advance(st_p, z2)
+            if antithetic:
+                st_m = advance(st_m, -z1)
+                st_m = advance(st_m, -z2)
+            return (st_p, st_m)
+
+        st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
+
+        def payoff_of(st):
+            S, rsum, rlog, rmax, rmin, crossed = st
+            vanilla = jnp.maximum(sign * (S - K), 0.0)
+            if payoff_id == 0:
+                pay = vanilla
+            elif payoff_id == 1:
+                hit = crossed > 0.5
+                pay = jnp.where(hit, rebate, vanilla) if knock_out \
+                    else jnp.where(hit, vanilla, rebate)
+            elif payoff_id == 2:
+                avg = exp32(rlog / n_steps) if average_geo \
+                    else rsum / n_steps
+                if strike_floating:
+                    pay = jnp.maximum(sign * (S - avg), 0.0)
+                else:
+                    pay = jnp.maximum(sign * (avg - K), 0.0)
+            elif payoff_id == 3:
+                pay = jnp.where(sign * (S - K) > 0.0, payout, 0.0)
+            else:  # lookback — kind branch must be static (trace time)
+                if strike_floating:
+                    pay = (S - rmin) if is_call else (rmax - S)
+                else:
+                    pay = jnp.maximum(rmax - K, 0.0) if is_call \
+                        else jnp.maximum(K - rmin, 0.0)
+            X = df * pay
+            Y1 = df * S
+            Y2 = df * (sign * (S - K) > 0.0).astype(jnp.float32)
+            return X, Y1, Y2
+
+        prog_offset = (pid.astype(jnp.float32) * reps
+                       + c.astype(jnp.float32)) * TILE
+        rem = n_paths - prog_offset
+        w = (base_elem < rem).astype(jnp.float32)
+
+        Xp, Y1p, Y2p = payoff_of(st_p)
+        if antithetic:
+            Xm, Y1m, Y2m = payoff_of(st_m)
+            X = 0.5 * (Xp + Xm)
+            Y1 = 0.5 * (Y1p + Y1m)
+            Y2 = 0.5 * (Y2p + Y2m)
+        else:
+            X, Y1, Y2 = Xp, Y1p, Y2p
+
+        WX = X * w
+        WY1 = Y1 * w
+        WY2 = Y2 * w
+        s = jnp.stack([
+            jnp.sum(w),
+            jnp.sum(WX), jnp.sum(WX * X),
+            jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
+            jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
+            jnp.sum(WY1 * Y2),
+        ])
+        return stats_ops.kahan_add(acc, comp, s)
+
+    zero = jnp.zeros((NSTAT,), jnp.float32)
+    acc, _ = jax.lax.fori_loop(0, reps, chunk_body, (zero, zero))
+    row = jnp.concatenate([acc, jnp.zeros((LANES - NSTAT,), jnp.float32)])
+    out_ref[0, :, :] = jnp.broadcast_to(row[None, :], (8, LANES))
+
+
+@partial(jax.jit, static_argnames=("n_programs", "reps", "n_steps",
+                                   "antithetic", "payoff_id", "barrier_up",
+                                   "knock_out", "average_geo",
+                                   "strike_floating", "is_call"))
+def _run_path_kernel(seed, params, *, n_programs, reps, n_steps, antithetic,
+                     payoff_id, barrier_up, knock_out, average_geo,
+                     strike_floating, is_call):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = partial(
+        _path_kernel, n_steps=n_steps, reps=reps, antithetic=antithetic,
+        payoff_id=payoff_id, barrier_up=barrier_up, knock_out=knock_out,
+        average_geo=average_geo, strike_floating=strike_floating,
+        is_call=is_call)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
+        grid=(n_programs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(seed, params)
+    return stats_ops.combine_scan(out[:, 0, :NSTAT])
+
+
+def path_mc_sumstats_pallas(
+    seed: int, n_paths: int, n_steps: int, S0, K, T, r, q, sigma,
+    is_call: bool, *, payoff: str, antithetic: bool,
+    barrier: float = 0.0, barrier_type: str = "up-and-out",
+    rebate: float = 0.0, average_type: str = "arithmetic",
+    strike_type: str = "fixed", payout: float = 1.0,
+):
+    """(10,) sufficient statistics for a path-dependent GBM payoff.
+
+    n_steps must be even (two Box-Muller normals advance two steps per
+    loop); callers bump odd step counts by one.
+    """
+    if n_steps % 2:
+        raise ValueError("pallas path engine requires even n_steps")
+    target_programs = 64
+    reps = max(1, -(-int(n_paths) // (TILE * target_programs)))
+    n_programs = -(-int(n_paths) // (TILE * reps))
+
+    dt = T / n_steps
+    mu = (r - q - 0.5 * sigma * sigma) * dt
+    sig = sigma * np.sqrt(dt)
+    df = np.exp(-r * T)
+    sign = 1.0 if is_call else -1.0
+    params = jnp.asarray(
+        [S0, K, mu, sig, df, float(n_paths), sign, barrier, rebate, payout],
+        jnp.float32)
+    seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
+    return _run_path_kernel(
+        seed_arr, params, n_programs=int(n_programs), reps=int(reps),
+        n_steps=int(n_steps), antithetic=bool(antithetic),
+        payoff_id=PAYOFF_IDS[payoff],
+        barrier_up=barrier_type.startswith("up"),
+        knock_out=barrier_type.endswith("out"),
+        average_geo=(average_type == "geometric"),
+        strike_floating=(strike_type == "floating"),
+        is_call=bool(is_call))
