@@ -171,3 +171,25 @@ class TestFusedMerton:
                                  n_steps=100, n_paths=200_000, seed=32)
         fwd = S0  # e^{-rT}·E[S_T] = S0·e^{-qT}, q=0
         assert abs(px - fwd) < 5 * se + 0.05
+
+
+class TestFusedMesh:
+    def test_mesh_close_to_single(self):
+        from optpricer_tpu.parallel import get_mesh
+        mesh = get_mesh(8)
+        p1, s1 = exotic_price_mc("asian", S0, K, T, R, sigma=SIG,
+                                 n_steps=50, n_paths=80_000, seed=40,
+                                 mesh=mesh)
+        p2, s2 = exotic_price_mc("asian", S0, K, T, R, sigma=SIG,
+                                 n_steps=50, n_paths=80_000, seed=41)
+        _agree(p1, s1, p2, s2)
+
+    def test_mesh_barrier_heston(self):
+        from optpricer_tpu.parallel import get_mesh
+        mesh = get_mesh(8)
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.3, rho=-0.5)
+        px, se = exotic_price_mc("barrier", S0, K, T, R, heston=hp,
+                                 barrier=130.0, barrier_type="up-and-out",
+                                 n_steps=50, n_paths=40_000, seed=42,
+                                 mesh=mesh)
+        assert 0 < px < 10 and se > 0
