@@ -264,11 +264,42 @@ def fit_svi(strikes, forward: float, expiry: float, market_ivs, *,
 
 
 def fit_svi_surface(strikes_by_expiry: dict, forwards: dict,
-                    market_ivs_by_expiry: dict) -> VolSurface:
+                    market_ivs_by_expiry: dict, *,
+                    dtype=None) -> VolSurface:
     """Fit SVI slice-by-slice → :class:`VolSurface`
-    (reference ``calibration.py:232-261``)."""
+    (reference ``calibration.py:232-261``).
+
+    When every expiry quotes the same number of strikes, all slices fit in
+    one vmapped Levenberg-Marquardt call (a whole surface costs one solver
+    compile + one batched run); ragged surfaces fall back to per-slice fits.
+    """
+    Ts = sorted(strikes_by_expiry.keys())
+    sizes = {len(np.asarray(strikes_by_expiry[T])) for T in Ts}
+    if len(Ts) > 1 and len(sizes) == 1:
+        dt = canonical(dtype)
+        ks, ws, x0s = [], [], []
+        for T in Ts:
+            strikes = np.asarray(strikes_by_expiry[T], dtype=float)
+            ivs = np.asarray(market_ivs_by_expiry[T], dtype=float)
+            k = np.log(strikes / forwards[T])
+            w = ivs**2 * T
+            ks.append(k)
+            ws.append(w)
+            x0s.append((float(np.mean(w)), 0.1, 0.0, 0.0, 0.1))
+        lower = jnp.asarray((-0.5, 1e-6, -0.999, -2.0, 1e-4), dt)
+        upper = jnp.asarray((2.0, 5.0, 0.999, 2.0, 5.0), dt)
+        fit = jax.vmap(lambda k, w, x0: _lm_fit(k, w, x0, lower, upper)[0])
+        X = fit(jnp.asarray(np.stack(ks), dt), jnp.asarray(np.stack(ws), dt),
+                jnp.asarray(np.stack(x0s), dt))
+        X = np.asarray(X)
+        slices = {T: SVIParams(a=float(X[i, 0]), b=float(X[i, 1]),
+                               rho=float(X[i, 2]), m=float(X[i, 3]),
+                               sigma=float(X[i, 4]), expiry=T)
+                  for i, T in enumerate(Ts)}
+        return VolSurface(slices, forward_curve=forwards)
+
     slices = {}
-    for T in sorted(strikes_by_expiry.keys()):
+    for T in Ts:
         slices[T] = fit_svi(strikes_by_expiry[T], forwards[T], T,
                             market_ivs_by_expiry[T])
     return VolSurface(slices, forward_curve=forwards)

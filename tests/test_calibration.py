@@ -155,3 +155,24 @@ class TestSerialization:
         back = load_surface(p)
         assert abs(back.iv(100.0, 0.5) - surf.iv(100.0, 0.5)) < 1e-12
         assert list(back.expiries) == [0.25, 1.0]
+
+
+class TestVmappedSurfaceFit:
+    def test_ragged_matches_uniform(self):
+        """vmapped (uniform grids) and per-slice (ragged) fits agree."""
+        true_1 = SVIParams(a=0.03, b=0.10, rho=-0.2, m=0.0, sigma=0.1,
+                           expiry=0.25)
+        true_2 = SVIParams(a=0.05, b=0.12, rho=-0.15, m=0.0, sigma=0.12,
+                           expiry=1.0)
+        k = np.linspace(-0.3, 0.3, 15)
+        strikes = 100.0 * np.exp(k)
+        ivs = {0.25: np.asarray(true_1.iv(k)), 1.0: np.asarray(true_2.iv(k))}
+        surf_v = fit_svi_surface({0.25: strikes, 1.0: strikes},
+                                 {0.25: 100.0, 1.0: 100.0}, ivs)
+        # ragged: drop one strike from the second slice → per-slice path
+        surf_r = fit_svi_surface(
+            {0.25: strikes, 1.0: strikes[:-1]},
+            {0.25: 100.0, 1.0: 100.0},
+            {0.25: ivs[0.25], 1.0: ivs[1.0][:-1]})
+        for T in (0.25, 0.6, 1.0):
+            assert abs(surf_v.iv(100.0, T) - surf_r.iv(100.0, T)) < 1e-3
