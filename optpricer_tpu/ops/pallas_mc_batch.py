@@ -1,0 +1,220 @@
+"""Fused Pallas TPU kernel: terminal-GBM MC for a whole strike/kind book.
+
+The strike axis is laid out on the 128 vector lanes: every (row, lane)
+element is an independent draw priced against that lane's strike, so a
+128-option ladder costs the same per draw as a single option — the payoff
+compare and the 10-statistic reduction are lane-local. Books larger than
+128 extend the grid's second dimension with one lane-tile per block.
+
+Estimator per lane: pair-averaged antithetic + dual control variates
+(terminal spot, digital), solved in closed form per strike on the host
+(2×2 normal equations, vectorised over the book).
+"""
+from __future__ import annotations
+
+from functools import partial
+from math import erf, exp, log, sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import stats as stats_ops
+from .fastmath import exp32, log32
+
+BLOCK_R = 256
+LANES = 128
+NSTAT = stats_ops.STATS2_DIM
+STAT_ROWS = 16  # NSTAT padded to sublane multiple
+
+
+def _mc_batch_kernel(seed_ref, par_ref, kp_ref, out_ref, *, reps: int,
+                     antithetic: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    ktile = pl.program_id(1)
+    n_prog = pl.num_programs(0)
+    pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245)
+                    + ktile * n_prog + pid)
+
+    S0 = par_ref[0]
+    mu = par_ref[1]
+    sig = par_ref[2]
+    df = par_ref[3]
+    n_paths = par_ref[4]
+
+    K = kp_ref[0, 0, :]      # (128,) strike per lane
+    sign = kp_ref[0, 1, :]   # (128,) +1 call / −1 put per lane
+
+    two_pi = 6.283185307179586
+    tiny = 5.9604645e-8
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 0) \
+        .astype(jnp.float32)
+
+    def rep_body(j, carry):
+        acc, comp = carry
+        bits_a = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                               jnp.uint32)
+        bits_b = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                               jnp.uint32)
+        u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
+              + 0.5) * tiny
+        u2 = pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32) * tiny
+        rad = jnp.sqrt(-2.0 * log32(u1))
+        theta = two_pi * u2
+        z1 = rad * jnp.cos(theta)
+        z2 = rad * jnp.sin(theta)
+
+        # Per-lane draw budget: rows of this tile count toward each lane's
+        # own n_paths (draws are lane-independent).
+        prog_offset = (pid.astype(jnp.float32) * reps
+                       + j.astype(jnp.float32)) * (2.0 * BLOCK_R)
+        rem1 = n_paths - prog_offset
+        rem2 = rem1 - BLOCK_R
+        w1 = (row_ids < rem1).astype(jnp.float32)
+        w2 = (row_ids < rem2).astype(jnp.float32)
+
+        def xy(z):
+            ST = S0 * exp32(mu + sig * z)
+            X = df * jnp.maximum(sign * (ST - K), 0.0)
+            Y1 = df * ST
+            Y2 = df * (sign * (ST - K) > 0.0).astype(jnp.float32)
+            return X, Y1, Y2
+
+        def moments(X, Y1, Y2, w):
+            WX = X * w
+            WY1 = Y1 * w
+            WY2 = Y2 * w
+            red = lambda v: jnp.sum(v, axis=0)  # per-lane sums → (128,)
+            return jnp.stack([
+                red(w),
+                red(WX), red(WX * X),
+                red(WY1), red(WY1 * Y1), red(WX * Y1),
+                red(WY2), red(WY2 * Y2), red(WX * Y2),
+                red(WY1 * Y2),
+            ])
+
+        if antithetic:
+            def pair(z, w):
+                Xa, Y1a, Y2a = xy(z)
+                Xb, Y1b, Y2b = xy(-z)
+                return moments(0.5 * (Xa + Xb), 0.5 * (Y1a + Y1b),
+                               0.5 * (Y2a + Y2b), w)
+
+            s = pair(z1, w1) + pair(z2, w2)
+        else:
+            Xa, Y1a, Y2a = xy(z1)
+            Xb, Y1b, Y2b = xy(z2)
+            s = moments(Xa, Y1a, Y2a, w1) + moments(Xb, Y1b, Y2b, w2)
+        return stats_ops.kahan_add(acc, comp, s)
+
+    zero = jnp.zeros((NSTAT, LANES), jnp.float32)
+    acc, _ = jax.lax.fori_loop(0, reps, rep_body, (zero, zero))
+    out = jnp.concatenate(
+        [acc, jnp.zeros((STAT_ROWS - NSTAT, LANES), jnp.float32)], axis=0)
+    out_ref[0, 0, :, :] = out
+
+
+@partial(jax.jit, static_argnames=("n_programs", "n_ktiles", "reps",
+                                   "antithetic"))
+def _run_batch_kernel(seed, params, kparams, *, n_programs, n_ktiles, reps,
+                      antithetic):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = partial(_mc_batch_kernel, reps=reps, antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_programs, n_ktiles, STAT_ROWS, LANES), jnp.float32),
+        grid=(n_programs, n_ktiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, STAT_ROWS, LANES),
+                               lambda i, k: (i, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(seed, params, kparams)
+    # Deterministic compensated combine over programs → (n_ktiles, 10, 128)
+    return jax.vmap(stats_ops.combine_scan, in_axes=1)(
+        out[:, :, :NSTAT, :].reshape(n_programs, n_ktiles, -1)
+    ).reshape(n_ktiles, NSTAT, LANES)
+
+
+def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
+                        n_paths: int = 1_000_000, seed: int = 0,
+                        antithetic: bool = True,
+                        control_variate: bool = True):
+    """Price a strike/kind book of European options by fused Pallas MC.
+
+    Each option receives ``n_paths`` base draws (independent across the
+    book). Returns ``(prices, stderrs)`` shaped like ``K``.
+    """
+    from .black_scholes import is_call_mask
+
+    K_arr = np.atleast_1d(np.asarray(K, dtype=float))
+    mask = np.broadcast_to(np.atleast_1d(is_call_mask(kind)),
+                           K_arr.shape).astype(float)
+    B = K_arr.shape[0]
+    n_ktiles = -(-B // LANES)
+    pad = n_ktiles * LANES - B
+    K_pad = np.concatenate([K_arr, np.full(pad, K_arr[-1])])
+    sign_pad = np.concatenate([2 * mask - 1.0, np.ones(pad)])
+
+    kparams = np.zeros((n_ktiles, 8, LANES), np.float32)
+    kparams[:, 0, :] = K_pad.reshape(n_ktiles, LANES)
+    kparams[:, 1, :] = sign_pad.reshape(n_ktiles, LANES)
+
+    per_rep = 2 * BLOCK_R  # base draws per lane per rep
+    target_programs = 16
+    reps = max(1, -(-int(n_paths) // (per_rep * target_programs)))
+    n_programs = -(-int(n_paths) // (per_rep * reps))
+
+    mu = (r - q - 0.5 * sigma * sigma) * T
+    sig = sigma * np.sqrt(T)
+    df = np.exp(-r * T)
+    params = jnp.asarray([S0, mu, sig, df, float(n_paths)], jnp.float32)
+    seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
+
+    stats = np.asarray(jax.device_get(_run_batch_kernel(
+        seed_arr, params, jnp.asarray(kparams), n_programs=int(n_programs),
+        n_ktiles=int(n_ktiles), reps=int(reps),
+        antithetic=bool(antithetic))), np.float64)
+    s = stats.transpose(1, 0, 2).reshape(NSTAT, -1)[:, :B]  # (10, B)
+
+    n = s[0]
+    mX = s[1] / n
+    vX = np.maximum(0.0, s[2] / n - mX**2)
+    if not control_variate:
+        return mX.reshape(np.shape(K_arr)), \
+            np.sqrt(vX / n).reshape(np.shape(K_arr))
+
+    m1, m2 = s[3] / n, s[6] / n
+    v11 = np.maximum(0.0, s[4] / n - m1**2)
+    v22 = np.maximum(0.0, s[7] / n - m2**2)
+    c1X = s[5] / n - m1 * mX
+    c2X = s[8] / n - m2 * mX
+    c12 = s[9] / n - m1 * m2
+    det = v11 * v22 - c12**2
+    det = np.where(det > 1e-30, det, np.inf)
+    b1 = (v22 * c1X - c12 * c2X) / det
+    b2 = (v11 * c2X - c12 * c1X) / det
+
+    EY1 = S0 * exp(-q * T)
+    srt = sigma * sqrt(T)
+    d2 = (np.log(S0 / K_arr) + (r - q) * T - 0.5 * srt**2) / srt
+    Phi = np.vectorize(lambda x: 0.5 * (1.0 + erf(x / sqrt(2.0))))
+    sign_b = 2 * mask - 1.0
+    EY2 = df * Phi(sign_b * d2)
+
+    explained = b1 * c1X + b2 * c2X
+    mean = mX - b1 * (m1 - EY1) - b2 * (m2 - EY2)
+    var = np.maximum(0.0, vX - explained)
+    return mean.reshape(np.shape(K_arr)), \
+        np.sqrt(var / n).reshape(np.shape(K_arr))

@@ -25,7 +25,7 @@ import numpy as np
 
 __all__ = [
     "numerical_greeks", "scenario_grid", "portfolio_risk",
-    "var_historical", "cvar_historical", "ad_greeks",
+    "portfolio_risk_fast", "var_historical", "cvar_historical", "ad_greeks",
 ]
 
 
@@ -147,6 +147,43 @@ def portfolio_risk(instruments: list, pricer_func: Callable[..., float], *,
         "total_theta": totals["theta"],
         "total_rho": totals["rho"],
         "total_value": total_value,
+        "instrument_greeks": inst_greeks,
+    }
+
+
+def portfolio_risk_fast(instruments: list) -> dict:
+    """Whole-book analytic Greeks in ONE vectorised kernel call.
+
+    Same output schema as :func:`portfolio_risk` but uses closed-form BS
+    Greeks for every instrument instead of 8 bump repricings each — the
+    production path for vanilla books (the generic callable version stays
+    for exotic/engine-agnostic use).
+    """
+    from .ops.black_scholes import bs_greeks_vec, bs_price_vec
+
+    cols = {c: np.array([float(i[c]) for i in instruments])
+            for c in ("S", "K", "T", "r", "q", "sigma", "position")}
+    kinds = np.array([i["kind"] for i in instruments])
+
+    g = bs_greeks_vec(cols["S"], cols["K"], cols["T"], cols["r"], cols["q"],
+                      cols["sigma"], kinds)
+    px = np.asarray(bs_price_vec(cols["S"], cols["K"], cols["T"], cols["r"],
+                                 cols["q"], cols["sigma"], kinds))
+    pos = cols["position"]
+    scaled = {k: np.asarray(v) * pos for k, v in g.items()}
+    value = px * pos
+    inst_greeks = [
+        {**{k: float(scaled[k][i]) for k in scaled},
+         "price": float(value[i])}
+        for i in range(len(instruments))
+    ]
+    return {
+        "total_delta": float(scaled["delta"].sum()),
+        "total_gamma": float(scaled["gamma"].sum()),
+        "total_vega": float(scaled["vega"].sum()),
+        "total_theta": float(scaled["theta"].sum()),
+        "total_rho": float(scaled["rho"].sum()),
+        "total_value": float(value.sum()),
         "instrument_greeks": inst_greeks,
     }
 

@@ -41,3 +41,46 @@ def test_path_kernel_vs_xla(payoff, kw):
     p2, s2 = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.05, sigma=0.2,
                              backend="xla", **common, **kw)
     assert abs(p1 - p2) < 5 * np.hypot(s1, s2) + 1e-3
+
+
+def test_batch_book_kernel_vs_f64_bs():
+    from math import erfc, exp, log, sqrt
+
+    from optpricer_tpu.ops.pallas_mc_batch import euro_price_mc_batch
+
+    def bs64(S0, K, T, r, q, s, call=True):
+        d1 = (log(S0 / K) + (r - q + 0.5 * s * s) * T) / (s * sqrt(T))
+        d2 = d1 - s * sqrt(T)
+        Phi = lambda x: 0.5 * erfc(-x / sqrt(2))
+        c = S0 * exp(-q * T) * Phi(d1) - K * exp(-r * T) * Phi(d2)
+        return c if call else c - S0 * exp(-q * T) + K * exp(-r * T)
+
+    Ks = np.linspace(60, 150, 300)
+    kinds = np.where(Ks >= 100, "call", "put")
+    px, se = euro_price_mc_batch(100.0, Ks, 1.0, 0.03, 0.0, 0.2, kinds,
+                                 n_paths=1 << 22, seed=3)
+    refs = np.array([bs64(100.0, k, 1.0, 0.03, 0.0, 0.2, c == "call")
+                     for k, c in zip(Ks, kinds)])
+    z = np.abs(px - refs) / np.maximum(se, 1e-12)
+    # 300 simultaneous 5σ tests: essentially impossible under H0
+    assert z.max() < 5.0, (z.max(), np.abs(px - refs).max())
+
+
+def test_tridiag_pallas_tpu():
+    from optpricer_tpu.ops.pallas_tridiag import tridiag_solve_pallas
+    from optpricer_tpu.ops.tridiag import tridiag_solve_thomas
+
+    rng = np.random.default_rng(0)
+    n, batch = 64, 256
+    a = rng.normal(size=(n, batch)).astype(np.float32)
+    b = (rng.normal(size=(n, batch)) + 4).astype(np.float32)
+    c = rng.normal(size=(n, batch)).astype(np.float32)
+    d = rng.normal(size=(n, batch)).astype(np.float32)
+    import jax.numpy as jnp
+
+    x = np.asarray(tridiag_solve_pallas(jnp.asarray(a), jnp.asarray(b),
+                                        jnp.asarray(c), jnp.asarray(d)))
+    ref = np.asarray(tridiag_solve_thomas(
+        jnp.asarray(a.T), jnp.asarray(b.T), jnp.asarray(c.T),
+        jnp.asarray(d.T))).T
+    np.testing.assert_allclose(x, ref, rtol=2e-3, atol=1e-4)

@@ -121,3 +121,19 @@ class TestVaR:
     def test_var_positive_for_loss_tail(self):
         returns = np.concatenate([np.full(90, 0.001), np.full(10, -0.10)])
         assert var_historical(returns, confidence=0.95) > 0
+
+
+class TestPortfolioRiskFast:
+    def test_matches_analytic_per_instrument(self):
+        from optpricer_tpu.risk import portfolio_risk_fast
+        insts = [
+            {**ARGS, "kind": CALL, "position": 2.0},
+            {"S": 100.0, "K": 95.0, "T": 0.5, "r": 0.02, "q": 0.01,
+             "sigma": 0.3, "kind": PUT, "position": -1.5},
+        ]
+        out = portfolio_risk_fast(insts)
+        g1 = bs_greeks(OptionSpec(100.0, 100.0, 1.0, 0.05, 0.2), CALL)
+        g2 = bs_greeks(OptionSpec(100.0, 95.0, 0.5, 0.02, 0.3, q=0.01), PUT)
+        assert abs(out["total_delta"] - (2 * g1["delta"] - 1.5 * g2["delta"])) < 1e-9
+        assert abs(out["total_vega"] - (2 * g1["vega"] - 1.5 * g2["vega"])) < 1e-7
+        assert len(out["instrument_greeks"]) == 2
