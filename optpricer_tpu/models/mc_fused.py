@@ -28,7 +28,66 @@ from ..dtypes import canonical
 from .exotics import _price_from_payoff
 from .monte_carlo import resolve_seed
 
-__all__ = ["exotic_price_mc"]
+__all__ = ["exotic_price_mc", "exotic_price_mc_dupire"]
+
+
+def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
+                           scheme: str = "milstein", backend: str = "auto",
+                           control_variate: bool = False, **kwargs):
+    """Path-dependent pricing under Dupire local vol from a calibrated
+    :class:`~optpricer_tpu.models.calibration.VolSurface`.
+
+    On TPU the SVI slices ship into the Pallas path kernel and σ(S,t) is
+    evaluated from Gatheral's formula *in registers* (the forward curve is
+    the analytic S0·e^{(r−q)t}); elsewhere this delegates to
+    :func:`exotic_price_mc` with a traced ``dupire_local_vol_func`` closure.
+    Accepts the same payoff kwargs as :func:`exotic_price_mc`.
+    """
+    import numpy as np
+
+    from ..models.calibration import dupire_local_vol_func
+
+    n_steps = int(kwargs.get("n_steps", 252))
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+        and n_steps % 2 == 0)
+    if use_pallas and n_steps % 2 == 0:
+        from ..ops import stats as stats_ops
+        from ..ops.pallas_path_mc import path_mc_sumstats_pallas
+
+        svi = np.zeros((6, surface._T_arr.shape[0]), np.float32)
+        svi[:5, :] = np.asarray(surface._P_arr).T
+        svi[5, :] = np.asarray(surface._T_arr)
+        kind = kwargs.get("kind", "call")
+        s = path_mc_sumstats_pallas(
+            resolve_seed(kwargs.get("seed")), int(kwargs.get("n_paths",
+                                                             100_000)),
+            n_steps, S0, K, T, r, q, None, kind == "call",
+            payoff=payoff, antithetic=bool(kwargs.get("antithetic", True)),
+            barrier=kwargs.get("barrier", 0.0),
+            barrier_type=kwargs.get("barrier_type", "up-and-out"),
+            rebate=kwargs.get("rebate", 0.0),
+            average_type=kwargs.get("average_type", "arithmetic"),
+            strike_type=kwargs.get("strike_type", "fixed"),
+            payout=kwargs.get("payout", 1.0),
+            svi_slices=svi, scheme=scheme,
+            dS_bump=kwargs.get("dS_bump", 0.01))
+        s = np.asarray(jax.device_get(s), np.float64)
+        n = s[0]
+        mX = s[1] / n
+        vX = max(0.0, s[2] / n - mX * mX)
+        if not control_variate:
+            return float(mX), float(np.sqrt(vX / n))
+        # Single CV: E[e^{−rT}S_T] = S0·e^{−qT} holds under any Q dynamics;
+        # the digital mean is NOT known under local vol.
+        six = jnp.asarray(s[:6])
+        mean, se = stats_ops.cv_mean_se(six, jnp.asarray(S0 * np.exp(-q * T)))
+        return float(mean), float(se)
+
+    sigma_loc = dupire_local_vol_func(surface, r, q)
+    return exotic_price_mc(payoff, S0, K, T, r, q, sigma_loc=sigma_loc,
+                           scheme=scheme, backend="xla",
+                           **kwargs)
 
 _PAYOFFS = ("vanilla", "barrier", "asian", "digital", "lookback")
 

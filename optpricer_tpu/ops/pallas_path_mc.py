@@ -41,10 +41,11 @@ PAYOFF_IDS = {"vanilla": 0, "barrier": 1, "asian": 2, "digital": 3,
               "lookback": 4}
 
 
-def _path_kernel(seed_ref, par_ref, out_ref, *, n_steps: int, reps: int,
-                 antithetic: bool, payoff_id: int, barrier_up: bool,
-                 knock_out: bool, average_geo: bool, strike_floating: bool,
-                 is_call: bool):
+def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
+                 reps: int, antithetic: bool, payoff_id: int,
+                 barrier_up: bool, knock_out: bool, average_geo: bool,
+                 strike_floating: bool, is_call: bool,
+                 dynamics: str = "gbm", n_slices: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -53,14 +54,79 @@ def _path_kernel(seed_ref, par_ref, out_ref, *, n_steps: int, reps: int,
 
     S0 = par_ref[0]
     K = par_ref[1]
-    mu = par_ref[2]         # (r−q−σ²/2)·dt
-    sig = par_ref[3]        # σ√dt
+    mu = par_ref[2]         # gbm: (r−q−σ²/2)·dt
+    sig = par_ref[3]        # gbm: σ√dt
     df = par_ref[4]         # e^{−rT}
     n_paths = par_ref[5]
     sign = par_ref[6]       # +1 call, −1 put
     barrier = par_ref[7]
     rebate = par_ref[8]
     payout = par_ref[9]
+    dt_step = par_ref[10]   # T / n_steps
+    rq = par_ref[11]        # r − q
+    sqrt_dt = par_ref[12]
+    bump = par_ref[13]      # Milstein σ′ bump fraction
+
+    # ---- Dupire local vol from SVI slices (closed form, in registers) ----
+    # svi_ref layout: (6, n_slices) rows a, b, rho, m, sg, T.
+    def slice_w(i, k):
+        """Total variance of slice i at log-moneyness tile k."""
+        km = k - svi_ref[3, i]
+        sg_i = svi_ref[4, i]
+        return svi_ref[0, i] + svi_ref[1, i] * (
+            svi_ref[2, i] * km + jnp.sqrt(km * km + sg_i * sg_i))
+
+    def w_interp(k, t):
+        """Linear total-variance interp in T, flat-vol extrapolation —
+        mirrors VolSurface.total_var_from_logm (models/calibration.py)."""
+        ws = [slice_w(i, k) for i in range(n_slices)]
+        Ts = [svi_ref[5, i] for i in range(n_slices)]
+        w = ws[0] / Ts[0] * t
+        for i in range(1, n_slices):
+            alpha = (t - Ts[i - 1]) / (Ts[i] - Ts[i - 1])
+            w_mid = (1.0 - alpha) * ws[i - 1] + alpha * ws[i]
+            w = jnp.where(t > Ts[i - 1], w_mid, w)
+        w = jnp.where(t >= Ts[n_slices - 1],
+                      ws[n_slices - 1] / Ts[n_slices - 1] * t, w)
+        return w
+
+    def sigma_loc(S, t):
+        """σ_loc(S, t): Gatheral's Dupire formula with the same floors and
+        clips as models/calibration.dupire_local_vol."""
+        t = jnp.maximum(t, 1e-8)
+        # scalar exp: Mosaic bitcast is vector-only, and the VPU exp's 1e-6
+        # relative error on the forward only shifts log-moneyness by 1e-6.
+        F = S0 * jnp.exp(rq * t)
+        k = log32(S / F)
+        # nearest slice (searchsorted-left, clipped) for spatial derivatives
+        idx = jnp.int32(0)
+        for i in range(n_slices):
+            idx = idx + (t > svi_ref[5, i]).astype(jnp.int32)
+        idx = jnp.minimum(idx, n_slices - 1)
+        a = b = rho = m = sg = jnp.float32(0.0)
+        for i in range(n_slices):
+            sel = (idx == i).astype(jnp.float32)
+            a = a + sel * svi_ref[0, i]
+            b = b + sel * svi_ref[1, i]
+            rho = rho + sel * svi_ref[2, i]
+            m = m + sel * svi_ref[3, i]
+            sg = sg + sel * svi_ref[4, i]
+        km = k - m
+        root = jnp.sqrt(km * km + sg * sg)
+        w = jnp.maximum(a + b * (rho * km + root), 1e-12)
+        dw = b * (rho + km / root)
+        d2w = b * sg * sg / (root * root * root)
+        dT = 1e-4
+        t_up = t + dT
+        t_dn = jnp.maximum(t - dT, 1e-8)
+        dwdT = (w_interp(k, t_up) - w_interp(k, t_dn)) / (t_up - t_dn)
+        kw = k / w
+        denom = (1.0 - kw * dw
+                 + 0.25 * (-0.25 - 1.0 / w + kw * kw) * dw * dw
+                 + 0.5 * d2w)
+        denom = jnp.maximum(denom, 1e-8)
+        s2 = jnp.maximum(dwdT, 1e-12) / denom
+        return jnp.clip(jnp.sqrt(jnp.maximum(s2, 0.0)), 0.01, 5.0)
 
     two_pi = 6.283185307179586
     tiny = 5.9604645e-8
@@ -100,9 +166,30 @@ def _path_kernel(seed_ref, par_ref, out_ref, *, n_steps: int, reps: int,
         st_p = init_state()
         st_m = init_state()
 
-        def advance(st, z):
+        def move(S, z, t_now):
+            if dynamics == "gbm":
+                return S * exp32(mu + sig * z)
+            if dynamics == "lv_euler":
+                s_loc = sigma_loc(S, t_now)
+                return S * exp32((rq - 0.5 * s_loc * s_loc) * dt_step
+                                 + s_loc * sqrt_dt * z)
+            # lv_milstein — same σ′ central FD as
+            # processes.milstein_local_vol_paths
+            s_loc = jnp.clip(sigma_loc(S, t_now), 1e-8, 10.0)
+            eps = bump * S
+            S_up = S + eps
+            S_dn = jnp.maximum(S - eps, 1e-10)
+            s_up = sigma_loc(S_up, t_now)
+            s_dn = sigma_loc(S_dn, t_now)
+            da = (s_up * S_up - s_dn * S_dn) / (S_up - S_dn)
+            a_t = s_loc * S
+            S_new = (S + rq * S * dt_step + a_t * sqrt_dt * z
+                     + 0.5 * a_t * da * (z * z - 1.0) * dt_step)
+            return jnp.maximum(S_new, 1e-10)
+
+        def advance(st, z, t_now):
             S, rsum, rlog, rmax, rmin, crossed = st
-            S = S * exp32(mu + sig * z)
+            S = move(S, z, t_now)
             if payoff_id == 2:  # asian
                 rsum = rsum + S
                 if average_geo:
@@ -119,11 +206,13 @@ def _path_kernel(seed_ref, par_ref, out_ref, *, n_steps: int, reps: int,
         def step_body(t, states):
             st_p, st_m = states
             z1, z2 = normals()
-            st_p = advance(st_p, z1)
-            st_p = advance(st_p, z2)
+            t0 = (2.0 * t.astype(jnp.float32)) * dt_step
+            t1 = t0 + dt_step
+            st_p = advance(st_p, z1, t0)
+            st_p = advance(st_p, z2, t1)
             if antithetic:
-                st_m = advance(st_m, -z1)
-                st_m = advance(st_m, -z2)
+                st_m = advance(st_m, -z1, t0)
+                st_m = advance(st_m, -z2, t1)
             return (st_p, st_m)
 
         st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
@@ -192,10 +281,12 @@ def _path_kernel(seed_ref, par_ref, out_ref, *, n_steps: int, reps: int,
 @partial(jax.jit, static_argnames=("n_programs", "reps", "n_steps",
                                    "antithetic", "payoff_id", "barrier_up",
                                    "knock_out", "average_geo",
-                                   "strike_floating", "is_call"))
-def _run_path_kernel(seed, params, *, n_programs, reps, n_steps, antithetic,
-                     payoff_id, barrier_up, knock_out, average_geo,
-                     strike_floating, is_call):
+                                   "strike_floating", "is_call", "dynamics",
+                                   "n_slices"))
+def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
+                     antithetic, payoff_id, barrier_up, knock_out,
+                     average_geo, strike_floating, is_call, dynamics="gbm",
+                     n_slices=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -203,7 +294,7 @@ def _run_path_kernel(seed, params, *, n_programs, reps, n_steps, antithetic,
         _path_kernel, n_steps=n_steps, reps=reps, antithetic=antithetic,
         payoff_id=payoff_id, barrier_up=barrier_up, knock_out=knock_out,
         average_geo=average_geo, strike_floating=strike_floating,
-        is_call=is_call)
+        is_call=is_call, dynamics=dynamics, n_slices=n_slices)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -211,11 +302,24 @@ def _run_path_kernel(seed, params, *, n_programs, reps, n_steps, antithetic,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(seed, params)
+    )(seed, params, svi)
     return stats_ops.combine_scan(out[:, 0, :NSTAT])
+
+
+def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
+                   barrier, rebate, payout, dS_bump):
+    dt = T / n_steps
+    mu = (r - q - 0.5 * sigma * sigma) * dt
+    sig = sigma * np.sqrt(dt)
+    df = np.exp(-r * T)
+    sign = 1.0 if is_call else -1.0
+    return jnp.asarray(
+        [S0, K, mu, sig, df, float(n_paths), sign, barrier, rebate, payout,
+         dt, r - q, np.sqrt(dt), dS_bump], jnp.float32)
 
 
 def path_mc_sumstats_pallas(
@@ -224,11 +328,16 @@ def path_mc_sumstats_pallas(
     barrier: float = 0.0, barrier_type: str = "up-and-out",
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
+    svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
 ):
-    """(10,) sufficient statistics for a path-dependent GBM payoff.
+    """(10,) sufficient statistics for a path-dependent payoff.
 
-    n_steps must be even (two Box-Muller normals advance two steps per
-    loop); callers bump odd step counts by one.
+    Dynamics: GBM when ``svi_slices`` is None, else Dupire local vol with
+    σ(S,t) evaluated from the SVI surface *inside the kernel*
+    (``svi_slices``: array (6, n_slices), rows a/b/rho/m/sg/T; the forward
+    is the analytic S0·e^{(r−q)t}). ``scheme`` selects log-Euler or Milstein
+    for the local-vol case. n_steps must be even (two Box-Muller normals
+    advance two steps per loop); callers bump odd step counts by one.
     """
     if n_steps % 2:
         raise ValueError("pallas path engine requires even n_steps")
@@ -236,21 +345,23 @@ def path_mc_sumstats_pallas(
     reps = max(1, -(-int(n_paths) // (TILE * target_programs)))
     n_programs = -(-int(n_paths) // (TILE * reps))
 
-    dt = T / n_steps
-    mu = (r - q - 0.5 * sigma * sigma) * dt
-    sig = sigma * np.sqrt(dt)
-    df = np.exp(-r * T)
-    sign = 1.0 if is_call else -1.0
-    params = jnp.asarray(
-        [S0, K, mu, sig, df, float(n_paths), sign, barrier, rebate, payout],
-        jnp.float32)
+    params = _common_params(n_paths, n_steps, S0, K, T, r, q,
+                            sigma if sigma is not None else 0.0,
+                            is_call, barrier, rebate, payout, dS_bump)
     seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
+    if svi_slices is None:
+        dynamics, n_slices = "gbm", 0
+        svi = jnp.zeros((6, 1), jnp.float32)
+    else:
+        dynamics = "lv_milstein" if scheme == "milstein" else "lv_euler"
+        svi = jnp.asarray(svi_slices, jnp.float32)
+        n_slices = int(svi.shape[1])
     return _run_path_kernel(
-        seed_arr, params, n_programs=int(n_programs), reps=int(reps),
+        seed_arr, params, svi, n_programs=int(n_programs), reps=int(reps),
         n_steps=int(n_steps), antithetic=bool(antithetic),
         payoff_id=PAYOFF_IDS[payoff],
         barrier_up=barrier_type.startswith("up"),
         knock_out=barrier_type.endswith("out"),
         average_geo=(average_type == "geometric"),
         strike_floating=(strike_type == "floating"),
-        is_call=bool(is_call))
+        is_call=bool(is_call), dynamics=dynamics, n_slices=n_slices)

@@ -121,6 +121,21 @@ def main():
     mc_vanilla = float(np.exp(-r * T)
                        * np.maximum(np.asarray(paths[-1]) - K, 0.0).mean())
 
+    # Fused engine: Dupire σ(S,t) evaluated inside the Pallas kernel on TPU
+    # (XLA scan elsewhere) — no path matrix, no Python in the loop.
+    from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
+
+    exotic_price_mc_dupire(  # compile once
+        "barrier", surface, S0, K, T, r, q, scheme="milstein",
+        barrier=barrier, barrier_type=barrier_type, n_steps=n_steps,
+        n_paths=n_paths, seed=42)
+    t0 = time.perf_counter()
+    fz_barrier, fz_se = exotic_price_mc_dupire(
+        "barrier", surface, S0, K, T, r, q, scheme="milstein",
+        barrier=barrier, barrier_type=barrier_type, n_steps=n_steps,
+        n_paths=n_paths, seed=42)
+    t_fz = time.perf_counter() - t0
+
     print(f"\nContract:  S0={S0}  K={K}  T={T}  barrier={barrier} "
           f"({barrier_type})")
     print(f"{'':>4s}{'Method':>25s} {'Vanilla':>10s} {'Barrier':>10s}  "
@@ -134,8 +149,10 @@ def main():
           f"{'—':>10s}  {t_fdm_lv:>7.3f}s")
     print(f"{'':>4s}{'MC+Milstein (local vol)':>25s} {fmt(mc_vanilla):>10s} "
           f"{fmt(mc_barrier):>10s}  {t_mc:>7.3f}s")
-    print(f"\n  MC barrier stderr: {mc_se:.4f}  "
-          f"({n_paths:,} paths, {n_steps} steps)")
+    print(f"{'':>4s}{'Fused kernel (local vol)':>25s} {'—':>10s} "
+          f"{fmt(fz_barrier):>10s}  {t_fz:>7.3f}s")
+    print(f"\n  MC barrier stderr: {mc_se:.4f} (path matrix) / "
+          f"{fz_se:.4f} (fused)  ({n_paths:,} paths, {n_steps} steps)")
 
     # ── 5. Greeks ─────────────────────────────────────────────────────────
     header("Step 5 — Greeks (FDM Grid vs Bump-and-Reprice)")

@@ -193,3 +193,30 @@ class TestFusedMesh:
                                  n_steps=50, n_paths=40_000, seed=42,
                                  mesh=mesh)
         assert 0 < px < 10 and se > 0
+
+
+class TestDupireFused:
+    def _flat_surface(self, v=0.2):
+        from optpricer_tpu import SVIParams, VolSurface
+        slices = {T: SVIParams(a=v * v * T, b=1e-6, rho=0.0, m=0.0,
+                               sigma=0.1, expiry=T) for T in (0.25, 0.5, 1.0)}
+        return VolSurface(slices, forward_curve={T: 100.0 for T in slices})
+
+    def test_flat_surface_matches_bs(self):
+        from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
+        surf = self._flat_surface(0.2)
+        px, se = exotic_price_mc_dupire("vanilla", surf, 100.0, 100.0, 1.0,
+                                        0.05, 0.0, scheme="log_euler",
+                                        n_steps=100, n_paths=50_000, seed=1)
+        ref = bs_price(OptionSpec(100.0, 100.0, 1.0, 0.05, 0.2), CALL)
+        assert abs(px - ref) < 4 * se + 0.05
+
+    def test_milstein_scheme(self):
+        from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
+        surf = self._flat_surface(0.2)
+        px, se = exotic_price_mc_dupire("barrier", surf, 100.0, 100.0, 1.0,
+                                        0.05, 0.0, scheme="milstein",
+                                        barrier=130.0,
+                                        barrier_type="up-and-out",
+                                        n_steps=100, n_paths=50_000, seed=2)
+        assert 0 < px < 10 and se > 0

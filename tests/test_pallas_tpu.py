@@ -84,3 +84,22 @@ def test_tridiag_pallas_tpu():
         jnp.asarray(a.T), jnp.asarray(b.T), jnp.asarray(c.T),
         jnp.asarray(d.T))).T
     np.testing.assert_allclose(x, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_dupire_kernel_vs_xla():
+    from optpricer_tpu import SVIParams, VolSurface
+    from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
+
+    sl = {T: SVIParams(a=0.02 * T + 0.02, b=0.15, rho=-0.3, m=0.02,
+                       sigma=0.12, expiry=T) for T in (0.25, 0.5, 1.0)}
+    surf = VolSurface(sl, forward_curve={T: 100 * np.exp(0.03 * T)
+                                         for T in sl})
+    kw = dict(barrier=130.0, barrier_type="up-and-out", n_steps=100,
+              n_paths=100_000)
+    p1, s1 = exotic_price_mc_dupire("barrier", surf, 100.0, 100.0, 1.0,
+                                    0.05, 0.02, scheme="milstein",
+                                    backend="pallas", seed=3, **kw)
+    p2, s2 = exotic_price_mc_dupire("barrier", surf, 100.0, 100.0, 1.0,
+                                    0.05, 0.02, scheme="milstein",
+                                    backend="xla", seed=4, **kw)
+    assert abs(p1 - p2) < 5 * np.hypot(s1, s2) + 1e-3
