@@ -145,6 +145,29 @@ def bench_asian() -> None:
         f"price={px:.4f} ± {se:.1e}")
 
 
+def bench_localvol() -> None:
+    """Diagnostic: Dupire local-vol Milstein barrier, 200k×500 (BASELINE
+    config 5's hot step), surface evaluated in-kernel."""
+    import numpy as np
+
+    from optpricer_tpu import SVIParams, VolSurface
+    from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
+
+    sl = {T: SVIParams(a=0.02 * T + 0.02, b=0.15, rho=-0.3, m=0.02,
+                       sigma=0.12, expiry=T) for T in (0.25, 0.5, 1.0)}
+    surf = VolSurface(sl, forward_curve={T: 100 * np.exp(0.03 * T)
+                                         for T in sl})
+    run = lambda: exotic_price_mc_dupire(
+        "barrier", surf, 100.0, 100.0, 1.0, 0.05, 0.02, scheme="milstein",
+        barrier=130.0, barrier_type="up-and-out", n_steps=500,
+        n_paths=200_000, seed=42)
+    run()
+    t0 = time.perf_counter()
+    px, se = run()
+    log(f"[localvol] 200k×500 Milstein barrier, Dupire in-kernel: "
+        f"{(time.perf_counter()-t0)*1e3:.0f} ms, price={px:.4f}±{se:.4f}")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -152,7 +175,7 @@ def main():
     if err > gate:
         log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
-                     ("asian", bench_asian)):
+                     ("asian", bench_asian), ("localvol", bench_localvol)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:

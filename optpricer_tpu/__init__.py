@@ -86,6 +86,11 @@ from .validation import (
     backtest_delta_hedge,
 )
 
+# TPU-native extensions beyond the reference API
+from .models.mc_fused import exotic_price_mc, exotic_price_mc_dupire
+from .models.pde import fd_price_batch
+from .risk import ad_greeks, portfolio_risk_fast
+
 __all__ = [
     # Legacy
     "OptionSpec", "CALL", "PUT",
@@ -112,6 +117,9 @@ __all__ = [
     # Validation
     "cross_validate", "convergence_analysis", "stress_test",
     "backtest_delta_hedge",
+    # TPU-native extensions
+    "exotic_price_mc", "exotic_price_mc_dupire", "fd_price_batch",
+    "ad_greeks", "portfolio_risk_fast",
 ]
 
 __version__ = "0.1.0"

@@ -39,14 +39,15 @@ def _mc_batch_kernel(seed_ref, par_ref, kp_ref, out_ref, *, reps: int,
     pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245)
                     + ktile * n_prog + pid)
 
-    S0 = par_ref[0]
-    mu = par_ref[1]
-    sig = par_ref[2]
-    df = par_ref[3]
-    n_paths = par_ref[4]
+    n_paths = par_ref[0]
 
-    K = kp_ref[0, 0, :]      # (128,) strike per lane
-    sign = kp_ref[0, 1, :]   # (128,) +1 call / −1 put per lane
+    # Fully heterogeneous book: every contract/market field is per lane.
+    K = kp_ref[0, 0, :]      # strike
+    sign = kp_ref[0, 1, :]   # +1 call / −1 put
+    S0 = kp_ref[0, 2, :]     # spot
+    mu = kp_ref[0, 3, :]     # (r−q−σ²/2)·T
+    sig = kp_ref[0, 4, :]    # σ√T
+    df = kp_ref[0, 5, :]     # e^{−rT}
 
     two_pi = 6.283185307179586
     tiny = 5.9604645e-8
@@ -151,35 +152,49 @@ def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
                         n_paths: int = 1_000_000, seed: int = 0,
                         antithetic: bool = True,
                         control_variate: bool = True):
-    """Price a strike/kind book of European options by fused Pallas MC.
+    """Price a fully heterogeneous European book by fused Pallas MC.
 
-    Each option receives ``n_paths`` base draws (independent across the
-    book). Returns ``(prices, stderrs)`` shaped like ``K``.
+    Every argument broadcasts over the book (per-position S0/K/T/r/q/σ/kind
+    all allowed — each lane carries its own contract and market). Each
+    option receives ``n_paths`` base draws, independent across the book.
+    Returns ``(prices, stderrs)`` shaped like the broadcast book.
     """
     from .black_scholes import is_call_mask
 
-    K_arr = np.atleast_1d(np.asarray(K, dtype=float))
-    mask = np.broadcast_to(np.atleast_1d(is_call_mask(kind)),
-                           K_arr.shape).astype(float)
-    B = K_arr.shape[0]
+    mask0 = np.atleast_1d(is_call_mask(kind))
+    cols = [np.atleast_1d(np.asarray(v, dtype=float))
+            for v in (S0, K, T, r, q, sigma)]
+    B = int(np.broadcast_shapes(*(c.shape for c in cols),
+                                mask0.shape)[0])
+    S0a, Ka, Ta, ra, qa, siga = (np.broadcast_to(c, (B,)).astype(float)
+                                 for c in cols)
+    mask = np.broadcast_to(mask0, (B,)).astype(float)
+
     n_ktiles = -(-B // LANES)
     pad = n_ktiles * LANES - B
-    K_pad = np.concatenate([K_arr, np.full(pad, K_arr[-1])])
-    sign_pad = np.concatenate([2 * mask - 1.0, np.ones(pad)])
+
+    def padded(v, fill=None):
+        tail = np.full(pad, v[-1] if fill is None else fill)
+        return np.concatenate([v, tail]).reshape(n_ktiles, LANES)
+
+    mu = (ra - qa - 0.5 * siga**2) * Ta
+    sg = siga * np.sqrt(Ta)
+    df = np.exp(-ra * Ta)
 
     kparams = np.zeros((n_ktiles, 8, LANES), np.float32)
-    kparams[:, 0, :] = K_pad.reshape(n_ktiles, LANES)
-    kparams[:, 1, :] = sign_pad.reshape(n_ktiles, LANES)
+    kparams[:, 0, :] = padded(Ka)
+    kparams[:, 1, :] = padded(2 * mask - 1.0)
+    kparams[:, 2, :] = padded(S0a)
+    kparams[:, 3, :] = padded(mu)
+    kparams[:, 4, :] = padded(sg)
+    kparams[:, 5, :] = padded(df)
 
     per_rep = 2 * BLOCK_R  # base draws per lane per rep
     target_programs = 16
     reps = max(1, -(-int(n_paths) // (per_rep * target_programs)))
     n_programs = -(-int(n_paths) // (per_rep * reps))
 
-    mu = (r - q - 0.5 * sigma * sigma) * T
-    sig = sigma * np.sqrt(T)
-    df = np.exp(-r * T)
-    params = jnp.asarray([S0, mu, sig, df, float(n_paths)], jnp.float32)
+    params = jnp.asarray([float(n_paths)], jnp.float32)
     seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
 
     stats = np.asarray(jax.device_get(_run_batch_kernel(
@@ -191,9 +206,9 @@ def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
     n = s[0]
     mX = s[1] / n
     vX = np.maximum(0.0, s[2] / n - mX**2)
+    out_shape = (B,)
     if not control_variate:
-        return mX.reshape(np.shape(K_arr)), \
-            np.sqrt(vX / n).reshape(np.shape(K_arr))
+        return mX.reshape(out_shape), np.sqrt(vX / n).reshape(out_shape)
 
     m1, m2 = s[3] / n, s[6] / n
     v11 = np.maximum(0.0, s[4] / n - m1**2)
@@ -206,9 +221,9 @@ def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
     b1 = (v22 * c1X - c12 * c2X) / det
     b2 = (v11 * c2X - c12 * c1X) / det
 
-    EY1 = S0 * exp(-q * T)
-    srt = sigma * sqrt(T)
-    d2 = (np.log(S0 / K_arr) + (r - q) * T - 0.5 * srt**2) / srt
+    EY1 = S0a * np.exp(-qa * Ta)
+    srt = siga * np.sqrt(Ta)
+    d2 = (np.log(S0a / Ka) + (ra - qa) * Ta - 0.5 * srt**2) / srt
     Phi = np.vectorize(lambda x: 0.5 * (1.0 + erf(x / sqrt(2.0))))
     sign_b = 2 * mask - 1.0
     EY2 = df * Phi(sign_b * d2)
@@ -216,5 +231,4 @@ def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
     explained = b1 * c1X + b2 * c2X
     mean = mX - b1 * (m1 - EY1) - b2 * (m2 - EY2)
     var = np.maximum(0.0, vX - explained)
-    return mean.reshape(np.shape(K_arr)), \
-        np.sqrt(var / n).reshape(np.shape(K_arr))
+    return mean.reshape(out_shape), np.sqrt(var / n).reshape(out_shape)
