@@ -199,4 +199,6 @@ def pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
     Phi = lambda x: 0.5 * (1.0 + erf(x / sqrt(2.0)))
     p_itm = Phi(d2) if is_call else Phi(-d2)
     EY2 = exp(-r * T) * p_itm
-    return stats_ops.cv2_mean_se(s, EY1, EY2)
+    mean, se = stats_ops.cv2_mean_se(s, EY1, EY2)
+    # f32 moment-roundoff floor (see pallas_mc_batch.euro_price_mc_batch)
+    return mean, max(se, 2e-6 * (1.0 + abs(mean)))

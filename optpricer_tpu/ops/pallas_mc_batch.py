@@ -231,4 +231,10 @@ def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
     explained = b1 * c1X + b2 * c2X
     mean = mX - b1 * (m1 - EY1) - b2 * (m2 - EY2)
     var = np.maximum(0.0, vX - explained)
-    return mean.reshape(out_shape), np.sqrt(var / n).reshape(out_shape)
+    se = np.sqrt(var / n)
+    # f32 kernel arithmetic floor: when the CVs explain (numerically) all
+    # of the variance — e.g. a permanently-ITM payoff is exactly linear in
+    # S_T — the statistical se underestimates the true uncertainty, which
+    # is then set by f32 moment roundoff (~1e-6 relative).
+    se = np.maximum(se, 2e-6 * (1.0 + np.abs(mean)))
+    return mean.reshape(out_shape), se.reshape(out_shape)

@@ -107,6 +107,31 @@ def main():
         rows = list(csv.DictReader(f))
     print(f"Pricing {len(rows)} positions...")
 
+    # Fused fast path: every MC row in ONE Pallas book kernel on TPU
+    # (heterogeneous contracts — each lane carries its own market).
+    import jax
+
+    mc_idx = [i for i, row in enumerate(rows)
+              if row["method"].strip().lower() == "mc"]
+    mc_results = {}
+    if len(mc_idx) > 1 and jax.default_backend() == "tpu":
+        try:
+            from optpricer_tpu.ops.pallas_mc_batch import euro_price_mc_batch
+
+            cols = {c: np.array([float(rows[i][c]) for i in mc_idx])
+                    for c in ("S0", "K", "T", "r", "sigma")}
+            qv = np.array([float(rows[i].get("q", 0.0) or 0.0)
+                           for i in mc_idx])
+            kinds = np.array([rows[i]["kind"].strip().lower()
+                              for i in mc_idx])
+            px, se = euro_price_mc_batch(
+                cols["S0"], cols["K"], cols["T"], cols["r"], qv,
+                cols["sigma"], kinds, n_paths=100_000, seed=1)
+            mc_results = {i: (float(px[j]), float(se[j]))
+                          for j, i in enumerate(mc_idx)}
+        except Exception:
+            mc_results = {}
+
     # Fused fast path: every vanilla-BS row in one batched kernel call.
     bs_idx = [i for i, row in enumerate(rows)
               if row["method"].strip().lower() == "bs"]
@@ -137,6 +162,18 @@ def main():
                 res = {"id": row.get("id", ""),
                        "price": float(batch_prices[i]), "stderr": None}
                 res.update(batch_greeks.get(i, {}))
+            elif i in mc_results:
+                res = {"id": row.get("id", ""),
+                       "price": mc_results[i][0],
+                       "stderr": mc_results[i][1]}
+                if args.greeks:
+                    from optpricer_tpu.ops.black_scholes import bs_greeks_vec
+                    g = bs_greeks_vec(
+                        float(row["S0"]), float(row["K"]), float(row["T"]),
+                        float(row["r"]), float(row.get("q", 0.0) or 0.0),
+                        float(row["sigma"]), row["kind"].strip().lower())
+                    for key in GREEK_KEYS:
+                        res[key] = float(g[key])
             else:
                 res = _price_row(row, args.greeks)
             results.append(res)
