@@ -10,8 +10,12 @@ This module fuses path generation and payoff accumulation inside one
 ``lax.scan``: the carry holds only the per-path running state the payoff
 needs (spot, running sum/log-sum, running max/min, barrier-crossed flag), so
 memory is O(n_paths) regardless of n_steps, and the whole pricer is a single
-compiled program. Supports GBM (exact log-Euler steps) and local-vol
-(log-Euler or Milstein) dynamics with a traceable ``sigma_loc(S, t)``.
+compiled program. Dynamics: GBM (exact log-Euler), local vol with a traced
+``sigma_loc(S, t)`` (log-Euler/Milstein), Heston (full-truncation Euler),
+Merton jumps, and Dupire-from-SVI (:func:`exotic_price_mc_dupire`). On TPU
+the GBM and Dupire cases drop into Pallas kernels where the whole time loop
+runs in registers (``ops/pallas_path_mc.py``); a ``mesh`` argument shards
+paths across devices with a psum of payoff moments.
 
 Returns ``(price, stderr)`` with the same estimator conventions as
 ``exotics._price_from_payoff``.
@@ -206,177 +210,184 @@ def exotic_price_mc(
         sigma=jnp.asarray(0.0 if sigma is None else sigma, dt_),
         barrier=jnp.asarray(barrier, dt_), rebate=jnp.asarray(rebate, dt_),
         payout=jnp.asarray(payout, dt_), bump=jnp.asarray(dS_bump, dt_),
+        h_v0=jnp.asarray(heston["v0"] if heston else 0.0, dt_),
+        h_kappa=jnp.asarray(heston["kappa"] if heston else 0.0, dt_),
+        h_theta=jnp.asarray(heston["theta"] if heston else 0.0, dt_),
+        h_xi=jnp.asarray(heston["xi"] if heston else 0.0, dt_),
+        h_rho=jnp.asarray(heston["rho"] if heston else 0.0, dt_),
+        m_lam=jnp.asarray(merton["lam"] if merton else 0.0, dt_),
+        m_mJ=jnp.asarray(merton["mJ"] if merton else 0.0, dt_),
+        m_sJ=jnp.asarray(merton["sJ"] if merton else 0.0, dt_),
     )
-
-    def make_run(np_local: int):
-        """Jitted payoff generator for np_local base paths (closure-static)."""
-        n_paths = np_local
-
-        @partial(jax.jit, static_argnames=())
-        def run(key):
-            dt = fixed["T"] / n_steps
-            sqrt_dt = jnp.sqrt(dt)
-            n_cols = 2 * n_paths if antithetic else n_paths
-            # Derive the initial carry from the key so its varying-axes type
-            # matches the per-step draws inside shard_map (scan requires
-            # carry in/out agreement; see models/monte_carlo.py).
-            vary = jnp.zeros((), dt_) * jax.random.uniform(
-                jax.random.fold_in(key, 2**30), (), dt_)
-            S_init = jnp.full((n_cols,), fixed["S0"], dtype=dt_) + vary
-            zeros = S_init * 0.0
-
-            up = barrier_type.startswith("up")
-            crossed0 = (S_init >= fixed["barrier"]) if up else \
-                (S_init <= fixed["barrier"])
-
-            v_init = zeros + jnp.maximum(jnp.asarray(
-                heston["v0"] if heston else 0.0, dt_), 0.0)
-            carry0 = (
-                S_init,
-                zeros,                                  # running sum (excl. t=0)
-                zeros,                                  # running log-sum
-                S_init,                                 # running max (incl. t=0)
-                S_init,                                 # running min
-                crossed0 if payoff == "barrier" else zeros > 1.0,
-                v_init,                                 # Heston variance state
-            )
-
-            def gbm_step(S, z, t_now):
-                mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
-                return S * jnp.exp(mu + fixed["sigma"] * sqrt_dt * z)
-
-            def lv_log_euler_step(S, z, t_now):
-                sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_), 0.0, jnp.inf)
-                return S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * sig * sig) * dt
-                                   + sig * sqrt_dt * z)
-
-            def lv_milstein_step(S, z, t_now):
-                sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_), 1e-8, 10.0)
-                eps = fixed["bump"] * S
-                S_up = S + eps
-                S_dn = jnp.maximum(S - eps, 1e-10)
-                sig_up = jnp.asarray(sigma_loc(S_up, t_now), dt_)
-                sig_dn = jnp.asarray(sigma_loc(S_dn, t_now), dt_)
-                da_dS = (sig_up * S_up - sig_dn * S_dn) / (S_up - S_dn)
-                a_t = sig * S
-                S_n = (S + (fixed["r"] - fixed["q"]) * S * dt + a_t * sqrt_dt * z
-                       + 0.5 * a_t * da_dS * (z * z - 1.0) * dt)
-                return jnp.maximum(S_n, 1e-10)
-
-            if heston is not None:
-                h = {k: jnp.asarray(v, dt_) for k, v in heston.items()}
-
-                def heston_step(S, v, z1, z2):
-                    v_eff = jnp.maximum(v, 0.0)  # full truncation
-                    S_new = S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * v_eff)
-                                        * dt + jnp.sqrt(v_eff) * sqrt_dt * z1)
-                    v_new = jnp.maximum(
-                        v + h["kappa"] * (h["theta"] - v_eff) * dt
-                        + h["xi"] * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
-                    return S_new, v_new
-
-                rho_h = jnp.asarray(heston["rho"], dt_)
-                rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho_h * rho_h))
-
-            if merton is not None:
-                m = {k: jnp.asarray(v, dt_) for k, v in merton.items()}
-                kappa_j = jnp.exp(m["mJ"] + 0.5 * m["sJ"] ** 2) - 1.0
-
-                def merton_step(S, z, kp_counts, zj):
-                    # GBM + compound Poisson in log space with λκ compensator
-                    # (same discretisation as processes.merton_jump_paths)
-                    drift = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2
-                             - m["lam"] * kappa_j) * dt
-                    y_sum = m["mJ"] * kp_counts + m["sJ"] * jnp.sqrt(kp_counts) * zj
-                    return S * jnp.exp(drift + fixed["sigma"] * sqrt_dt * z
-                                       + y_sum)
-
-            if sigma_loc is None and heston is None and merton is None:
-                step_fn = gbm_step
-            elif heston is not None or merton is not None:
-                step_fn = None
-            elif scheme == "milstein":
-                step_fn = lv_milstein_step
-            else:
-                step_fn = lv_log_euler_step
-
-            def step(carry, t_idx):
-                S, rsum, rlog, rmax, rmin, crossed, v = carry
-                zk = jax.random.fold_in(key, t_idx)
-                t_now = t_idx.astype(dt_) * dt
-                if heston is not None:
-                    k2, kp = jax.random.split(zk)
-                    z2 = jax.random.normal(k2, (n_paths,), dt_)
-                    zp = jax.random.normal(kp, (n_paths,), dt_)
-                    if antithetic:
-                        z2 = jnp.concatenate([z2, -z2])
-                        zp = jnp.concatenate([zp, -zp])
-                    z1 = rho_h * z2 + rho_perp * zp
-                    S_new, v = heston_step(S, v, z1, z2)
-                elif merton is not None:
-                    kz, kn, kj = jax.random.split(zk, 3)
-                    z = jax.random.normal(kz, (n_paths,), dt_)
-                    counts = jax.random.poisson(
-                        kn, m["lam"] * dt, (n_paths,)).astype(dt_)
-                    zj = jax.random.normal(kj, (n_paths,), dt_)
-                    if antithetic:
-                        z = jnp.concatenate([z, -z])
-                        counts = jnp.concatenate([counts, counts])
-                        zj = jnp.concatenate([zj, -zj])
-                    S_new = merton_step(S, z, counts, zj)
-                else:
-                    z = jax.random.normal(zk, (n_paths,), dt_)
-                    if antithetic:
-                        z = jnp.concatenate([z, -z])
-                    S_new = step_fn(S, z, t_now)
-                if payoff == "asian":
-                    rsum = rsum + S_new
-                    if average_type == "geometric":
-                        rlog = rlog + jnp.log(S_new)
-                if payoff in ("lookback",):
-                    rmax = jnp.maximum(rmax, S_new)
-                    rmin = jnp.minimum(rmin, S_new)
-                if payoff == "barrier":
-                    hit = (S_new >= fixed["barrier"]) if up else \
-                        (S_new <= fixed["barrier"])
-                    crossed = jnp.logical_or(crossed, hit)
-                return (S_new, rsum, rlog, rmax, rmin, crossed, v), None
-
-            carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
-            carry = carry[:6]
-            pay = _terminal_payoff(
-                payoff, carry, K=fixed["K"], kind=kind, n_steps=n_steps,
-                barrier_type=barrier_type, rebate=fixed["rebate"],
-                average_type=average_type, strike_type=strike_type,
-                payout=fixed["payout"])
-            return pay
-
-        return run
+    if heston is not None:
+        model_kind = "heston"
+    elif merton is not None:
+        model_kind = "merton"
+    elif sigma_loc is not None:
+        model_kind = "lv_milstein" if scheme == "milstein" else "lv_euler"
+    else:
+        model_kind = "gbm"
+    static = dict(payoff=payoff, kind=kind, n_steps=int(n_steps),
+                  antithetic=bool(antithetic), barrier_type=barrier_type,
+                  average_type=average_type, strike_type=strike_type,
+                  model_kind=model_kind, sigma_loc=sigma_loc, dtype=dt_)
 
     if mesh is None:
-        pay = make_run(int(n_paths))(key)
+        pay = _fused_paths(key, fixed, n_paths=int(n_paths), **static)
         return _price_from_payoff(pay, r, T)
 
     # Mesh DP: per-device path shards, payoff moments psum'd over ICI.
+    import numpy as np
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n_local = -(-int(n_paths) // n_dev)
-    run_local = make_run(n_local)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
     def shard_fn(dev_ids):
         local_key = jax.random.fold_in(key, dev_ids[0])
-        X = jnp.exp(-fixed["r"] * fixed["T"]) * run_local(local_key)
+        X = jnp.exp(-fixed["r"] * fixed["T"]) * _fused_paths(
+            local_key, fixed, n_paths=n_local, **static)
         stats = jnp.stack([jnp.asarray(X.size, X.dtype), jnp.sum(X),
                            jnp.sum(X * X)])
         return jax.lax.psum(stats, axis)
-
-    import numpy as np
 
     s = np.asarray(jax.device_get(shard_fn(jnp.arange(n_dev))), np.float64)
     n, sx, sx2 = s
     mean = sx / n
     var = max(0.0, (sx2 - n * mean * mean) / max(n - 1, 1))
     return float(mean), float(np.sqrt(var / n))
+
+
+@partial(jax.jit, static_argnames=(
+    "payoff", "kind", "n_steps", "n_paths", "antithetic", "barrier_type",
+    "average_type", "strike_type", "model_kind", "sigma_loc", "dtype"))
+def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
+                 barrier_type, average_type, strike_type, model_kind,
+                 sigma_loc, dtype):
+    """Module-level jitted core: repeat calls with the same static config
+    (payoff/model/steps/paths) reuse the compilation even as market data
+    changes — essential for bump risk and book loops."""
+    dt_ = dtype
+    dt = fixed["T"] / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    n_cols = 2 * n_paths if antithetic else n_paths
+    # Derive the initial carry from the key so its varying-axes type matches
+    # the per-step draws inside shard_map (scan requires carry agreement).
+    vary = jnp.zeros((), dt_) * jax.random.uniform(
+        jax.random.fold_in(key, 2**30), (), dt_)
+    S_init = jnp.full((n_cols,), fixed["S0"], dtype=dt_) + vary
+    zeros = S_init * 0.0
+
+    up = barrier_type.startswith("up")
+    crossed0 = (S_init >= fixed["barrier"]) if up else \
+        (S_init <= fixed["barrier"])
+
+    v_init = zeros + jnp.maximum(fixed["h_v0"], 0.0)
+    carry0 = (
+        S_init,
+        zeros,                                  # running sum (excl. t=0)
+        zeros,                                  # running log-sum
+        S_init,                                 # running max (incl. t=0)
+        S_init,                                 # running min
+        crossed0 if payoff == "barrier" else zeros > 1.0,
+        v_init,                                 # Heston variance state
+    )
+
+    def gbm_step(S, z, t_now):
+        mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
+        return S * jnp.exp(mu + fixed["sigma"] * sqrt_dt * z)
+
+    def lv_log_euler_step(S, z, t_now):
+        sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_), 0.0, jnp.inf)
+        return S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * sig * sig) * dt
+                           + sig * sqrt_dt * z)
+
+    def lv_milstein_step(S, z, t_now):
+        sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_), 1e-8, 10.0)
+        eps = fixed["bump"] * S
+        S_up = S + eps
+        S_dn = jnp.maximum(S - eps, 1e-10)
+        sig_up = jnp.asarray(sigma_loc(S_up, t_now), dt_)
+        sig_dn = jnp.asarray(sigma_loc(S_dn, t_now), dt_)
+        da_dS = (sig_up * S_up - sig_dn * S_dn) / (S_up - S_dn)
+        a_t = sig * S
+        S_n = (S + (fixed["r"] - fixed["q"]) * S * dt + a_t * sqrt_dt * z
+               + 0.5 * a_t * da_dS * (z * z - 1.0) * dt)
+        return jnp.maximum(S_n, 1e-10)
+
+    def heston_step(S, v, z1, z2):
+        v_eff = jnp.maximum(v, 0.0)  # full truncation
+        S_new = S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * v_eff) * dt
+                            + jnp.sqrt(v_eff) * sqrt_dt * z1)
+        v_new = jnp.maximum(
+            v + fixed["h_kappa"] * (fixed["h_theta"] - v_eff) * dt
+            + fixed["h_xi"] * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
+        return S_new, v_new
+
+    def merton_step(S, z, kp_counts, zj):
+        # GBM + compound Poisson in log space with λκ compensator
+        # (same discretisation as processes.merton_jump_paths)
+        kappa_j = jnp.exp(fixed["m_mJ"] + 0.5 * fixed["m_sJ"] ** 2) - 1.0
+        drift = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2
+                 - fixed["m_lam"] * kappa_j) * dt
+        y_sum = fixed["m_mJ"] * kp_counts \
+            + fixed["m_sJ"] * jnp.sqrt(kp_counts) * zj
+        return S * jnp.exp(drift + fixed["sigma"] * sqrt_dt * z + y_sum)
+
+    rho_h = fixed["h_rho"]
+    rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho_h * rho_h))
+
+    step_fn = dict(gbm=gbm_step, lv_euler=lv_log_euler_step,
+                   lv_milstein=lv_milstein_step).get(model_kind)
+
+    def step(carry, t_idx):
+        S, rsum, rlog, rmax, rmin, crossed, v = carry
+        zk = jax.random.fold_in(key, t_idx)
+        t_now = t_idx.astype(dt_) * dt
+        if model_kind == "heston":
+            k2, kp = jax.random.split(zk)
+            z2 = jax.random.normal(k2, (n_paths,), dt_)
+            zp = jax.random.normal(kp, (n_paths,), dt_)
+            if antithetic:
+                z2 = jnp.concatenate([z2, -z2])
+                zp = jnp.concatenate([zp, -zp])
+            z1 = rho_h * z2 + rho_perp * zp
+            S_new, v = heston_step(S, v, z1, z2)
+        elif model_kind == "merton":
+            kz, kn, kj = jax.random.split(zk, 3)
+            z = jax.random.normal(kz, (n_paths,), dt_)
+            counts = jax.random.poisson(
+                kn, fixed["m_lam"] * dt, (n_paths,)).astype(dt_)
+            zj = jax.random.normal(kj, (n_paths,), dt_)
+            if antithetic:
+                z = jnp.concatenate([z, -z])
+                counts = jnp.concatenate([counts, counts])
+                zj = jnp.concatenate([zj, -zj])
+            S_new = merton_step(S, z, counts, zj)
+        else:
+            z = jax.random.normal(zk, (n_paths,), dt_)
+            if antithetic:
+                z = jnp.concatenate([z, -z])
+            S_new = step_fn(S, z, t_now)
+        if payoff == "asian":
+            rsum = rsum + S_new
+            if average_type == "geometric":
+                rlog = rlog + jnp.log(S_new)
+        if payoff in ("lookback",):
+            rmax = jnp.maximum(rmax, S_new)
+            rmin = jnp.minimum(rmin, S_new)
+        if payoff == "barrier":
+            hit = (S_new >= fixed["barrier"]) if up else \
+                (S_new <= fixed["barrier"])
+            crossed = jnp.logical_or(crossed, hit)
+        return (S_new, rsum, rlog, rmax, rmin, crossed, v), None
+
+    carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
+    carry = carry[:6]
+    return _terminal_payoff(
+        payoff, carry, K=fixed["K"], kind=kind, n_steps=n_steps,
+        barrier_type=barrier_type, rebate=fixed["rebate"],
+        average_type=average_type, strike_type=strike_type,
+        payout=fixed["payout"])
