@@ -18,8 +18,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import stats as stats_ops
-
 __all__ = ["get_mesh", "mc_sumstats_sharded"]
 
 
