@@ -32,7 +32,7 @@ from .ops.black_scholes import (
     greeks as bs_greeks,
     implied_vol,
 )
-from .models.monte_carlo import euro_price_mc
+from .models.monte_carlo import euro_greeks_mc, euro_price_mc
 from .models.binomial import crr
 
 # Production data model
@@ -119,6 +119,7 @@ __all__ = [
     "backtest_delta_hedge",
     # TPU-native extensions
     "exotic_price_mc", "exotic_price_mc_dupire", "fd_price_batch",
+    "euro_greeks_mc",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

@@ -35,7 +35,7 @@ from ..dtypes import canonical
 from ..ops import stats as stats_ops
 from ..ops.black_scholes import is_call_mask
 
-__all__ = ["euro_price_mc", "mc_sumstats", "resolve_seed"]
+__all__ = ["euro_price_mc", "euro_greeks_mc", "mc_sumstats", "resolve_seed"]
 
 
 def resolve_seed(seed: Optional[int]) -> int:
@@ -50,7 +50,10 @@ def _chunk_stats(key, chunk_idx, n_paths, S0, K, T, r, q, sigma, is_call,
     """Sufficient statistics of one fixed-size chunk of terminal GBM draws.
 
     Exact log-Euler terminal scheme (reference ``monte_carlo.py:30-55``):
-    S_T = S0·exp((r−q−σ²/2)T + σ√T·Z), X = e^{−rT}·payoff, Y = e^{−rT}·S_T.
+    S_T = S0·exp((r−q−σ²/2)T + σ√T·Z), X = e^{−rT}·payoff, Y1 = e^{−rT}·S_T.
+    Emits the extended 10-stat layout (adds digital moments Y2 = e^{−rT}·
+    1{ITM}) shared with the Pallas kernels; the price estimator uses the
+    first six (reference parity), the extras feed pathwise Greeks.
     """
     mu = (r - q - 0.5 * sigma * sigma) * T
     sig = sigma * jnp.sqrt(T)
@@ -62,16 +65,28 @@ def _chunk_stats(key, chunk_idx, n_paths, S0, K, T, r, q, sigma, is_call,
     base = chunk_idx * chunk_size + jnp.arange(chunk_size)
     w = (base < n_paths).astype(dtype)
 
-    def xy(z):
+    def moments(z):
         ST = S0 * jnp.exp(mu + sig * z)
-        payoff = jnp.where(is_call, jnp.maximum(ST - K, 0.0), jnp.maximum(K - ST, 0.0))
-        return df * payoff, df * ST
+        itm = jnp.where(is_call, ST > K, ST < K)
+        payoff = jnp.where(is_call, jnp.maximum(ST - K, 0.0),
+                           jnp.maximum(K - ST, 0.0))
+        X = df * payoff
+        Y1 = df * ST
+        Y2 = df * itm.astype(dtype)
+        WX = X * w
+        WY1 = Y1 * w
+        WY2 = Y2 * w
+        return jnp.stack([
+            jnp.sum(w),
+            jnp.sum(WX), jnp.sum(WX * X),
+            jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
+            jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
+            jnp.sum(WY1 * Y2),
+        ])
 
-    X, Y = xy(Z)
-    s = stats_ops.sumstats(X, Y, w)
+    s = moments(Z)
     if antithetic:
-        Xa, Ya = xy(-Z)
-        s = s + stats_ops.sumstats(Xa, Ya, w)
+        s = s + moments(-Z)
     return s
 
 
@@ -98,19 +113,22 @@ def mc_sumstats(key, chunk_ids, n_paths, S0, K, T, r, q, sigma, is_call,
 
     # Derive the zero carry from chunk_ids so its varying-axis type matches
     # inside shard_map (scan requires carry in/out manual-axes agreement).
-    zero = jnp.zeros((stats_ops.STATS_DIM,), dtype) \
+    zero = jnp.zeros((stats_ops.STATS2_DIM,), dtype) \
         + jnp.zeros((), dtype) * chunk_ids[0].astype(dtype)
     (acc, _), _ = jax.lax.scan(step, (zero, zero), chunk_ids)
     return acc
 
 
 def _estimate(stats_vec, S0, q, T, control_variate: bool):
-    """Turn the stats vector into (price, stderr) on the host."""
+    """Turn the stats vector into (price, stderr) on the host.
+
+    Only the first six components feed the price — exactly the reference's
+    single-CV estimator (``monte_carlo.py:150-163``)."""
     stats_vec = np.asarray(jax.device_get(stats_vec), dtype=np.float64)
     n = stats_vec[stats_ops.N]
     if n == 0:
         return float("nan"), float("nan")
-    sv = jnp.asarray(stats_vec)
+    sv = jnp.asarray(stats_vec[:stats_ops.STATS_DIM])
     if control_variate:
         EY = S0 * np.exp(-q * T)  # known E[e^{-rT}S_T] under Q
         mean, se = stats_ops.cv_mean_se(sv, jnp.asarray(EY, sv.dtype))
@@ -187,3 +205,38 @@ def euro_price_mc(
 
     price, se = _estimate(stats_vec, S0, q, T, control_variate)
     return (price, se) if return_stderr else price
+
+
+def euro_greeks_mc(opt: OptionSpec, kind: str = CALL, *,
+                   n_paths: int = 1_000_000, seed: Optional[int] = None,
+                   chunk_size: int = 100_000, antithetic: bool = True,
+                   dtype=None, backend: str = "auto") -> dict:
+    """Pathwise Monte-Carlo delta + digital price from the same draws.
+
+    Under GBM the pathwise delta is a linear combination of moments the
+    sufficient-statistics kernels already accumulate (see
+    ``ops.pallas_mc.pallas_greeks``), so Greeks cost nothing beyond the
+    pricing run. Returns ``{"price", "delta", "digital"}``.
+    """
+    from ..ops.pallas_mc import mc_sumstats_pallas, pallas_greeks
+
+    dt = canonical(dtype)
+    S0, K, T, r, sigma = opt.S0, opt.K, opt.T, opt.r, opt.sigma
+    q = getattr(opt, "q", 0.0)
+    is_call = bool(is_call_mask(kind))
+    seed = resolve_seed(seed)
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        stats_vec = mc_sumstats_pallas(
+            seed, n_paths, S0, K, T, r, q, sigma, is_call,
+            antithetic=antithetic, dtype=dt)
+    else:
+        n_chunks = -(-int(n_paths) // int(chunk_size))
+        args = [jnp.asarray(v, dt) for v in (S0, K, T, r, q, sigma)]
+        stats_vec = mc_sumstats(
+            jax.random.key(seed), jnp.arange(n_chunks), jnp.asarray(n_paths),
+            *args, jnp.asarray(is_call),
+            chunk_size=int(chunk_size), antithetic=antithetic, dtype=dt)
+    return pallas_greeks(stats_vec, S0, K, T, r, q, sigma, is_call)

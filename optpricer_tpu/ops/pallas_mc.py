@@ -202,3 +202,27 @@ def pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
     mean, se = stats_ops.cv2_mean_se(s, EY1, EY2)
     # f32 moment-roundoff floor (see pallas_mc_batch.euro_price_mc_batch)
     return mean, max(se, 2e-6 * (1.0 + abs(mean)))
+
+
+def pallas_greeks(stats_vec, S0, K, T, r, q, sigma, is_call: bool) -> dict:
+    """Pathwise MC Greeks for free from the 10-stat vector.
+
+    Under GBM, ∂S_T/∂S0 = S_T/S0, so the pathwise estimators are linear in
+    moments the kernel already accumulates:
+
+    * delta  = e^{−rT}·E[±1{ITM}·S_T]/S0 = ±(E[X] + sign·K·E[Y2])/S0
+    * digital (cash-or-nothing) price    = E[Y2]
+
+    The CV-corrected price feeds delta; E[Y2] uses its sample mean.
+    """
+    import numpy as np
+
+    s = np.asarray(jax.device_get(stats_vec), np.float64)
+    n = s[0]
+    price, _ = pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call,
+                               control_variate=True)
+    mY2 = s[6] / n  # E[e^{−rT}·1{ITM}]
+    sign = 1.0 if is_call else -1.0
+    # call: (E[X] + K·E[Y2])/S0 ; put: (E[X] − K·E[Y2])/S0 (≤ 0)
+    delta = (price + sign * K * mY2) / S0
+    return {"delta": float(delta), "digital": float(mY2), "price": price}

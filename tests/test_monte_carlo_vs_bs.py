@@ -115,3 +115,25 @@ class TestSufficientStats:
         exact = chunks.astype(np.float64).sum(axis=0)
         rel = np.abs(np.asarray(acc, np.float64) - exact) / np.abs(exact)
         assert rel.max() < 1e-6
+
+
+class TestPathwiseGreeks:
+    def test_delta_and_digital_vs_analytic(self):
+        from math import erfc, exp, log, sqrt
+
+        from optpricer_tpu.models.monte_carlo import euro_greeks_mc
+
+        out = euro_greeks_mc(OPT, CALL, n_paths=400_000, seed=21)
+        Phi = lambda x: 0.5 * erfc(-x / sqrt(2))
+        srt = OPT.sigma * sqrt(OPT.T)
+        d1 = (log(OPT.S0 / OPT.K) + (OPT.r + 0.5 * OPT.sigma**2) * OPT.T) / srt
+        d2 = d1 - srt
+        assert abs(out["delta"] - Phi(d1)) < 0.01
+        assert abs(out["digital"] - exp(-OPT.r * OPT.T) * Phi(d2)) < 0.005
+        assert abs(out["price"] - bs_price(OPT, CALL)) < 0.05
+
+    def test_put_delta_negative(self):
+        from optpricer_tpu.models.monte_carlo import euro_greeks_mc
+
+        out = euro_greeks_mc(OPT, PUT, n_paths=200_000, seed=22)
+        assert -1.0 < out["delta"] < 0.0
