@@ -66,11 +66,10 @@ def _pivots(a, b, c):
         inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 1.0)
         return r00 * inv, r01 * inv, r10 * inv, r11 * inv
 
-    c00, c01, c10, c11 = jax.lax.associative_scan(
+    c00, _, c10, _ = jax.lax.associative_scan(
         combine, (m00, m01, m10, m11), axis=-1
     )
     # [p_i, p_{i-1}] = C_i [1, 0]^T  =>  b'_i = C_i[0,0] / C_i[1,0]
-    del c01, c11, n
     return c00 / c10
 
 
