@@ -187,22 +187,42 @@ def exotic_price_mc(
 
     # TPU fast path: the whole time loop runs inside one Pallas kernel
     # (hardware PRNG, state in registers — see ops/pallas_path_mc.py).
-    gbm_only = (sigma_loc is None and heston is None and merton is None)
-    use_pallas = mesh is None and (backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu" and gbm_only
-        and n_steps % 2 == 0 and n_paths * n_steps >= 4_000_000))
-    if use_pallas and gbm_only and n_steps % 2 == 0:
+    # GBM and Heston dynamics are supported in-kernel (Dupire via
+    # exotic_price_mc_dupire); traced sigma_loc closures and Merton stay
+    # on the XLA scan path.
+    kernel_ok = (sigma_loc is None and merton is None)
+    use_pallas = mesh is None and kernel_ok and n_steps % 2 == 0 and (
+        backend == "pallas" or (
+            backend == "auto" and jax.default_backend() == "tpu"
+            and n_paths * n_steps >= 4_000_000))
+    if use_pallas:
         from ..ops.pallas_mc import pallas_estimate
         from ..ops.pallas_path_mc import path_mc_sumstats_pallas
 
         stats_vec = path_mc_sumstats_pallas(
-            seed_val, int(n_paths), int(n_steps), S0, K, T, r, q, sigma,
-            kind == "call", payoff=payoff, antithetic=bool(antithetic),
-            barrier=barrier, barrier_type=barrier_type, rebate=rebate,
+            seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
+            sigma, kind == "call", payoff=payoff,
+            antithetic=bool(antithetic), barrier=barrier,
+            barrier_type=barrier_type, rebate=rebate,
             average_type=average_type, strike_type=strike_type,
-            payout=payout)
-        return pallas_estimate(stats_vec, S0, K, T, r, q, sigma,
-                               kind == "call", control_variate)
+            payout=payout, heston=heston)
+        if heston is None:
+            return pallas_estimate(stats_vec, S0, K, T, r, q, sigma,
+                                   kind == "call", control_variate)
+        # Heston: the digital CV mean is not known in closed form; use the
+        # spot CV only (E[e^{−rT}S_T] = S0e^{−qT} under any Q dynamics).
+        import numpy as np
+
+        from ..ops import stats as stats_ops
+
+        s = np.asarray(jax.device_get(stats_vec), np.float64)
+        if not control_variate:
+            n, mX = s[0], s[1] / s[0]
+            vX = max(0.0, s[2] / s[0] - mX * mX)
+            return float(mX), float(np.sqrt(vX / n))
+        mean, se = stats_ops.cv_mean_se(
+            jnp.asarray(s[:6]), jnp.asarray(S0 * np.exp(-q * T)))
+        return float(mean), float(se)
 
     fixed = dict(
         S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),

@@ -66,6 +66,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     rq = par_ref[11]        # r − q
     sqrt_dt = par_ref[12]
     bump = par_ref[13]      # Milstein σ′ bump fraction
+    h_v0 = par_ref[14]      # Heston parameters
+    h_kappa = par_ref[15]
+    h_theta = par_ref[16]
+    h_xi = par_ref[17]
+    h_rho = par_ref[18]
 
     # ---- Dupire local vol from SVI slices (closed form, in registers) ----
     # svi_ref layout: (6, n_slices) rows a, b, rho, m, sg, T.
@@ -160,19 +165,34 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                            else (S <= barrier)).astype(jnp.float32)
             else:
                 crossed = jnp.zeros(shape, jnp.float32)
-            # (S, run_sum, run_logsum, run_max, run_min, crossed)
-            return (S, jnp.zeros(shape), jnp.zeros(shape), S, S, crossed)
+            v = jnp.full(shape, h_v0) if dynamics == "heston" \
+                else jnp.zeros(shape, jnp.float32)
+            # (S, run_sum, run_logsum, run_max, run_min, crossed, v)
+            return (S, jnp.zeros(shape), jnp.zeros(shape), S, S, crossed, v)
 
         st_p = init_state()
         st_m = init_state()
 
-        def move(S, z, t_now):
+        def move(S, v, z, zv, t_now):
+            """One step of the asset (and variance) dynamics."""
             if dynamics == "gbm":
-                return S * exp32(mu + sig * z)
+                return S * exp32(mu + sig * z), v
+            if dynamics == "heston":
+                # full-truncation Euler variance, log-Euler asset — same
+                # discretisation as processes.heston_paths
+                v_eff = jnp.maximum(v, 0.0)
+                z1 = h_rho * zv + jnp.sqrt(jnp.maximum(
+                    0.0, 1.0 - h_rho * h_rho)) * z
+                S_new = S * exp32((rq - 0.5 * v_eff) * dt_step
+                                  + jnp.sqrt(v_eff) * sqrt_dt * z1)
+                v_new = jnp.maximum(
+                    v + h_kappa * (h_theta - v_eff) * dt_step
+                    + h_xi * jnp.sqrt(v_eff) * sqrt_dt * zv, 0.0)
+                return S_new, v_new
             if dynamics == "lv_euler":
                 s_loc = sigma_loc(S, t_now)
                 return S * exp32((rq - 0.5 * s_loc * s_loc) * dt_step
-                                 + s_loc * sqrt_dt * z)
+                                 + s_loc * sqrt_dt * z), v
             # lv_milstein — same σ′ central FD as
             # processes.milstein_local_vol_paths
             s_loc = jnp.clip(sigma_loc(S, t_now), 1e-8, 10.0)
@@ -185,11 +205,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             a_t = s_loc * S
             S_new = (S + rq * S * dt_step + a_t * sqrt_dt * z
                      + 0.5 * a_t * da * (z * z - 1.0) * dt_step)
-            return jnp.maximum(S_new, 1e-10)
+            return jnp.maximum(S_new, 1e-10), v
 
-        def advance(st, z, t_now):
-            S, rsum, rlog, rmax, rmin, crossed = st
-            S = move(S, z, t_now)
+        def advance(st, z, zv, t_now):
+            S, rsum, rlog, rmax, rmin, crossed, v = st
+            S, v = move(S, v, z, zv, t_now)
             if payoff_id == 2:  # asian
                 rsum = rsum + S
                 if average_geo:
@@ -201,24 +221,28 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                 hit = ((S >= barrier) if barrier_up
                        else (S <= barrier)).astype(jnp.float32)
                 crossed = jnp.maximum(crossed, hit)
-            return (S, rsum, rlog, rmax, rmin, crossed)
+            return (S, rsum, rlog, rmax, rmin, crossed, v)
 
         def step_body(t, states):
             st_p, st_m = states
             z1, z2 = normals()
+            if dynamics == "heston":
+                zv1, zv2 = normals()  # independent variance shocks
+            else:
+                zv1 = zv2 = z1
             t0 = (2.0 * t.astype(jnp.float32)) * dt_step
             t1 = t0 + dt_step
-            st_p = advance(st_p, z1, t0)
-            st_p = advance(st_p, z2, t1)
+            st_p = advance(st_p, z1, zv1, t0)
+            st_p = advance(st_p, z2, zv2, t1)
             if antithetic:
-                st_m = advance(st_m, -z1, t0)
-                st_m = advance(st_m, -z2, t1)
+                st_m = advance(st_m, -z1, -zv1, t0)
+                st_m = advance(st_m, -z2, -zv2, t1)
             return (st_p, st_m)
 
         st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
 
         def payoff_of(st):
-            S, rsum, rlog, rmax, rmin, crossed = st
+            S, rsum, rlog, rmax, rmin, crossed, v = st
             vanilla = jnp.maximum(sign * (S - K), 0.0)
             if payoff_id == 0:
                 pay = vanilla
@@ -311,15 +335,18 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
 
 
 def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
-                   barrier, rebate, payout, dS_bump):
+                   barrier, rebate, payout, dS_bump, heston=None):
     dt = T / n_steps
     mu = (r - q - 0.5 * sigma * sigma) * dt
     sig = sigma * np.sqrt(dt)
     df = np.exp(-r * T)
     sign = 1.0 if is_call else -1.0
+    h = heston or {}
     return jnp.asarray(
         [S0, K, mu, sig, df, float(n_paths), sign, barrier, rebate, payout,
-         dt, r - q, np.sqrt(dt), dS_bump], jnp.float32)
+         dt, r - q, np.sqrt(dt), dS_bump,
+         h.get("v0", 0.0), h.get("kappa", 0.0), h.get("theta", 0.0),
+         h.get("xi", 0.0), h.get("rho", 0.0)], jnp.float32)
 
 
 def path_mc_sumstats_pallas(
@@ -329,15 +356,17 @@ def path_mc_sumstats_pallas(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
+    heston=None,
 ):
     """(10,) sufficient statistics for a path-dependent payoff.
 
-    Dynamics: GBM when ``svi_slices`` is None, else Dupire local vol with
-    σ(S,t) evaluated from the SVI surface *inside the kernel*
-    (``svi_slices``: array (6, n_slices), rows a/b/rho/m/sg/T; the forward
-    is the analytic S0·e^{(r−q)t}). ``scheme`` selects log-Euler or Milstein
-    for the local-vol case. n_steps must be even (two Box-Muller normals
-    advance two steps per loop); callers bump odd step counts by one.
+    Dynamics: GBM by default; Dupire local vol when ``svi_slices`` is given
+    (array (6, n_slices), rows a/b/rho/m/sg/T — σ(S,t) evaluated from the
+    SVI surface *inside the kernel* with the analytic forward
+    S0·e^{(r−q)t}; ``scheme`` selects log-Euler/Milstein); Heston when a
+    ``heston`` dict is given (full-truncation Euler variance in registers).
+    n_steps must be even (two Box-Muller normals advance two steps per
+    loop); callers bump odd step counts by one.
     """
     if n_steps % 2:
         raise ValueError("pallas path engine requires even n_steps")
@@ -347,10 +376,11 @@ def path_mc_sumstats_pallas(
 
     params = _common_params(n_paths, n_steps, S0, K, T, r, q,
                             sigma if sigma is not None else 0.0,
-                            is_call, barrier, rebate, payout, dS_bump)
+                            is_call, barrier, rebate, payout, dS_bump,
+                            heston)
     seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
     if svi_slices is None:
-        dynamics, n_slices = "gbm", 0
+        dynamics, n_slices = ("heston" if heston is not None else "gbm"), 0
         svi = jnp.zeros((6, 1), jnp.float32)
     else:
         dynamics = "lv_milstein" if scheme == "milstein" else "lv_euler"

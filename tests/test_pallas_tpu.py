@@ -103,3 +103,14 @@ def test_dupire_kernel_vs_xla():
                                     0.05, 0.02, scheme="milstein",
                                     backend="xla", seed=4, **kw)
     assert abs(p1 - p2) < 5 * np.hypot(s1, s2) + 1e-3
+
+
+def test_heston_kernel_vs_xla():
+    hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.3, rho=-0.5)
+    p1, s1 = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, heston=hp,
+                             n_steps=100, n_paths=200_000, seed=3,
+                             backend="pallas")
+    p2, s2 = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, heston=hp,
+                             n_steps=100, n_paths=200_000, seed=4,
+                             backend="xla")
+    assert abs(p1 - p2) < 5 * np.hypot(s1, s2) + 1e-3
