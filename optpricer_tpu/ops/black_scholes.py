@@ -208,6 +208,12 @@ def implied_vol(
     f = lambda sig: price(replace(opt, sigma=float(sig)), kind) - target_price
     if f(a) * f(b) > 0:
         a, b = 1e-6, max(5.0, 2.0 * opt.sigma if opt.sigma > 0 else 1.0)
+        if f(a) * f(b) > 0:
+            # No sign change even after widening — the target is outside the
+            # attainable price range (scipy brentq would raise here too).
+            raise ValueError(
+                f"implied_vol: target price {target_price} is not bracketed "
+                f"by sigma in [{a}, {b}]")
     dt = canonical(None)
     args = _prep(None, opt.S0, opt.K, opt.T, opt.r, opt.q, target_price, a, b)
     S, K, T, r, q, tgt, lo, hi = args

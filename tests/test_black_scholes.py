@@ -127,3 +127,28 @@ class TestImpliedVol:
         ivs = bs_implied_vol_vec(100.0, 100.0, 1.0, 0.05, 0.0,
                                  np.array([1e-12]), CALL)
         assert np.isnan(np.asarray(ivs)).all()
+
+
+class TestImpliedVolEdges:
+    def test_unattainable_price_raises(self):
+        import pytest
+        with pytest.raises(ValueError):
+            implied_vol(OPT, 0.001, CALL)  # below the zero-vol lower bound
+        with pytest.raises(ValueError):
+            implied_vol(OPT, 200.0, CALL)  # above S0
+
+    def test_high_vol_round_trip(self):
+        opt = OptionSpec(S0=100.0, K=100.0, T=0.5, r=0.02, sigma=1.5)
+        px = bs_price(opt, CALL)
+        assert abs(implied_vol(opt, px, CALL) - 1.5) < 1e-5
+
+
+class TestExoticsAcceptNumpy:
+    def test_numpy_paths(self):
+        from optpricer_tpu import asian_price
+        rng = np.random.default_rng(0)
+        paths = 100.0 * np.exp(np.cumsum(
+            rng.normal(0, 0.01, size=(51, 1000)), axis=0))
+        paths[0, :] = 100.0
+        px, se = asian_price(paths, 100.0, 0.05, 1.0, CALL)
+        assert np.isfinite(px) and se > 0
