@@ -84,9 +84,8 @@ def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
             return float(mX), float(np.sqrt(vX / n))
         # Single CV: E[e^{−rT}S_T] = S0·e^{−qT} holds under any Q dynamics;
         # the digital mean is NOT known under local vol.
-        six = jnp.asarray(s[:6])
-        mean, se = stats_ops.cv_mean_se(six, jnp.asarray(S0 * np.exp(-q * T)))
-        return float(mean), float(se)
+        mean, se = stats_ops.cv_mean_se_np(s[:6], S0 * np.exp(-q * T))
+        return mean, se
 
     sigma_loc = dupire_local_vol_func(surface, r, q)
     return exotic_price_mc(payoff, S0, K, T, r, q, sigma_loc=sigma_loc,
@@ -220,9 +219,8 @@ def exotic_price_mc(
             n, mX = s[0], s[1] / s[0]
             vX = max(0.0, s[2] / s[0] - mX * mX)
             return float(mX), float(np.sqrt(vX / n))
-        mean, se = stats_ops.cv_mean_se(
-            jnp.asarray(s[:6]), jnp.asarray(S0 * np.exp(-q * T)))
-        return float(mean), float(se)
+        mean, se = stats_ops.cv_mean_se_np(s[:6], S0 * np.exp(-q * T))
+        return mean, se
 
     fixed = dict(
         S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),

@@ -128,12 +128,14 @@ def _estimate(stats_vec, S0, q, T, control_variate: bool):
     n = stats_vec[stats_ops.N]
     if n == 0:
         return float("nan"), float("nan")
-    sv = jnp.asarray(stats_vec[:stats_ops.STATS_DIM])
+    sv = stats_vec[:stats_ops.STATS_DIM]
     if control_variate:
         EY = S0 * np.exp(-q * T)  # known E[e^{-rT}S_T] under Q
-        mean, se = stats_ops.cv_mean_se(sv, jnp.asarray(EY, sv.dtype))
+        mean, se = stats_ops.cv_mean_se_np(sv, EY)
     else:
-        mean, se = stats_ops.mean_se(sv)
+        mean = sv[stats_ops.SX] / n
+        var = max(0.0, sv[stats_ops.SX2] / n - mean * mean)
+        se = float(np.sqrt(var / n))
     return float(mean), float(se)
 
 

@@ -107,6 +107,24 @@ def cv2_mean_se(stats: "np.ndarray", EY1: float, EY2: float):
     return float(mean), float(np.sqrt(var / n))
 
 
+def cv_mean_se_np(stats, EY: float):
+    """Host float64 single-CV estimator (the traced version below downcasts
+    to f32 when x64 is off, which wastes the Kahan-accumulated precision)."""
+    import numpy as np
+
+    s = np.asarray(stats, np.float64)
+    n = s[N]
+    meanX = s[SX] / n
+    varX = max(0.0, s[SX2] / n - meanX * meanX)
+    meanY = s[SY] / n
+    varY = max(0.0, s[SY2] / n - meanY * meanY)
+    covXY = s[SXY] / n - meanX * meanY
+    c_hat = 0.0 if varY == 0.0 else covXY / varY
+    mean = meanX - c_hat * (meanY - float(EY))
+    var = max(0.0, varX - 2.0 * c_hat * covXY + c_hat * c_hat * varY)
+    return float(mean), float(np.sqrt(var / n))
+
+
 def cv_mean_se(stats: jax.Array, EY: jax.Array):
     """Control-variate estimator with known E[Y].
 
