@@ -56,17 +56,15 @@ def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
         backend == "auto" and jax.default_backend() == "tpu"
         and n_steps % 2 == 0)
     if use_pallas and n_steps % 2 == 0:
-        from ..ops import stats as stats_ops
-        from ..ops.pallas_path_mc import path_mc_sumstats_pallas
+        from ..ops.pallas_path_mc import (path_mc_sumstats_pallas,
+                                          path_mc_sumstats_pallas_sharded)
 
         svi = np.zeros((6, surface._T_arr.shape[0]), np.float32)
         svi[:5, :] = np.asarray(surface._P_arr).T
         svi[5, :] = np.asarray(surface._T_arr)
         kind = kwargs.get("kind", "call")
-        s = path_mc_sumstats_pallas(
-            resolve_seed(kwargs.get("seed")), int(kwargs.get("n_paths",
-                                                             100_000)),
-            n_steps, S0, K, T, r, q, None, kind == "call",
+        mesh = kwargs.get("mesh")
+        pk = dict(
             payoff=payoff, antithetic=bool(kwargs.get("antithetic", True)),
             barrier=kwargs.get("barrier", 0.0),
             barrier_type=kwargs.get("barrier_type", "up-and-out"),
@@ -76,16 +74,16 @@ def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
             payout=kwargs.get("payout", 1.0),
             svi_slices=svi, scheme=scheme,
             dS_bump=kwargs.get("dS_bump", 0.01))
-        s = np.asarray(jax.device_get(s), np.float64)
-        n = s[0]
-        mX = s[1] / n
-        vX = max(0.0, s[2] / n - mX * mX)
-        if not control_variate:
-            return float(mX), float(np.sqrt(vX / n))
-        # Single CV: E[e^{−rT}S_T] = S0·e^{−qT} holds under any Q dynamics;
-        # the digital mean is NOT known under local vol.
-        mean, se = stats_ops.cv_mean_se_np(s[:6], S0 * np.exp(-q * T))
-        return mean, se
+        call_args = (resolve_seed(kwargs.get("seed")),
+                     int(kwargs.get("n_paths", 100_000)),
+                     n_steps, S0, K, T, r, q, None, kind == "call")
+        s = (path_mc_sumstats_pallas_sharded(mesh, *call_args, **pk)
+             if mesh is not None else
+             path_mc_sumstats_pallas(*call_args, **pk))
+        # Local vol: the digital CV mean is not known in closed form; the
+        # spot CV E[e^{−rT}S_T] = S0·e^{−qT} holds under any Q dynamics.
+        return _estimate_from_stats(s, S0, K, T, r, q, 0.0, kind == "call",
+                                    "local_vol", control_variate)
 
     sigma_loc = dupire_local_vol_func(surface, r, q)
     return exotic_price_mc(payoff, S0, K, T, r, q, sigma_loc=sigma_loc,
@@ -93,6 +91,38 @@ def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
                            **kwargs)
 
 _PAYOFFS = ("vanilla", "barrier", "asian", "digital", "lookback")
+
+
+def _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
+                         dynamics: str, control_variate: bool):
+    """(price, stderr) from the 10-stat vector, dynamics-aware.
+
+    Under GBM both control-variate means are known in closed form (dual CV,
+    same estimator as the single-chip Pallas path). Under Heston/local vol
+    only the spot mean E[e^{−rT}S_T] = S0·e^{−qT} is model-free, so a single
+    CV is used. Without CV, the plain mean/stderr. One code path serves the
+    single-chip Pallas, sharded Pallas, and sharded XLA engines, so scaling
+    out never changes the estimator.
+    """
+    import numpy as np
+
+    from ..ops import stats as stats_ops
+
+    s = np.asarray(jax.device_get(stats_vec), np.float64)
+    n = s[0]
+    if n == 0:
+        return float("nan"), float("nan")
+    if not control_variate:
+        mX = s[1] / n
+        vX = max(0.0, s[2] / n - mX * mX)
+        return float(mX), float(np.sqrt(vX / n))
+    if dynamics == "gbm":
+        from ..ops.pallas_mc import pallas_estimate
+
+        return pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call,
+                               True)
+    mean, se = stats_ops.cv_mean_se_np(s[:6], S0 * np.exp(-q * T))
+    return mean, se
 
 
 def _terminal_payoff(payoff, carry, *, K, kind, n_steps, barrier_type,
@@ -190,37 +220,30 @@ def exotic_price_mc(
     # exotic_price_mc_dupire); traced sigma_loc closures and Merton stay
     # on the XLA scan path.
     kernel_ok = (sigma_loc is None and merton is None)
-    use_pallas = mesh is None and kernel_ok and n_steps % 2 == 0 and (
+    use_pallas = kernel_ok and n_steps % 2 == 0 and (
         backend == "pallas" or (
             backend == "auto" and jax.default_backend() == "tpu"
             and n_paths * n_steps >= 4_000_000))
     if use_pallas:
-        from ..ops.pallas_mc import pallas_estimate
-        from ..ops.pallas_path_mc import path_mc_sumstats_pallas
+        from ..ops.pallas_path_mc import (path_mc_sumstats_pallas,
+                                          path_mc_sumstats_pallas_sharded)
 
-        stats_vec = path_mc_sumstats_pallas(
-            seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
-            sigma, kind == "call", payoff=payoff,
-            antithetic=bool(antithetic), barrier=barrier,
-            barrier_type=barrier_type, rebate=rebate,
-            average_type=average_type, strike_type=strike_type,
-            payout=payout, heston=heston)
-        if heston is None:
-            return pallas_estimate(stats_vec, S0, K, T, r, q, sigma,
-                                   kind == "call", control_variate)
-        # Heston: the digital CV mean is not known in closed form; use the
-        # spot CV only (E[e^{−rT}S_T] = S0e^{−qT} under any Q dynamics).
-        import numpy as np
-
-        from ..ops import stats as stats_ops
-
-        s = np.asarray(jax.device_get(stats_vec), np.float64)
-        if not control_variate:
-            n, mX = s[0], s[1] / s[0]
-            vX = max(0.0, s[2] / s[0] - mX * mX)
-            return float(mX), float(np.sqrt(vX / n))
-        mean, se = stats_ops.cv_mean_se_np(s[:6], S0 * np.exp(-q * T))
-        return mean, se
+        pk = dict(payoff=payoff, antithetic=bool(antithetic),
+                  barrier=barrier, barrier_type=barrier_type, rebate=rebate,
+                  average_type=average_type, strike_type=strike_type,
+                  payout=payout, heston=heston)
+        if mesh is not None:
+            stats_vec = path_mc_sumstats_pallas_sharded(
+                mesh, seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
+                sigma, kind == "call", **pk)
+        else:
+            stats_vec = path_mc_sumstats_pallas(
+                seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
+                sigma, kind == "call", **pk)
+        dynamics = "heston" if heston is not None else "gbm"
+        return _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma,
+                                    kind == "call", dynamics,
+                                    control_variate)
 
     fixed = dict(
         S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),
@@ -251,31 +274,40 @@ def exotic_price_mc(
                   model_kind=model_kind, sigma_loc=sigma_loc, dtype=dt_)
 
     if mesh is None:
-        pay = _fused_paths(key, fixed, n_paths=int(n_paths), **static)
+        pay, _ = _fused_paths(key, fixed, n_paths=int(n_paths), **static)
         return _price_from_payoff(pay, r, T)
 
-    # Mesh DP: per-device path shards, payoff moments psum'd over ICI.
-    import numpy as np
+    # Mesh DP: per-device path shards; the FULL 10-stat layout (payoff +
+    # spot + digital control variates) rides one ICI psum, so the sharded
+    # estimator is the same dual/single-CV design as the single-chip
+    # engines — scaling out improves, never degrades, the estimate.
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n_local = -(-int(n_paths) // n_dev)
+    sign = 1.0 if kind == "call" else -1.0
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
     def shard_fn(dev_ids):
         local_key = jax.random.fold_in(key, dev_ids[0])
-        X = jnp.exp(-fixed["r"] * fixed["T"]) * _fused_paths(
-            local_key, fixed, n_paths=n_local, **static)
-        stats = jnp.stack([jnp.asarray(X.size, X.dtype), jnp.sum(X),
-                           jnp.sum(X * X)])
+        pay, ST = _fused_paths(local_key, fixed, n_paths=n_local, **static)
+        df = jnp.exp(-fixed["r"] * fixed["T"])
+        X = df * pay
+        Y1 = df * ST
+        Y2 = df * (sign * (ST - fixed["K"]) > 0.0).astype(X.dtype)
+        stats = jnp.stack([
+            jnp.asarray(X.size, X.dtype),
+            jnp.sum(X), jnp.sum(X * X),
+            jnp.sum(Y1), jnp.sum(Y1 * Y1), jnp.sum(X * Y1),
+            jnp.sum(Y2), jnp.sum(Y2 * Y2), jnp.sum(X * Y2),
+            jnp.sum(Y1 * Y2)])
         return jax.lax.psum(stats, axis)
 
-    s = np.asarray(jax.device_get(shard_fn(jnp.arange(n_dev))), np.float64)
-    n, sx, sx2 = s
-    mean = sx / n
-    var = max(0.0, (sx2 - n * mean * mean) / max(n - 1, 1))
-    return float(mean), float(np.sqrt(var / n))
+    return _estimate_from_stats(
+        shard_fn(jnp.arange(n_dev)), S0, K, T, r, q,
+        0.0 if sigma is None else sigma, kind == "call", model_kind,
+        control_variate)
 
 
 @partial(jax.jit, static_argnames=(
@@ -404,8 +436,9 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
 
     carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
     carry = carry[:6]
-    return _terminal_payoff(
+    pay = _terminal_payoff(
         payoff, carry, K=fixed["K"], kind=kind, n_steps=n_steps,
         barrier_type=barrier_type, rebate=fixed["rebate"],
         average_type=average_type, strike_type=strike_type,
         payout=fixed["payout"])
+    return pay, carry[0]

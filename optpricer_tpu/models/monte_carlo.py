@@ -178,15 +178,22 @@ def euro_price_mc(
         backend == "auto"
         and jax.default_backend() == "tpu"
         and n_paths >= 1_000_000
-        and mesh is None
     )
     if use_pallas:
-        from ..ops.pallas_mc import mc_sumstats_pallas, pallas_estimate
+        from ..ops.pallas_mc import (mc_sumstats_pallas,
+                                     mc_sumstats_pallas_sharded,
+                                     pallas_estimate)
 
-        stats_vec = mc_sumstats_pallas(
-            seed, n_paths, S0, K, T, r, q, sigma, is_call,
-            antithetic=antithetic, dtype=dt,
-        )
+        if mesh is not None:
+            stats_vec = mc_sumstats_pallas_sharded(
+                mesh, seed, n_paths, S0, K, T, r, q, sigma, is_call,
+                antithetic=antithetic, dtype=dt,
+            )
+        else:
+            stats_vec = mc_sumstats_pallas(
+                seed, n_paths, S0, K, T, r, q, sigma, is_call,
+                antithetic=antithetic, dtype=dt,
+            )
         price, se = pallas_estimate(stats_vec, S0, K, T, r, q, sigma,
                                     is_call, control_variate)
         return (price, se) if return_stderr else price

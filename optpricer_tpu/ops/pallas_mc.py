@@ -39,7 +39,12 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pid = pl.program_id(0)
+    # Global program id: local grid position plus the per-device offset
+    # (seed_ref[1]).  Under shard_map each device runs a contiguous slice of
+    # the global program grid, so streams and tail masking are identical to
+    # a single-device run over the full grid — device placement cannot
+    # change the estimate.
+    pid = pl.program_id(0) + seed_ref[1]
     # Distinct stream per (seed, program): mix with an odd constant so that
     # nearby seeds do not share per-program streams (seed+pid would overlap
     # 63/64 streams between consecutive seeds).
@@ -138,8 +143,10 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
     out_ref[0, :, :] = jnp.broadcast_to(row[None, :], (8, LANES))
 
 
-@partial(jax.jit, static_argnames=("n_programs", "reps", "antithetic"))
-def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool):
+@partial(jax.jit, static_argnames=("n_programs", "reps", "antithetic",
+                                   "interpret"))
+def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool,
+                interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,33 +161,92 @@ def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool):
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, params)
     # Deterministic compensated combine of per-program stats
     return stats_ops.combine_scan(out[:, 0, :NSTAT])
 
 
+def _plan_grid(n_paths: int, per_rep: int, n_dev: int = 1,
+               target_per_dev: int = 64):
+    """(reps, n_programs): grid sizing with n_programs a device multiple.
+
+    Padded programs fall entirely beyond ``n_paths`` and contribute zero
+    weight, so padding to a device multiple never changes the estimate.
+    """
+    target = target_per_dev * n_dev
+    reps = max(1, -(-int(n_paths) // (per_rep * target)))
+    n_programs = -(-int(n_paths) // (per_rep * reps))
+    n_programs = -(-n_programs // n_dev) * n_dev
+    return int(reps), int(n_programs)
+
+
+def _terminal_params(n_paths, S0, K, T, r, q, sigma, is_call):
+    mu = (r - q - 0.5 * sigma * sigma) * T
+    sig = sigma * np.sqrt(T)
+    df = np.exp(-r * T)
+    sign = 1.0 if is_call else -1.0
+    return jnp.asarray(
+        [S0, K, mu, sig, df, float(n_paths), sign], jnp.float32)
+
+
 def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
-                       is_call: bool, *, antithetic: bool, dtype=None):
+                       is_call: bool, *, antithetic: bool, dtype=None,
+                       interpret: bool = False):
     """(10,) sufficient statistics for n_paths terminal GBM draws (f32).
 
     Each grid program produces ``2·TILE·reps`` base draws (two Box-Muller
     normals per bit-pair); the grid is sized so the padded draw count just
     covers ``n_paths`` and the tail is masked by tile-local remainder.
     """
-    per_rep = 2 * TILE
-    target_programs = 64
-    reps = max(1, -(-int(n_paths) // (per_rep * target_programs)))
-    n_programs = -(-int(n_paths) // (per_rep * reps))
+    reps, n_programs = _plan_grid(int(n_paths), 2 * TILE)
+    params = _terminal_params(n_paths, S0, K, T, r, q, sigma, is_call)
+    seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
+    return _run_kernel(seed_arr, params, n_programs=n_programs,
+                       reps=reps, antithetic=bool(antithetic),
+                       interpret=bool(interpret))
 
-    mu = (r - q - 0.5 * sigma * sigma) * T
-    sig = sigma * np.sqrt(T)
-    df = np.exp(-r * T)
-    sign = 1.0 if is_call else -1.0
-    params = jnp.asarray(
-        [S0, K, mu, sig, df, float(n_paths), sign], jnp.float32)
-    seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
-    return _run_kernel(seed_arr, params, n_programs=int(n_programs),
-                       reps=int(reps), antithetic=bool(antithetic))
+
+def mc_sumstats_pallas_sharded(mesh, seed: int, n_paths: int, S0, K, T, r, q,
+                               sigma, is_call: bool, *, antithetic: bool,
+                               dtype=None, interpret=None):
+    """Mesh data-parallel fused MC: one Pallas grid per device, psum over ICI.
+
+    The global program grid is split into contiguous per-device slices; each
+    device seeds its hardware PRNG from the *global* program ids (see
+    ``_mc_kernel``), runs its slice of the grid, Kahan-combines its local
+    stats and contributes them to a single ``psum`` of the 10-stat vector —
+    the multi-chip path is the same fused kernel as single-chip, not the XLA
+    scan fallback (reference fan-out: ``monte_carlo.py:128-139``).
+
+    On non-TPU backends (tests, ``dryrun_multichip``) the kernel runs in the
+    Mosaic interpreter so the full sharded program is still compiled and
+    executed; the interpreter's PRNG is degenerate, so only the plumbing —
+    grid split, masking, psum, estimator — is meaningful there.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    reps, n_programs = _plan_grid(int(n_paths), 2 * TILE, n_dev)
+    progs_per_dev = n_programs // n_dev
+
+    params = _terminal_params(n_paths, S0, K, T, r, q, sigma, is_call)
+    seed_val = jnp.int32(seed % (2**31 - 1))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    offsets = jnp.arange(n_dev, dtype=jnp.int32) * progs_per_dev
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
+             check_vma=False)
+    def shard_fn(offs):
+        seed_arr = jnp.stack([seed_val, offs[0]])
+        local = _run_kernel(seed_arr, params, n_programs=progs_per_dev,
+                            reps=reps, antithetic=bool(antithetic),
+                            interpret=bool(interpret))
+        return jax.lax.psum(local, axis)
+
+    return shard_fn(offsets)
 
 
 def pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call: bool,

@@ -49,7 +49,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pid = pl.program_id(0)
+    # Global program id (local id + per-device offset, see pallas_mc.py):
+    # streams and tail masking are laid out over the global grid, so a
+    # shard_map run over any device count reproduces the single-device
+    # estimate.
+    pid = pl.program_id(0) + seed_ref[1]
     pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
 
     S0 = par_ref[0]
@@ -167,8 +171,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                 crossed = jnp.zeros(shape, jnp.float32)
             v = jnp.full(shape, h_v0) if dynamics == "heston" \
                 else jnp.zeros(shape, jnp.float32)
-            # (S, run_sum, run_logsum, run_max, run_min, crossed, v)
-            return (S, jnp.zeros(shape), jnp.zeros(shape), S, S, crossed, v)
+            # (S, run_sum, run_logsum, run_max, run_min, crossed, v);
+            # explicit f32 — under x64 (interpret-mode tests) jnp.zeros
+            # would default to f64 and poison the whole state.
+            zeros = jnp.zeros(shape, jnp.float32)
+            return (S, zeros, zeros, S, S, crossed, v)
 
         st_p = init_state()
         st_m = init_state()
@@ -306,11 +313,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                                    "antithetic", "payoff_id", "barrier_up",
                                    "knock_out", "average_geo",
                                    "strike_floating", "is_call", "dynamics",
-                                   "n_slices"))
+                                   "n_slices", "interpret"))
 def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
                      antithetic, payoff_id, barrier_up, knock_out,
                      average_geo, strike_floating, is_call, dynamics="gbm",
-                     n_slices=0):
+                     n_slices=0, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -330,6 +337,7 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, params, svi)
     return stats_ops.combine_scan(out[:, 0, :NSTAT])
 
@@ -349,6 +357,37 @@ def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
          h.get("xi", 0.0), h.get("rho", 0.0)], jnp.float32)
 
 
+def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
+                    payoff, antithetic, barrier, barrier_type, rebate,
+                    average_type, strike_type, payout, svi_slices, scheme,
+                    dS_bump, heston):
+    """(params, svi, static_kwargs) shared by the local and sharded entry
+    points; n_steps must be even (two Box-Muller normals advance two steps
+    per loop iteration)."""
+    if n_steps % 2:
+        raise ValueError("pallas path engine requires even n_steps")
+    params = _common_params(n_paths, n_steps, S0, K, T, r, q,
+                            sigma if sigma is not None else 0.0,
+                            is_call, barrier, rebate, payout, dS_bump,
+                            heston)
+    if svi_slices is None:
+        dynamics, n_slices = ("heston" if heston is not None else "gbm"), 0
+        svi = jnp.zeros((6, 1), jnp.float32)
+    else:
+        dynamics = "lv_milstein" if scheme == "milstein" else "lv_euler"
+        svi = jnp.asarray(svi_slices, jnp.float32)
+        n_slices = int(svi.shape[1])
+    static = dict(
+        n_steps=int(n_steps), antithetic=bool(antithetic),
+        payoff_id=PAYOFF_IDS[payoff],
+        barrier_up=barrier_type.startswith("up"),
+        knock_out=barrier_type.endswith("out"),
+        average_geo=(average_type == "geometric"),
+        strike_floating=(strike_type == "floating"),
+        is_call=bool(is_call), dynamics=dynamics, n_slices=n_slices)
+    return params, svi, static
+
+
 def path_mc_sumstats_pallas(
     seed: int, n_paths: int, n_steps: int, S0, K, T, r, q, sigma,
     is_call: bool, *, payoff: str, antithetic: bool,
@@ -356,7 +395,7 @@ def path_mc_sumstats_pallas(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
-    heston=None,
+    heston=None, interpret: bool = False,
 ):
     """(10,) sufficient statistics for a path-dependent payoff.
 
@@ -368,30 +407,61 @@ def path_mc_sumstats_pallas(
     n_steps must be even (two Box-Muller normals advance two steps per
     loop); callers bump odd step counts by one.
     """
-    if n_steps % 2:
-        raise ValueError("pallas path engine requires even n_steps")
-    target_programs = 64
-    reps = max(1, -(-int(n_paths) // (TILE * target_programs)))
-    n_programs = -(-int(n_paths) // (TILE * reps))
+    from .pallas_mc import _plan_grid
 
-    params = _common_params(n_paths, n_steps, S0, K, T, r, q,
-                            sigma if sigma is not None else 0.0,
-                            is_call, barrier, rebate, payout, dS_bump,
-                            heston)
-    seed_arr = jnp.asarray([seed % (2**31 - 1)], jnp.int32)
-    if svi_slices is None:
-        dynamics, n_slices = ("heston" if heston is not None else "gbm"), 0
-        svi = jnp.zeros((6, 1), jnp.float32)
-    else:
-        dynamics = "lv_milstein" if scheme == "milstein" else "lv_euler"
-        svi = jnp.asarray(svi_slices, jnp.float32)
-        n_slices = int(svi.shape[1])
+    params, svi, static = _resolve_config(
+        n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
+        barrier, barrier_type, rebate, average_type, strike_type, payout,
+        svi_slices, scheme, dS_bump, heston)
+    reps, n_programs = _plan_grid(int(n_paths), TILE)
+    seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_path_kernel(
-        seed_arr, params, svi, n_programs=int(n_programs), reps=int(reps),
-        n_steps=int(n_steps), antithetic=bool(antithetic),
-        payoff_id=PAYOFF_IDS[payoff],
-        barrier_up=barrier_type.startswith("up"),
-        knock_out=barrier_type.endswith("out"),
-        average_geo=(average_type == "geometric"),
-        strike_floating=(strike_type == "floating"),
-        is_call=bool(is_call), dynamics=dynamics, n_slices=n_slices)
+        seed_arr, params, svi, n_programs=n_programs, reps=reps,
+        interpret=bool(interpret), **static)
+
+
+def path_mc_sumstats_pallas_sharded(
+    mesh, seed: int, n_paths: int, n_steps: int, S0, K, T, r, q, sigma,
+    is_call: bool, *, payoff: str, antithetic: bool,
+    barrier: float = 0.0, barrier_type: str = "up-and-out",
+    rebate: float = 0.0, average_type: str = "arithmetic",
+    strike_type: str = "fixed", payout: float = 1.0,
+    svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
+    heston=None, interpret=None,
+):
+    """Mesh data-parallel fused path MC: per-device Pallas grids + psum.
+
+    Same global-grid split as ``pallas_mc.mc_sumstats_pallas_sharded`` — the
+    per-device kernels cover contiguous slices of the global program grid and
+    the 10-stat vectors ride one ICI ``psum``, so the multi-chip estimator is
+    the same dual-CV design as single-chip.
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas_mc import _plan_grid
+
+    params, svi, static = _resolve_config(
+        n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
+        barrier, barrier_type, rebate, average_type, strike_type, payout,
+        svi_slices, scheme, dS_bump, heston)
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    reps, n_programs = _plan_grid(int(n_paths), TILE, n_dev)
+    progs_per_dev = n_programs // n_dev
+    seed_val = jnp.int32(seed % (2**31 - 1))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    offsets = jnp.arange(n_dev, dtype=jnp.int32) * progs_per_dev
+
+    @_partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
+              check_vma=False)
+    def shard_fn(offs):
+        seed_arr = jnp.stack([seed_val, offs[0]])
+        local = _run_path_kernel(
+            seed_arr, params, svi, n_programs=progs_per_dev, reps=reps,
+            interpret=bool(interpret), **static)
+        return jax.lax.psum(local, axis)
+
+    return shard_fn(offsets)

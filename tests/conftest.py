@@ -7,15 +7,21 @@ while the default f32 TPU path is covered by dtype-parameterised tests.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# OPTPRICER_TEST_TPU=1 runs the suite on real TPU hardware instead
+# (tests/test_pallas_tpu.py and friends un-skip; x64 stays off as on TPU).
+_ON_TPU = os.environ.get("OPTPRICER_TEST_TPU", "") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-# The axon TPU plugin overrides JAX_PLATFORMS from the environment; the
-# config update is authoritative.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _ON_TPU:
+    # The axon TPU plugin overrides JAX_PLATFORMS from the environment; the
+    # config update is authoritative.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

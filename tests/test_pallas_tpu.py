@@ -114,3 +114,45 @@ def test_heston_kernel_vs_xla():
                              n_steps=100, n_paths=200_000, seed=4,
                              backend="xla")
     assert abs(p1 - p2) < 5 * np.hypot(s1, s2) + 1e-3
+
+
+class TestPallasUnderMesh:
+    """Pallas kernels inside shard_map on real hardware. With one chip the
+    1-device mesh must be BIT-identical to the non-mesh kernel (same global
+    program grid, same hardware PRNG streams); on a pod slice the same code
+    splits the grid across chips."""
+
+    def test_terminal_mesh1_bit_identical(self):
+        from optpricer_tpu.ops.pallas_mc import (
+            mc_sumstats_pallas, mc_sumstats_pallas_sharded)
+        from optpricer_tpu.parallel import get_mesh
+
+        args = (100.0, 110.0, 1.0, 0.03, 0.0, 0.2, True)
+        s1 = np.asarray(mc_sumstats_pallas(7, 10_000_000, *args,
+                                           antithetic=True))
+        sm = np.asarray(mc_sumstats_pallas_sharded(
+            get_mesh(1), 7, 10_000_000, *args, antithetic=True))
+        assert np.array_equal(s1, sm)
+
+    def test_path_mesh1_bit_identical(self):
+        from optpricer_tpu.ops.pallas_path_mc import (
+            path_mc_sumstats_pallas, path_mc_sumstats_pallas_sharded)
+        from optpricer_tpu.parallel import get_mesh
+
+        args = (100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True)
+        s1 = np.asarray(path_mc_sumstats_pallas(
+            3, 500_000, 32, *args, payoff="asian", antithetic=True))
+        sm = np.asarray(path_mc_sumstats_pallas_sharded(
+            get_mesh(1), 3, 500_000, 32, *args, payoff="asian",
+            antithetic=True))
+        assert np.array_equal(s1, sm)
+
+    def test_euro_price_mc_mesh_accuracy(self):
+        from optpricer_tpu.ops.black_scholes import bs_price_vec
+        from optpricer_tpu.parallel import get_mesh
+
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+        ref = float(bs_price_vec(100.0, 110.0, 1.0, 0.03, 0.0, 0.2, CALL))
+        px, se = euro_price_mc(opt, CALL, n_paths=1 << 24, seed=9,
+                               mesh=get_mesh(1), backend="pallas")
+        assert abs(px - ref) < 5 * se + 1e-4
