@@ -168,6 +168,31 @@ def bench_localvol() -> None:
         f"{(time.perf_counter()-t0)*1e3:.0f} ms, price={px:.4f}±{se:.4f}")
 
 
+def bench_lv_ladder() -> None:
+    """Diagnostic: 1024-strike LOCAL-VOL ladder, 512×512 grid — per-step
+    tridiagonal systems solved in the lane-batched Pallas Thomas kernel
+    (reference pde.py:385-426 prices one local-vol option per call)."""
+    import numpy as np
+
+    from optpricer_tpu.models.pde import fd_price_local_vol_batch
+
+    def sigma_func(S, t):
+        return 0.2 + 0.1 * jnp.exp(-(jnp.log(S / 100.0)) ** 2) + 0.05 * t
+
+    Ks = np.linspace(60.0, 140.0, 1024)
+    run = lambda: fd_price_local_vol_batch(
+        100.0, Ks, 1.0, 0.04, 0.01, sigma_func, "call", N_S=512, N_t=512)
+    run()
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    log(f"[lv-ladder] 1024-strike local-vol 512x512 (pallas tridiag): "
+        f"{dt*1e3:.1f} ms → {1024/dt:.0f} option-solves/s")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -175,7 +200,8 @@ def main():
     if err > gate:
         log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
-                     ("asian", bench_asian), ("localvol", bench_localvol)):
+                     ("asian", bench_asian), ("localvol", bench_localvol),
+                     ("lv-ladder", bench_lv_ladder)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:

@@ -39,7 +39,7 @@ from ..ops.black_scholes import is_call_mask
 from ..ops.tridiag import tridiag_solve, tridiag_solve_thomas
 
 __all__ = ["fd_price", "fd_price_barrier", "fd_greeks", "fd_price_local_vol",
-           "fd_price_batch"]
+           "fd_price_batch", "fd_price_local_vol_batch"]
 
 
 def _build_grid(S0, T, sigma, N_S, N_t, S_max_mult):
@@ -117,6 +117,19 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
     # PSOR needs the explicit rhs each step, so it rides the tridiag branch.
     use_prop = const_coeff and solver in ("auto", "propagator") \
         and not use_psor
+    # Time-dependent coefficients (local vol) re-solve a tridiagonal system
+    # every step; on TPU the lane-batched Pallas Thomas kernel (2 passes)
+    # replaces the log-depth associative scan (log2(M) full passes).
+    # solver="pallas" forces it anywhere (Mosaic interpreter off-TPU).
+    use_pallas_td = (not use_prop) and not use_psor and (
+        solver == "pallas"
+        or (solver == "auto" and not const_coeff
+            and jax.default_backend() == "tpu"))
+    if use_pallas_td:
+        from ..ops.pallas_tridiag import tridiag_solve_pallas_lastdim
+
+        interp = jax.default_backend() != "tpu"
+        solve = partial(tridiag_solve_pallas_lastdim, interpret=interp)
     e = (1.0 - theta) * dt
     if const_coeff:
         sig_int = jnp.full((M,), sigma, dtype=x_grid.dtype)
@@ -395,6 +408,39 @@ def fd_price_batch(S0, K, T, r, q, sigma, kind, *, N_S: int = 200,
         theta=jnp.asarray(theta, dt_), barrier_mask=None,
         barrier_value=0.0, N_t=int(N_t), american=bool(american),
         two_layers=False)
+    x0 = jnp.log(jnp.asarray(S0, dt_))
+    prices = jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
+    return prices.reshape(np.shape(K_arr))
+
+
+def fd_price_local_vol_batch(S0, K, T, r, q, sigma_func, kind, *,
+                             N_S: int = 200, N_t: int = 200,
+                             theta: float = 0.5, S_max_mult: float = 4.0,
+                             ref_vol: float = 0.3, dtype=None,
+                             solver: str = "auto") -> jax.Array:
+    """Local-vol strike/kind ladder on a shared grid in one fused solve.
+
+    The whole ladder shares one grid and one time march; the per-step
+    tridiagonal system (time-dependent σ(S,t) coefficients, shared across
+    the ladder) is solved for all strikes at once. On TPU the solve runs in
+    the lane-batched Pallas Thomas kernel — strikes across the 128 vector
+    lanes, two sweeps over the grid dimension in VMEM — which is what makes
+    a local-vol ladder (reference ``pde.py:385-426`` prices one option per
+    Python call) a single-kernel workload. ``ref_vol`` shapes the grid.
+    """
+    dt_ = canonical(dtype)
+    K_arr = np.atleast_1d(np.asarray(K, dtype=float))
+    mask = np.broadcast_to(np.atleast_1d(is_call_mask(kind)), K_arr.shape)
+
+    x_np, dx, dt = _build_grid(S0, T, ref_vol, N_S, N_t, S_max_mult)
+    x_grid = jnp.asarray(x_np, dt_)
+    V, _ = _fd_solve(
+        x_grid=x_grid, dt=jnp.asarray(dt, dt_), K=jnp.asarray(K_arr, dt_),
+        r=jnp.asarray(r, dt_), q=jnp.asarray(q, dt_),
+        sigma=jnp.asarray(0.0, dt_), is_call=jnp.asarray(mask),
+        theta=jnp.asarray(theta, dt_), barrier_mask=None, barrier_value=0.0,
+        N_t=int(N_t), american=False, two_layers=False,
+        sigma_func=sigma_func, solver=solver)
     x0 = jnp.log(jnp.asarray(S0, dt_))
     prices = jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
     return prices.reshape(np.shape(K_arr))

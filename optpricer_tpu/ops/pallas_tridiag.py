@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BATCH_TILE = 128
 GROUP = 8  # sublane granularity
@@ -108,3 +109,31 @@ def tridiag_solve_pallas(a, b, c, d, *, interpret: bool = False):
         ],
         interpret=interpret,
     )(a, b, c, d)
+
+
+def tridiag_solve_pallas_lastdim(a, b, c, d, *, interpret: bool = False):
+    """Solve along the LAST axis with arbitrary leading batch dims.
+
+    Adapter for the PDE stack, whose systems live as ``(..., n)`` rows
+    (matching :func:`optpricer_tpu.ops.tridiag.tridiag_solve`): transposes
+    once to the kernel's (n, batch) lane layout and pads to the 8-sublane /
+    128-lane granularity. Padded trailing rows get an identity diagonal with
+    zero couplings, so they solve to zero and never touch real rows; padded
+    lanes solve an identity system. ``a``/``b``/``c`` broadcast against
+    ``d``. In f32 the kernel solve is ~f32-roundoff close to the
+    associative-scan solver (diagonally dominant θ-scheme systems).
+    """
+    shape = jnp.shape(d)
+    M = shape[-1]
+    B = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    a, b, c = (jnp.broadcast_to(x, shape) for x in (a, b, c))
+    to2d = lambda x: x.reshape(-1, M).T
+    A, Bm, C, D = map(to2d, (a, b, c, d))
+    n_pad = -M % GROUP
+    b_pad = -B % BATCH_TILE
+    if n_pad or b_pad:
+        zpad = lambda x: jnp.pad(x, ((0, n_pad), (0, b_pad)))
+        A, C, D = zpad(A), zpad(C), zpad(D)
+        Bm = jnp.pad(Bm, ((0, n_pad), (0, b_pad)), constant_values=1.0)
+    x = tridiag_solve_pallas(A, Bm, C, D, interpret=interpret)
+    return x[:M, :B].T.reshape(shape)
