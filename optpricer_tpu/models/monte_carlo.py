@@ -61,6 +61,9 @@ def _chunk_stats(key, chunk_idx, n_paths, S0, K, T, r, q, sigma, is_call,
 
     ck = jax.random.fold_in(key, chunk_idx)
     Z = jax.random.normal(ck, (chunk_size,), dtype)
+    # NOTE: moments(-Z) evaluates every z-weighted moment at (X(−z))·(−z) —
+    # the antithetic branch contributes its own draw, so the pooled
+    # estimator of each Greek expectation stays unbiased.
 
     base = chunk_idx * chunk_size + jnp.arange(chunk_size)
     w = (base < n_paths).astype(dtype)
@@ -82,6 +85,7 @@ def _chunk_stats(key, chunk_idx, n_paths, S0, K, T, r, q, sigma, is_call,
             jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
             jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
             jnp.sum(WY1 * Y2),
+            jnp.sum(WX * z), jnp.sum(WX * z * z), jnp.sum(WY2 * z),
         ])
 
     s = moments(Z)
@@ -113,7 +117,7 @@ def mc_sumstats(key, chunk_ids, n_paths, S0, K, T, r, q, sigma, is_call,
 
     # Derive the zero carry from chunk_ids so its varying-axis type matches
     # inside shard_map (scan requires carry in/out manual-axes agreement).
-    zero = jnp.zeros((stats_ops.STATS2_DIM,), dtype) \
+    zero = jnp.zeros((stats_ops.STATSG_DIM,), dtype) \
         + jnp.zeros((), dtype) * chunk_ids[0].astype(dtype)
     (acc, _), _ = jax.lax.scan(step, (zero, zero), chunk_ids)
     return acc
@@ -220,12 +224,14 @@ def euro_greeks_mc(opt: OptionSpec, kind: str = CALL, *,
                    n_paths: int = 1_000_000, seed: Optional[int] = None,
                    chunk_size: int = 100_000, antithetic: bool = True,
                    dtype=None, backend: str = "auto") -> dict:
-    """Pathwise Monte-Carlo delta + digital price from the same draws.
+    """All five Greeks + digital price from ONE kernel run.
 
-    Under GBM the pathwise delta is a linear combination of moments the
-    sufficient-statistics kernels already accumulate (see
-    ``ops.pallas_mc.pallas_greeks``), so Greeks cost nothing beyond the
-    pricing run. Returns ``{"price", "delta", "digital"}``.
+    Under GBM every pathwise/likelihood-ratio Greek is a linear combination
+    of the 13 moments the sufficient-statistics kernels accumulate (see
+    ``ops.pallas_mc.pallas_greeks`` for the estimators), so the full risk
+    ladder costs nothing beyond the pricing run — versus 5 bump re-pricings
+    in the reference (``risk.py``). Returns ``{"price", "delta", "gamma",
+    "vega", "theta", "rho", "digital"}``.
     """
     from ..ops.pallas_mc import mc_sumstats_pallas, pallas_greeks
 

@@ -32,7 +32,7 @@ from .fastmath import exp32, log32
 BLOCK_R = 256           # sublane rows per rep tile
 LANES = 128
 TILE = BLOCK_R * LANES  # draws per bit-tile; 2 tiles of normals per rep
-NSTAT = stats_ops.STATS2_DIM
+NSTAT = stats_ops.STATSG_DIM
 
 
 def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
@@ -98,13 +98,15 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
         w2 = (base_elem < rem2).astype(jnp.float32)
 
         def xy(z):
+            """Per-branch observables: payoff, CVs, and z-weighted Greek
+            moments (Xz, Xz², Y2z — see stats.STATSG_DIM)."""
             ST = S0 * exp32(mu + sig * z)
             X = df * jnp.maximum(sign * (ST - K), 0.0)
             Y1 = df * ST
             Y2 = df * (sign * (ST - K) > 0.0).astype(jnp.float32)
-            return X, Y1, Y2
+            return X, Y1, Y2, X * z, X * z * z, Y2 * z
 
-        def moments(X, Y1, Y2, w):
+        def moments(X, Y1, Y2, Xz, Xz2, Y2z, w):
             WX = X * w
             WY1 = Y1 * w
             WY2 = Y2 * w
@@ -114,6 +116,7 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
                 jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
                 jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
                 jnp.sum(WY1 * Y2),
+                jnp.sum(Xz * w), jnp.sum(Xz2 * w), jnp.sum(Y2z * w),
             ])
 
         if antithetic:
@@ -122,17 +125,17 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
             # variance and the reported stderr credit the pairing (the
             # reference pools ±z draws and understates neither/none —
             # monte_carlo.py:38-39 — its stderr ignores pairing entirely).
+            # z-moments average the PRODUCTS (X⁺z with X⁻·(−z)) so each
+            # Greek expectation stays unbiased at pair level.
             def pair_stats(z, w):
-                Xa, Y1a, Y2a = xy(z)
-                Xb, Y1b, Y2b = xy(-z)
-                return moments(0.5 * (Xa + Xb), 0.5 * (Y1a + Y1b),
-                               0.5 * (Y2a + Y2b), w)
+                obs_p = xy(z)
+                obs_m = xy(-z)
+                return moments(*(0.5 * (a + b)
+                                 for a, b in zip(obs_p, obs_m)), w)
 
             s = pair_stats(z1, w1) + pair_stats(z2, w2)
         else:
-            Xa, Y1a, Y2a = xy(z1)
-            Xb, Y1b, Y2b = xy(z2)
-            s = moments(Xa, Y1a, Y2a, w1) + moments(Xb, Y1b, Y2b, w2)
+            s = moments(*xy(z1), w1) + moments(*xy(z2), w2)
         acc, comp = stats_ops.kahan_add(acc, comp, s)
         return acc, comp
 
@@ -271,15 +274,23 @@ def pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
 
 
 def pallas_greeks(stats_vec, S0, K, T, r, q, sigma, is_call: bool) -> dict:
-    """Pathwise MC Greeks for free from the 10-stat vector.
+    """The full MC Greek set for free from the 13-stat vector.
 
-    Under GBM, ∂S_T/∂S0 = S_T/S0, so the pathwise estimators are linear in
-    moments the kernel already accumulates:
+    Under terminal GBM, S_T = S0·exp(μT + σ√T·z), every first-order
+    sensitivity is linear in expectations the kernel already accumulates.
+    With A ≡ e^{−rT}·sign·1{ITM}·S_T = X + sign·K·Y2 (the pathwise payoff
+    derivative times S_T):
 
-    * delta  = e^{−rT}·E[±1{ITM}·S_T]/S0 = ±(E[X] + sign·K·E[Y2])/S0
-    * digital (cash-or-nothing) price    = E[Y2]
+    * delta  (pathwise) = E[A]/S0                            (∂S_T/∂S0 = S_T/S0)
+    * vega   (pathwise) = E[A·(√T·z − σT)]                    (∂S_T/∂σ)
+    * rho    (pathwise) = sign·K·T·E[Y2]                      (∂S_T/∂r = T·S_T)
+    * theta  = r·E[X] − (r−q−σ²/2)·E[A] − σ/(2√T)·E[A·z]     (−∂V/∂T)
+    * gamma  (likelihood ratio) =
+          (E[X·z²] − E[X])/(S0²σ²T) − E[X·z]/(S0²σ√T)
+    * digital (cash-or-nothing) price = E[Y2]
 
-    The CV-corrected price feeds delta; E[Y2] uses its sample mean.
+    E[A] and E[A·z] come from (E[X], E[Y2], E[Xz], E[Y2z]); the dual-CV
+    corrected price feeds delta's E[X] term. All resolved host-side in f64.
     """
     import numpy as np
 
@@ -287,8 +298,24 @@ def pallas_greeks(stats_vec, S0, K, T, r, q, sigma, is_call: bool) -> dict:
     n = s[0]
     price, _ = pallas_estimate(stats_vec, S0, K, T, r, q, sigma, is_call,
                                control_variate=True)
-    mY2 = s[6] / n  # E[e^{−rT}·1{ITM}]
     sign = 1.0 if is_call else -1.0
-    # call: (E[X] + K·E[Y2])/S0 ; put: (E[X] − K·E[Y2])/S0 (≤ 0)
-    delta = (price + sign * K * mY2) / S0
-    return {"delta": float(delta), "digital": float(mY2), "price": price}
+    mX = price                   # CV-corrected E[X]
+    mY2 = s[6] / n               # E[e^{−rT}·1{ITM}]
+    mXz = s[10] / n
+    mXz2 = s[11] / n
+    mY2z = s[12] / n
+    sqT = sqrt(T)
+
+    mA = mX + sign * K * mY2
+    mAz = mXz + sign * K * mY2z
+
+    delta = mA / S0
+    vega = sqT * mAz - sigma * T * mA
+    rho = sign * K * T * mY2
+    theta = r * mX - (r - q - 0.5 * sigma * sigma) * mA \
+        - sigma / (2.0 * sqT) * mAz
+    gamma = (mXz2 - s[1] / n) / (S0 * S0 * sigma * sigma * T) \
+        - mXz / (S0 * S0 * sigma * sqT)
+    return {"price": price, "delta": float(delta), "gamma": float(gamma),
+            "vega": float(vega), "theta": float(theta), "rho": float(rho),
+            "digital": float(mY2)}

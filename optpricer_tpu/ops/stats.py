@@ -77,6 +77,17 @@ def mean_se(stats: jax.Array):
 # (n, ΣX, ΣX², ΣY1, ΣY1², ΣXY1, ΣY2, ΣY2², ΣXY2, ΣY1Y2)
 STATS2_DIM = 10
 
+# Greek-moment extension (terminal GBM engines): three z-weighted moments
+# (ΣXz, ΣXz², ΣY2z) appended to the dual-CV layout. Together with the
+# dual-CV moments they close the full pathwise/likelihood-ratio Greek set —
+# delta, vega, rho, theta (pathwise) and gamma (LR) are all linear in these
+# 13 expectations, so a *single* kernel run prices and risks an option
+# (see ops.pallas_mc.pallas_greeks). Under antithetic sampling each
+# z-moment is accumulated pair-averaged: 0.5·(X⁺·z + X⁻·(−z)) is one
+# observation, keeping every estimator unbiased under pairing.
+SXZ, SXZ2, SY2Z = 10, 11, 12
+STATSG_DIM = 13
+
 
 def cv2_mean_se(stats: "np.ndarray", EY1: float, EY2: float):
     """Two-variable control-variate estimator with known means.

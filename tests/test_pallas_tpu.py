@@ -156,3 +156,25 @@ class TestPallasUnderMesh:
         px, se = euro_price_mc(opt, CALL, n_paths=1 << 24, seed=9,
                                mesh=get_mesh(1), backend="pallas")
         assert abs(px - ref) < 5 * se + 1e-4
+
+
+def test_pallas_greeks_full_set():
+    """All five Greeks + digital from one fused kernel run vs analytic BS."""
+    import jax.numpy as jnp
+
+    from optpricer_tpu.models.monte_carlo import euro_greeks_mc
+    from optpricer_tpu.ops.black_scholes import greeks_core
+
+    opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+    for kind in ("call", "put"):
+        g = euro_greeks_mc(opt, kind, n_paths=1 << 26, seed=17,
+                           backend="pallas")
+        ref = {k: float(v) for k, v in greeks_core(
+            jnp.float32(100.0), jnp.float32(110.0), jnp.float32(1.0),
+            jnp.float32(0.03), jnp.float32(0.0), jnp.float32(0.2),
+            jnp.asarray(kind == "call")).items()}
+        assert abs(g["delta"] - ref["delta"]) < 1e-3, (kind, g, ref)
+        assert abs(g["gamma"] - ref["gamma"]) < 5e-4, (kind, g, ref)
+        assert abs(g["vega"] - ref["vega"]) < 0.1, (kind, g, ref)
+        assert abs(g["theta"] - ref["theta"]) < 0.05, (kind, g, ref)
+        assert abs(g["rho"] - ref["rho"]) < 0.1, (kind, g, ref)
