@@ -166,6 +166,7 @@ def exotic_price_mc(
     sigma_loc: Optional[Callable] = None,
     heston: Optional[dict] = None,
     merton: Optional[dict] = None,
+    sabr: Optional[dict] = None,
     kind: str = "call",
     n_steps: int = 252,
     n_paths: int = 100_000,
@@ -191,9 +192,12 @@ def exotic_price_mc(
     monitoring at the n_steps grid, t=0 excluded from Asian averages, both
     endpoints monitored for barrier/lookback). Dynamics: constant ``sigma``
     (exact GBM step), traceable ``sigma_loc(S, t)`` with log-Euler or
-    Milstein (``scheme``), or ``heston={'v0','kappa','theta','xi','rho'}``
+    Milstein (``scheme``), ``heston={'v0','kappa','theta','xi','rho'}``
     (full-truncation Euler variance, log-Euler asset — same discretisation
-    as :func:`~optpricer_tpu.models.processes.heston_paths`).
+    as :func:`~optpricer_tpu.models.processes.heston_paths`), or
+    ``sabr={'alpha0','beta','nu','rho'}`` (exact lognormal σ evolution,
+    log-Euler asset for β=1 / clamped Euler CEV for β<1 — same
+    discretisation as :func:`~optpricer_tpu.models.processes.sabr_paths`).
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), paths are split across
     devices (per-device streams from ``fold_in(key, device_idx)``) and the
@@ -202,10 +206,12 @@ def exotic_price_mc(
     """
     if payoff not in _PAYOFFS:
         raise ValueError(f"payoff must be one of {_PAYOFFS}, got {payoff!r}")
-    n_models = sum(x is not None for x in (sigma, sigma_loc, heston, merton))
+    n_models = sum(x is not None
+                   for x in (sigma, sigma_loc, heston, merton, sabr))
     if n_models != 1:
         raise ValueError(
-            "provide exactly one of sigma / sigma_loc / heston / merton")
+            "provide exactly one of sigma / sigma_loc / heston / merton"
+            " / sabr")
     if merton is not None and sigma is None:
         sigma = merton["sigma"]
     if kind not in ("call", "put"):
@@ -231,7 +237,7 @@ def exotic_price_mc(
         pk = dict(payoff=payoff, antithetic=bool(antithetic),
                   barrier=barrier, barrier_type=barrier_type, rebate=rebate,
                   average_type=average_type, strike_type=strike_type,
-                  payout=payout, heston=heston)
+                  payout=payout, heston=heston, sabr=sabr)
         if mesh is not None:
             stats_vec = path_mc_sumstats_pallas_sharded(
                 mesh, seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
@@ -240,7 +246,7 @@ def exotic_price_mc(
             stats_vec = path_mc_sumstats_pallas(
                 seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
                 sigma, kind == "call", **pk)
-        dynamics = "heston" if heston is not None else "gbm"
+        dynamics = "gbm" if (heston is None and sabr is None) else "sv"
         return _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma,
                                     kind == "call", dynamics,
                                     control_variate)
@@ -259,9 +265,17 @@ def exotic_price_mc(
         m_lam=jnp.asarray(merton["lam"] if merton else 0.0, dt_),
         m_mJ=jnp.asarray(merton["mJ"] if merton else 0.0, dt_),
         m_sJ=jnp.asarray(merton["sJ"] if merton else 0.0, dt_),
+        s_alpha0=jnp.asarray(sabr["alpha0"] if sabr else 0.0, dt_),
+        s_beta=jnp.asarray(sabr["beta"] if sabr else 1.0, dt_),
+        s_nu=jnp.asarray(sabr["nu"] if sabr else 0.0, dt_),
+        s_rho=jnp.asarray(sabr["rho"] if sabr else 0.0, dt_),
     )
     if heston is not None:
         model_kind = "heston"
+    elif sabr is not None:
+        # beta==1 admits the exact log-Euler asset step; CEV beta<1 takes
+        # an Euler step with positivity clamp (processes._sabr_core parity)
+        model_kind = "sabr_ln" if float(sabr["beta"]) == 1.0 else "sabr_cev"
     elif merton is not None:
         model_kind = "merton"
     elif sigma_loc is not None:
@@ -334,7 +348,10 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     crossed0 = (S_init >= fixed["barrier"]) if up else \
         (S_init <= fixed["barrier"])
 
-    v_init = zeros + jnp.maximum(fixed["h_v0"], 0.0)
+    # v carries the stochastic-vol state: variance (Heston) or σ (SABR)
+    state0 = fixed["s_alpha0"] if model_kind.startswith("sabr") \
+        else jnp.maximum(fixed["h_v0"], 0.0)
+    v_init = zeros + state0
     carry0 = (
         S_init,
         zeros,                                  # running sum (excl. t=0)
@@ -376,6 +393,21 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             + fixed["h_xi"] * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
         return S_new, v_new
 
+    def sabr_step(S, sig, z1, z2):
+        # exact lognormal σ update, then the asset step uses the NEW σ —
+        # same discretisation as processes._sabr_core
+        nu = fixed["s_nu"]
+        sig_n = sig * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)
+        if model_kind == "sabr_ln":  # beta == 1: exact log-Euler
+            S_n = S * jnp.exp((fixed["r"] - fixed["q"]
+                               - 0.5 * sig_n * sig_n) * dt
+                              + sig_n * sqrt_dt * z1)
+        else:  # CEV beta < 1: Euler with positivity clamp
+            S_n = S + (fixed["r"] - fixed["q"]) * S * dt \
+                + sig_n * (S ** fixed["s_beta"]) * sqrt_dt * z1
+            S_n = jnp.maximum(S_n, 1e-12)
+        return S_n, sig_n
+
     def merton_step(S, z, kp_counts, zj):
         # GBM + compound Poisson in log space with λκ compensator
         # (same discretisation as processes.merton_jump_paths)
@@ -386,8 +418,10 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             + fixed["m_sJ"] * jnp.sqrt(kp_counts) * zj
         return S * jnp.exp(drift + fixed["sigma"] * sqrt_dt * z + y_sum)
 
-    rho_h = fixed["h_rho"]
-    rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho_h * rho_h))
+    sv_model = model_kind in ("heston", "sabr_ln", "sabr_cev")
+    rho_sv = fixed["s_rho"] if model_kind.startswith("sabr") \
+        else fixed["h_rho"]
+    rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho_sv * rho_sv))
 
     step_fn = dict(gbm=gbm_step, lv_euler=lv_log_euler_step,
                    lv_milstein=lv_milstein_step).get(model_kind)
@@ -396,15 +430,16 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         S, rsum, rlog, rmax, rmin, crossed, v = carry
         zk = jax.random.fold_in(key, t_idx)
         t_now = t_idx.astype(dt_) * dt
-        if model_kind == "heston":
+        if sv_model:
             k2, kp = jax.random.split(zk)
             z2 = jax.random.normal(k2, (n_paths,), dt_)
             zp = jax.random.normal(kp, (n_paths,), dt_)
             if antithetic:
                 z2 = jnp.concatenate([z2, -z2])
                 zp = jnp.concatenate([zp, -zp])
-            z1 = rho_h * z2 + rho_perp * zp
-            S_new, v = heston_step(S, v, z1, z2)
+            z1 = rho_sv * z2 + rho_perp * zp
+            sv_step = heston_step if model_kind == "heston" else sabr_step
+            S_new, v = sv_step(S, v, z1, z2)
         elif model_kind == "merton":
             kz, kn, kj = jax.random.split(zk, 3)
             z = jax.random.normal(kz, (n_paths,), dt_)

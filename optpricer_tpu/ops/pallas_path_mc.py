@@ -75,6 +75,14 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     h_theta = par_ref[16]
     h_xi = par_ref[17]
     h_rho = par_ref[18]
+    s_alpha0 = par_ref[19]  # SABR parameters
+    s_beta = par_ref[20]
+    s_nu = par_ref[21]
+    s_rho = par_ref[22]
+
+    is_sabr = dynamics in ("sabr_ln", "sabr_cev")
+    sv_model = is_sabr or dynamics == "heston"
+    rho_sv = s_rho if is_sabr else h_rho
 
     # ---- Dupire local vol from SVI slices (closed form, in registers) ----
     # svi_ref layout: (6, n_slices) rows a, b, rho, m, sg, T.
@@ -169,8 +177,12 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                            else (S <= barrier)).astype(jnp.float32)
             else:
                 crossed = jnp.zeros(shape, jnp.float32)
-            v = jnp.full(shape, h_v0) if dynamics == "heston" \
-                else jnp.zeros(shape, jnp.float32)
+            if dynamics == "heston":
+                v = jnp.full(shape, h_v0)      # variance state
+            elif is_sabr:
+                v = jnp.full(shape, s_alpha0)  # σ state
+            else:
+                v = jnp.zeros(shape, jnp.float32)
             # (S, run_sum, run_logsum, run_max, run_min, crossed, v);
             # explicit f32 — under x64 (interpret-mode tests) jnp.zeros
             # would default to f64 and poison the whole state.
@@ -196,6 +208,22 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                     v + h_kappa * (h_theta - v_eff) * dt_step
                     + h_xi * jnp.sqrt(v_eff) * sqrt_dt * zv, 0.0)
                 return S_new, v_new
+            if is_sabr:
+                # exact lognormal σ carried in registers; asset step uses
+                # the NEW σ — same discretisation as processes._sabr_core
+                z1 = rho_sv * zv + jnp.sqrt(jnp.maximum(
+                    0.0, 1.0 - rho_sv * rho_sv)) * z
+                sig_n = v * exp32(s_nu * sqrt_dt * zv
+                                  - 0.5 * s_nu * s_nu * dt_step)
+                if dynamics == "sabr_ln":  # beta == 1: exact log-Euler
+                    S_new = S * exp32((rq - 0.5 * sig_n * sig_n) * dt_step
+                                      + sig_n * sqrt_dt * z1)
+                else:  # CEV beta < 1: Euler with positivity clamp
+                    Sb = exp32(s_beta * log32(jnp.maximum(S, 1e-12)))
+                    S_new = jnp.maximum(
+                        S + rq * S * dt_step + sig_n * Sb * sqrt_dt * z1,
+                        1e-12)
+                return S_new, sig_n
             if dynamics == "lv_euler":
                 s_loc = sigma_loc(S, t_now)
                 return S * exp32((rq - 0.5 * s_loc * s_loc) * dt_step
@@ -233,8 +261,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         def step_body(t, states):
             st_p, st_m = states
             z1, z2 = normals()
-            if dynamics == "heston":
-                zv1, zv2 = normals()  # independent variance shocks
+            if sv_model:
+                zv1, zv2 = normals()  # independent vol/variance shocks
             else:
                 zv1 = zv2 = z1
             t0 = (2.0 * t.astype(jnp.float32)) * dt_step
@@ -343,24 +371,27 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
 
 
 def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
-                   barrier, rebate, payout, dS_bump, heston=None):
+                   barrier, rebate, payout, dS_bump, heston=None, sabr=None):
     dt = T / n_steps
     mu = (r - q - 0.5 * sigma * sigma) * dt
     sig = sigma * np.sqrt(dt)
     df = np.exp(-r * T)
     sign = 1.0 if is_call else -1.0
     h = heston or {}
+    s = sabr or {}
     return jnp.asarray(
         [S0, K, mu, sig, df, float(n_paths), sign, barrier, rebate, payout,
          dt, r - q, np.sqrt(dt), dS_bump,
          h.get("v0", 0.0), h.get("kappa", 0.0), h.get("theta", 0.0),
-         h.get("xi", 0.0), h.get("rho", 0.0)], jnp.float32)
+         h.get("xi", 0.0), h.get("rho", 0.0),
+         s.get("alpha0", 0.0), s.get("beta", 1.0), s.get("nu", 0.0),
+         s.get("rho", 0.0)], jnp.float32)
 
 
 def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
                     payoff, antithetic, barrier, barrier_type, rebate,
                     average_type, strike_type, payout, svi_slices, scheme,
-                    dS_bump, heston):
+                    dS_bump, heston, sabr=None):
     """(params, svi, static_kwargs) shared by the local and sharded entry
     points; n_steps must be even (two Box-Muller normals advance two steps
     per loop iteration)."""
@@ -369,9 +400,15 @@ def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
     params = _common_params(n_paths, n_steps, S0, K, T, r, q,
                             sigma if sigma is not None else 0.0,
                             is_call, barrier, rebate, payout, dS_bump,
-                            heston)
+                            heston, sabr)
     if svi_slices is None:
-        dynamics, n_slices = ("heston" if heston is not None else "gbm"), 0
+        if heston is not None:
+            dynamics = "heston"
+        elif sabr is not None:
+            dynamics = "sabr_ln" if float(sabr["beta"]) == 1.0 else "sabr_cev"
+        else:
+            dynamics = "gbm"
+        n_slices = 0
         svi = jnp.zeros((6, 1), jnp.float32)
     else:
         dynamics = "lv_milstein" if scheme == "milstein" else "lv_euler"
@@ -395,7 +432,7 @@ def path_mc_sumstats_pallas(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
-    heston=None, interpret: bool = False,
+    heston=None, sabr=None, interpret: bool = False,
 ):
     """(10,) sufficient statistics for a path-dependent payoff.
 
@@ -412,7 +449,7 @@ def path_mc_sumstats_pallas(
     params, svi, static = _resolve_config(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
-        svi_slices, scheme, dS_bump, heston)
+        svi_slices, scheme, dS_bump, heston, sabr)
     reps, n_programs = _plan_grid(int(n_paths), TILE)
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_path_kernel(
@@ -427,7 +464,7 @@ def path_mc_sumstats_pallas_sharded(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
-    heston=None, interpret=None,
+    heston=None, sabr=None, interpret=None,
 ):
     """Mesh data-parallel fused path MC: per-device Pallas grids + psum.
 
@@ -445,7 +482,7 @@ def path_mc_sumstats_pallas_sharded(
     params, svi, static = _resolve_config(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
-        svi_slices, scheme, dS_bump, heston)
+        svi_slices, scheme, dS_bump, heston, sabr)
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     reps, n_programs = _plan_grid(int(n_paths), TILE, n_dev)

@@ -178,3 +178,30 @@ def test_pallas_greeks_full_set():
         assert abs(g["vega"] - ref["vega"]) < 0.1, (kind, g, ref)
         assert abs(g["theta"] - ref["theta"]) < 0.05, (kind, g, ref)
         assert abs(g["rho"] - ref["rho"]) < 0.1, (kind, g, ref)
+
+
+@pytest.mark.parametrize("payoff,kw", [
+    ("vanilla", {}),
+    ("asian", {}),
+    ("barrier", dict(barrier=125.0, barrier_type="up-and-out")),
+])
+def test_sabr_pallas_vs_xla(payoff, kw):
+    """SABR in the Pallas path kernel (exact lognormal σ in registers)
+    agrees with the XLA scan engine to z-test tolerance."""
+    sabr = dict(alpha0=0.25, beta=1.0, nu=0.5, rho=-0.4)
+    common = dict(n_steps=64, n_paths=200_000, sabr=sabr)
+    p1, s1 = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.05,
+                             backend="pallas", seed=5, **common, **kw)
+    p2, s2 = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.05,
+                             backend="xla", seed=6, **common, **kw)
+    assert abs(p1 - p2) < 5 * np.hypot(s1, s2), (payoff, p1, p2, s1, s2)
+
+
+def test_sabr_cev_pallas_vs_xla():
+    sabr = dict(alpha0=2.0, beta=0.5, nu=0.4, rho=-0.3)
+    common = dict(n_steps=64, n_paths=200_000, sabr=sabr)
+    p1, s1 = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05,
+                             backend="pallas", seed=7, **common)
+    p2, s2 = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05,
+                             backend="xla", seed=8, **common)
+    assert abs(p1 - p2) < 5 * np.hypot(s1, s2), (p1, p2, s1, s2)
