@@ -1,78 +1,128 @@
-"""argparse CLI — subcommands ``bs``, ``binomial``, ``mc`` with the same flags
-and 10-dp price output as the reference (``cli.py:8-72``)."""
+"""Command-line pricing tool.
+
+Contract parity with the reference CLI (``cli.py:8-72``): subcommands
+``bs`` / ``binomial`` / ``mc`` accept the same market flags (--S0 --K --T
+--r --sigma [--q] [--kind]) plus the same engine flags, and emit the price
+to 10 decimal places (MC appends the standard error). Beyond parity, the
+TPU build adds ``fd`` (θ-scheme PDE) and ``greeks`` (one-kernel MC Greek
+ladder) subcommands.
+
+Structure is table-driven: each engine declares its extra flags and a
+runner; the market-parameter block and option construction are shared.
+"""
+from __future__ import annotations
+
 import argparse
+from typing import Callable
 
 from .core import CALL, PUT, OptionSpec
-from .models.binomial import crr
-from .models.monte_carlo import euro_price_mc
-from .ops.black_scholes import price as bs_price
+
+# (flag, kwargs) pairs shared by every engine
+_MARKET_FLAGS = (
+    ("--S0", dict(type=float, required=True)),
+    ("--K", dict(type=float, required=True)),
+    ("--T", dict(type=float, required=True, help="years")),
+    ("--r", dict(type=float, required=True, help="cont. risk-free")),
+    ("--sigma", dict(type=float, required=True)),
+    ("--q", dict(type=float, default=0.0, help="cont. dividend yield")),
+)
 
 
-def _kind(s: str):
-    s = s.lower()
-    if s in {"call", "c"}:
-        return CALL
-    if s in {"put", "p"}:
-        return PUT
-    raise argparse.ArgumentTypeError("kind must be 'call' or 'put'")
+def _parse_kind(text: str) -> str:
+    alias = {"call": CALL, "c": CALL, "put": PUT, "p": PUT}
+    try:
+        return alias[text.lower()]
+    except KeyError:
+        raise argparse.ArgumentTypeError("kind must be 'call' or 'put'")
 
 
-def add_common(parser: argparse.ArgumentParser):
-    parser.add_argument("--S0", type=float, required=True)
-    parser.add_argument("--K", type=float, required=True)
-    parser.add_argument("--T", type=float, required=True, help="years")
-    parser.add_argument("--r", type=float, required=True, help="cont. risk-free")
-    parser.add_argument("--sigma", type=float, required=True)
-    parser.add_argument("--q", type=float, default=0.0,
-                        help="cont. dividend yield")
-    parser.add_argument("--kind", type=_kind, default=CALL, help="call|put")
+def _spec_of(ns: argparse.Namespace) -> OptionSpec:
+    return OptionSpec(S0=ns.S0, K=ns.K, T=ns.T, r=ns.r, sigma=ns.sigma,
+                      q=ns.q)
 
 
-def cmd_bs(args):
-    opt = OptionSpec(args.S0, args.K, args.T, args.r, args.sigma, args.q)
-    print(f"{bs_price(opt, args.kind):.10f}")
+def _run_bs(ns) -> str:
+    from .ops.black_scholes import price
+
+    return f"{price(_spec_of(ns), ns.kind):.10f}"
 
 
-def cmd_binomial(args):
-    opt = OptionSpec(args.S0, args.K, args.T, args.r, args.sigma, args.q)
-    px = crr(opt, args.kind, N=args.N, american=args.american)
-    print(f"{px:.10f}")
+def _run_binomial(ns) -> str:
+    from .models.binomial import crr
+
+    value = crr(_spec_of(ns), ns.kind, N=ns.N, american=ns.american)
+    return f"{value:.10f}"
 
 
-def cmd_mc(args):
-    opt = OptionSpec(args.S0, args.K, args.T, args.r, args.sigma, args.q)
-    px, se = euro_price_mc(
-        opt, kind=args.kind, n_paths=args.n_paths, seed=args.seed,
-        antithetic=not args.no_antithetic, control_variate=not args.no_cv)
-    print(f"{px:.10f}  (stderr {se:.10f})")
+def _run_mc(ns) -> str:
+    from .models.monte_carlo import euro_price_mc
+
+    value, stderr = euro_price_mc(
+        _spec_of(ns), kind=ns.kind, n_paths=ns.n_paths, seed=ns.seed,
+        antithetic=not ns.no_antithetic, control_variate=not ns.no_cv)
+    return f"{value:.10f}  (stderr {stderr:.10f})"
 
 
-def main():
-    p = argparse.ArgumentParser(prog="optpricer-tpu",
-                                description="TPU options pricing CLI")
-    sub = p.add_subparsers(dest="cmd", required=True)
+def _run_fd(ns) -> str:
+    from .models.pde import fd_price
 
-    p_bs = sub.add_parser("bs", help="Black-Scholes price")
-    add_common(p_bs)
-    p_bs.set_defaults(func=cmd_bs)
+    value = fd_price(_spec_of(ns), ns.kind, N_S=ns.N_S, N_t=ns.N_t,
+                     american=ns.american)
+    return f"{value:.10f}"
 
-    p_bin = sub.add_parser("binomial", help="CRR binomial price")
-    add_common(p_bin)
-    p_bin.add_argument("--N", type=int, default=500)
-    p_bin.add_argument("--american", action="store_true")
-    p_bin.set_defaults(func=cmd_binomial)
 
-    p_mc = sub.add_parser("mc", help="Monte Carlo price (GBM)")
-    add_common(p_mc)
-    p_mc.add_argument("--n-paths", dest="n_paths", type=int, default=100_000)
-    p_mc.add_argument("--seed", type=int, default=None)
-    p_mc.add_argument("--no-antithetic", action="store_true")
-    p_mc.add_argument("--no-cv", action="store_true",
-                      help="disable control variate")
-    p_mc.set_defaults(func=cmd_mc)
+def _run_greeks(ns) -> str:
+    from .models.monte_carlo import euro_greeks_mc
 
-    args = p.parse_args()
-    args.func(args)
+    g = euro_greeks_mc(_spec_of(ns), ns.kind, n_paths=ns.n_paths,
+                       seed=ns.seed)
+    order = ("price", "delta", "gamma", "vega", "theta", "rho")
+    return "\n".join(f"{name:<6} {g[name]: .10f}" for name in order)
+
+
+# engine name -> (help text, extra flags, runner)
+_ENGINES: dict[str, tuple[str, tuple, Callable]] = {
+    "bs": ("Black-Scholes price", (), _run_bs),
+    "binomial": ("CRR binomial price", (
+        ("--N", dict(type=int, default=500)),
+        ("--american", dict(action="store_true")),
+    ), _run_binomial),
+    "mc": ("Monte Carlo price (GBM)", (
+        ("--n-paths", dict(dest="n_paths", type=int, default=100_000)),
+        ("--seed", dict(type=int, default=None)),
+        ("--no-antithetic", dict(action="store_true")),
+        ("--no-cv", dict(action="store_true",
+                         help="disable control variate")),
+    ), _run_mc),
+    "fd": ("theta-scheme PDE price", (
+        ("--N-S", dict(dest="N_S", type=int, default=200)),
+        ("--N-t", dict(dest="N_t", type=int, default=200)),
+        ("--american", dict(action="store_true")),
+    ), _run_fd),
+    "greeks": ("MC Greek ladder from one kernel run", (
+        ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),
+        ("--seed", dict(type=int, default=None)),
+    ), _run_greeks),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    root = argparse.ArgumentParser(prog="optpricer-tpu",
+                                   description="TPU options pricing CLI")
+    subs = root.add_subparsers(dest="cmd", required=True)
+    for name, (blurb, extra_flags, runner) in _ENGINES.items():
+        sub = subs.add_parser(name, help=blurb)
+        for flag, kw in _MARKET_FLAGS + extra_flags:
+            sub.add_argument(flag, **kw)
+        sub.add_argument("--kind", type=_parse_kind, default=CALL,
+                         help="call|put")
+        sub.set_defaults(runner=runner)
+    return root
+
+
+def main(argv=None):
+    ns = build_parser().parse_args(argv)
+    print(ns.runner(ns))
 
 
 if __name__ == "__main__":

@@ -1,14 +1,16 @@
 #!/usr/bin/env python3
-"""Fit an SVI volatility surface from market IV quotes (CSV → JSON).
+"""SVI surface calibration: market IV quotes in, fitted slice params out.
 
-TPU-native counterpart of reference ``scripts/calibrate_surface.py``:
-same CSV input (``expiry,strike,forward,iv``), same JSON output (per-slice
-SVI params + RMSE), optional matplotlib smile plot — but slices fit through
-the jitted Levenberg-Marquardt solver.
+Contract parity with reference ``scripts/calibrate_surface.py``: reads a CSV
+with columns ``expiry,strike,forward,iv``, writes JSON mapping each expiry
+(as a string key) to ``{a, b, rho, m, sigma, rmse}``, and optionally renders
+a market-vs-fit smile panel. The solver underneath is the repo's jitted
+Levenberg-Marquardt (``models/calibration._lm_fit``); when every expiry
+quotes the same number of strikes, all slices fit in ONE batched (vmapped)
+LM call instead of a Python loop per expiry.
 
-Usage:
-    python scripts/calibrate_surface.py --input quotes.csv --output fitted.json
-    python scripts/calibrate_surface.py --input quotes.csv --output fitted.json --plot smile.png
+    python scripts/calibrate_surface.py --input quotes.csv --output fit.json
+    python scripts/calibrate_surface.py ... --plot smile.png
 """
 from __future__ import annotations
 
@@ -16,85 +18,102 @@ import argparse
 import csv
 import json
 import sys
-from collections import defaultdict
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from optpricer_tpu.models.calibration import SVIParams, fit_svi  # noqa: E402
+from optpricer_tpu.models.calibration import (  # noqa: E402
+    SVIParams, fit_svi, fit_svi_surface,
+)
 
 
-def read_quotes(path: str):
-    """CSV → ({T: strikes}, {T: forward}, {T: ivs}), grouped by expiry."""
-    strikes = defaultdict(list)
-    ivs = defaultdict(list)
-    fwd = {}
-    with open(path, newline="") as f:
-        for row in csv.DictReader(f):
-            T = float(row["expiry"])
-            strikes[T].append(float(row["strike"]))
-            ivs[T].append(float(row["iv"]))
-            fwd[T] = float(row["forward"])
-    return ({T: np.array(strikes[T]) for T in sorted(strikes)}, fwd,
-            {T: np.array(ivs[T]) for T in sorted(ivs)})
+def load_quote_grid(path):
+    """Parse the quote CSV into per-expiry arrays.
+
+    Returns three dicts keyed by expiry (float, ascending): strike arrays,
+    forwards (last quoted forward wins, as in the reference), and IV arrays.
+    """
+    rows = list(csv.DictReader(open(path, newline="")))
+    expiries = sorted({float(r["expiry"]) for r in rows})
+    strikes, forwards, ivs = {}, {}, {}
+    for T in expiries:
+        mine = [r for r in rows if float(r["expiry"]) == T]
+        strikes[T] = np.array([float(r["strike"]) for r in mine])
+        ivs[T] = np.array([float(r["iv"]) for r in mine])
+        forwards[T] = float(mine[-1]["forward"])
+    return strikes, forwards, ivs
 
 
-def main():
+def fit_all_slices(strikes, forwards, ivs):
+    """Fit every expiry; one batched LM when the strike grids are uniform."""
+    sizes = {len(v) for v in strikes.values()}
+    if len(sizes) == 1 and len(strikes) > 1:
+        return fit_svi_surface(strikes, forwards, ivs).slices
+    return {T: fit_svi(strikes[T], forwards[T], T, ivs[T]) for T in strikes}
+
+
+def slice_report(svi: SVIParams, strikes, forward, market_iv) -> dict:
+    k = np.log(strikes / forward)
+    resid = np.asarray(svi.iv(k)) - market_iv
+    return {"a": svi.a, "b": svi.b, "rho": svi.rho, "m": svi.m,
+            "sigma": svi.sigma,
+            "rmse": float(np.sqrt(np.mean(resid * resid)))}
+
+
+def render_smiles(path, fits, strikes, forwards, ivs):
+    """One panel per expiry: market dots + fitted smile curve."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib not installed — skipping plot.")
+        return
+
+    expiries = sorted(fits)
+    fig, axes = plt.subplots(1, len(expiries), squeeze=False,
+                             figsize=(5 * len(expiries), 4))
+    for ax, T in zip(axes.ravel(), expiries):
+        k_obs = np.log(strikes[T] / forwards[T])
+        span = np.linspace(k_obs.min() - 0.1, k_obs.max() + 0.1, 200)
+        ax.plot(k_obs, ivs[T], "o", markersize=4, label="Market")
+        ax.plot(span, np.asarray(fits[T].iv(span)), "-", label="SVI fit")
+        ax.set(title=f"T = {T}", xlabel="log-moneyness k",
+               ylabel="Implied Vol")
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    print(f"Plot saved to {path}")
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Fit SVI volatility surface to market IV data.")
     ap.add_argument("--input", required=True, help="market data CSV")
     ap.add_argument("--output", required=True, help="output JSON")
     ap.add_argument("--plot", default=None, help="save smile plot PNG")
-    args = ap.parse_args()
+    ns = ap.parse_args(argv)
 
-    strikes_by_T, fwd_by_T, ivs_by_T = read_quotes(args.input)
-    n_quotes = sum(len(v) for v in strikes_by_T.values())
-    print(f"Loaded {n_quotes} quotes across {len(strikes_by_T)} expiries.")
+    strikes, forwards, ivs = load_quote_grid(ns.input)
+    total = sum(map(len, strikes.values()))
+    print(f"Loaded {total} quotes across {len(strikes)} expiries.")
 
-    results = {}
-    for T in sorted(strikes_by_T):
-        svi = fit_svi(strikes_by_T[T], fwd_by_T[T], T, ivs_by_T[T])
-        k = np.log(strikes_by_T[T] / fwd_by_T[T])
-        rmse = float(np.sqrt(np.mean(
-            (np.asarray(svi.iv(k)) - ivs_by_T[T]) ** 2)))
-        results[str(T)] = {"a": svi.a, "b": svi.b, "rho": svi.rho,
-                           "m": svi.m, "sigma": svi.sigma, "rmse": rmse}
-        print(f"  T={T:.4f}: a={svi.a:.4f} b={svi.b:.4f} rho={svi.rho:.4f} "
-              f"m={svi.m:.4f} sig={svi.sigma:.4f} RMSE={rmse:.6f}")
+    fits = fit_all_slices(strikes, forwards, ivs)
+    report = {}
+    for T in sorted(fits):
+        rep = slice_report(fits[T], strikes[T], forwards[T], ivs[T])
+        report[str(T)] = rep
+        print("  T={:.4f}: a={a:.4f} b={b:.4f} rho={rho:.4f} m={m:.4f} "
+              "sig={sigma:.4f} RMSE={rmse:.6f}".format(T, **rep))
 
-    with open(args.output, "w") as f:
-        json.dump(results, f, indent=2)
-    print(f"\nFitted params written to {args.output}")
+    Path(ns.output).write_text(json.dumps(report, indent=2))
+    print(f"\nFitted params written to {ns.output}")
 
-    if args.plot:
-        try:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-        except ImportError:
-            print("matplotlib not installed — skipping plot.")
-            return
-        fig, axes = plt.subplots(1, len(results),
-                                 figsize=(5 * len(results), 4), squeeze=False)
-        for i, (T_str, params) in enumerate(sorted(results.items(),
-                                                   key=lambda kv: float(kv[0]))):
-            T = float(T_str)
-            svi = SVIParams(a=params["a"], b=params["b"], rho=params["rho"],
-                            m=params["m"], sigma=params["sigma"], expiry=T)
-            k_mkt = np.log(strikes_by_T[T] / fwd_by_T[T])
-            k_fine = np.linspace(k_mkt.min() - 0.1, k_mkt.max() + 0.1, 200)
-            ax = axes[0, i]
-            ax.plot(k_mkt, ivs_by_T[T], "o", label="Market", markersize=4)
-            ax.plot(k_fine, np.asarray(svi.iv(k_fine)), "-", label="SVI fit")
-            ax.set_title(f"T = {T}")
-            ax.set_xlabel("log-moneyness k")
-            ax.set_ylabel("Implied Vol")
-            ax.legend()
-        plt.tight_layout()
-        plt.savefig(args.plot, dpi=150)
-        print(f"Plot saved to {args.plot}")
+    if ns.plot:
+        render_smiles(ns.plot, fits, strikes, forwards, ivs)
 
 
 if __name__ == "__main__":

@@ -1,14 +1,17 @@
 #!/usr/bin/env python3
 """Desk-style workflow: local-vol barrier pricing end-to-end on TPU.
 
-Pipeline (reference ``scripts/desk_workflow_localvol_barrier.py``):
+Pipeline parity with reference ``scripts/desk_workflow_localvol_barrier.py``
+(same six stages, same synthetic market, same contract):
 
     synthetic vol quotes → SVI calibration → Dupire local vol
-    → barrier pricing (FDM + Milstein MC) → Greeks → report
+    → barrier pricing (FDM + Milstein MC + fused kernel) → Greeks → report
 
-The TPU difference: the Dupire σ(S,t) closure is traceable, so the entire
+The TPU difference: the Dupire σ(S,t) closure is traceable, so the whole
 local-vol FDM march and the 200k×500 Milstein simulation each compile to a
-single XLA program (the reference calls the surface 1500× from Python).
+single XLA program (the reference calls the surface ~1500× from Python),
+and the fused row runs the entire simulation inside one Pallas kernel with
+the SVI surface evaluated in registers.
 
 Usage:
     python scripts/desk_workflow_localvol_barrier.py
@@ -17,6 +20,7 @@ from __future__ import annotations
 
 import sys
 import time
+from contextlib import contextmanager
 from pathlib import Path
 
 import numpy as np
@@ -30,156 +34,157 @@ from optpricer_tpu.models.calibration import (  # noqa: E402
     dupire_local_vol_func, fit_svi_surface,
 )
 from optpricer_tpu.models.exotics import barrier_price  # noqa: E402
+from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire  # noqa: E402
 from optpricer_tpu.models.pde import (  # noqa: E402
     fd_greeks, fd_price, fd_price_barrier, fd_price_local_vol,
 )
-from optpricer_tpu.models.processes import milstein_local_vol_paths  # noqa: E402
+from optpricer_tpu.models.processes import (  # noqa: E402
+    milstein_local_vol_paths,
+)
 from optpricer_tpu.ops.black_scholes import price as bs_price  # noqa: E402
 from optpricer_tpu.risk import numerical_greeks  # noqa: E402
 
-WIDTH = 68
+RULE = "─" * 68
 
 
-def header(title: str) -> None:
-    print(f"\n{'─' * WIDTH}\n  {title}\n{'─' * WIDTH}")
+def banner(step: int, title: str) -> None:
+    print(f"\n{RULE}\n  Step {step} — {title}\n{RULE}")
 
 
-def fmt(x: float, dp: int = 4) -> str:
-    return f"{x:>{dp + 6}.{dp}f}"
+@contextmanager
+def stopwatch(store: list):
+    start = time.perf_counter()
+    yield
+    store.append(time.perf_counter() - start)
+
+
+def cell(value, width: int, decimals: int = 4) -> str:
+    if value is None:
+        return "—".rjust(width)
+    if isinstance(value, str):
+        return value.rjust(width)
+    return f"{value:.{decimals}f}".rjust(width)
+
+
+def print_table(columns, rows) -> None:
+    """columns: [(name, width, decimals)]; rows: list of value tuples."""
+    head = " ".join(name.rjust(w) for name, w, _ in columns)
+    print("    " + head)
+    print("    " + "-" * len(head))
+    for row in rows:
+        line = " ".join(cell(v, w, d) for v, (_, w, d) in zip(row, columns))
+        print("    " + line)
+
+
+def synth_market():
+    """Three-slice synthetic smile (mild skew + convexity), reference parity."""
+    S0, r, q, base_vol = 100.0, 0.05, 0.02, 0.20
+    expiries = (0.25, 0.50, 1.00)
+    forwards = {T: S0 * np.exp((r - q) * T) for T in expiries}
+    strikes, ivs = {}, {}
+    for T in expiries:
+        grid = np.linspace(0.75, 1.25, 21) * forwards[T]
+        k = np.log(grid / forwards[T])
+        strikes[T] = grid
+        ivs[T] = base_vol + 0.05 * k * k - 0.02 * k + 0.005 * np.sqrt(T)
+    return S0, r, q, base_vol, forwards, strikes, ivs
 
 
 def main():
-    # ── 1. Synthetic market data ──────────────────────────────────────────
-    header("Step 1 — Synthetic Market Data")
-    S0, r, q = 100.0, 0.05, 0.02
-    base_vol = 0.20
-    expiries = [0.25, 0.50, 1.00]
-    forwards = {T: S0 * np.exp((r - q) * T) for T in expiries}
-
-    strikes_by_T, ivs_by_T = {}, {}
-    for T in expiries:
-        F = forwards[T]
-        K_arr = np.linspace(0.75 * F, 1.25 * F, 21)
-        k = np.log(K_arr / F)
-        ivs_by_T[T] = base_vol + 0.05 * k**2 - 0.02 * k + 0.005 * np.sqrt(T)
-        strikes_by_T[T] = K_arr
-
-    n_quotes = sum(len(v) for v in strikes_by_T.values())
+    banner(1, "Synthetic Market Data")
+    S0, r, q, base_vol, forwards, strikes, ivs = synth_market()
+    n_quotes = sum(map(len, strikes.values()))
     print(f"Generated {n_quotes} synthetic quotes across "
-          f"{len(expiries)} expiries")
+          f"{len(strikes)} expiries")
     print(f"Spot: {S0}  |  Rate: {r}  |  Div yield: {q}  |  "
           f"Base vol: {base_vol}  |  Backend: {jax.default_backend()}")
 
-    # ── 2. SVI calibration ────────────────────────────────────────────────
-    header("Step 2 — SVI Calibration")
-    t0 = time.perf_counter()
-    surface = fit_svi_surface(strikes_by_T, forwards, ivs_by_T)
-    t_cal = time.perf_counter() - t0
-    print(f"Calibrated SVI surface in {t_cal:.3f}s")
+    banner(2, "SVI Calibration")
+    tcal = []
+    with stopwatch(tcal):
+        surface = fit_svi_surface(strikes, forwards, ivs)
+    print(f"Calibrated SVI surface in {tcal[0]:.3f}s")
     for T, svi in sorted(surface.slices.items()):
-        k = np.log(strikes_by_T[T] / forwards[T])
-        rmse = float(np.sqrt(np.mean(
-            (np.asarray(svi.iv(k)) - ivs_by_T[T]) ** 2)))
+        k = np.log(strikes[T] / forwards[T])
+        err = np.asarray(svi.iv(k)) - ivs[T]
         print(f"  T={T:.2f}:  a={svi.a:.4f}  b={svi.b:.4f}  "
-              f"rho={svi.rho:+.4f}  RMSE={rmse:.6f}")
+              f"rho={svi.rho:+.4f}  RMSE={float(np.sqrt(np.mean(err*err))):.6f}")
 
-    # ── 3. Dupire local vol ───────────────────────────────────────────────
-    header("Step 3 — Dupire Local Vol Surface")
+    banner(3, "Dupire Local Vol Surface")
     sigma_loc = dupire_local_vol_func(surface, r=r, q=q)
-    print(f"  {'S':>8s}  {'t':>6s}  {'σ_loc':>10s}")
-    for S_probe in (85.0, 100.0, 115.0):
-        for t_probe in (0.1, 0.5):
-            lv = float(np.asarray(sigma_loc(np.array([S_probe]), t_probe))[0])
-            print(f"  {S_probe:>8.1f}  {t_probe:>6.2f}  {lv:>10.4f}")
+    print_table([("S", 8, 1), ("t", 6, 2), ("σ_loc", 10, 4)],
+                [(S_p, t_p,
+                  float(np.asarray(sigma_loc(np.array([S_p]), t_p))[0]))
+                 for S_p in (85.0, 100.0, 115.0) for t_p in (0.1, 0.5)])
 
-    # ── 4. Barrier pricing ────────────────────────────────────────────────
-    header("Step 4 — Barrier Option Pricing (FDM + MC)")
-    K, T, barrier, barrier_type = 100.0, 1.0, 130.0, "up-and-out"
+    banner(4, "Barrier Option Pricing (FDM + MC)")
+    K, T, barrier, btype = 100.0, 1.0, 130.0, "up-and-out"
     opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=base_vol, q=q)
-
-    t0 = time.perf_counter()
-    fdm_vanilla = fd_price(opt, CALL)
-    t_fdm_v = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    fdm_barrier = fd_price_barrier(opt, CALL, barrier, barrier_type)
-    t_fdm_b = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    fdm_lv_vanilla = fd_price_local_vol(S0, K, T, r, q, sigma_loc, CALL)
-    t_fdm_lv = time.perf_counter() - t0
-
-    bs_vanilla = bs_price(opt, CALL)
-
     n_paths, n_steps = 200_000, 500
-    t0 = time.perf_counter()
-    paths = milstein_local_vol_paths(S0, r, q, T, n_steps, n_paths, sigma_loc,
-                                     seed=42)
-    mc_barrier, mc_se = barrier_price(paths, K, r, T, CALL, barrier,
-                                      barrier_type)
-    t_mc = time.perf_counter() - t0
+
+    times = []
+    with stopwatch(times):
+        fdm_vanilla = fd_price(opt, CALL)
+        fdm_barrier = fd_price_barrier(opt, CALL, barrier, btype)
+    with stopwatch(times):
+        fdm_lv_vanilla = fd_price_local_vol(S0, K, T, r, q, sigma_loc, CALL)
+    with stopwatch(times):
+        paths = milstein_local_vol_paths(S0, r, q, T, n_steps, n_paths,
+                                         sigma_loc, seed=42)
+        mc_barrier, mc_se = barrier_price(paths, K, r, T, CALL, barrier,
+                                          btype)
     mc_vanilla = float(np.exp(-r * T)
                        * np.maximum(np.asarray(paths[-1]) - K, 0.0).mean())
 
-    # Fused engine: Dupire σ(S,t) evaluated inside the Pallas kernel on TPU
-    # (XLA scan elsewhere) — no path matrix, no Python in the loop.
-    from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
-
-    exotic_price_mc_dupire(  # compile once
+    # Fused engine: the Dupire formula evaluated inside the Pallas kernel on
+    # TPU (XLA scan elsewhere) — no path matrix, no Python in the loop.
+    fused = lambda: exotic_price_mc_dupire(
         "barrier", surface, S0, K, T, r, q, scheme="milstein",
-        barrier=barrier, barrier_type=barrier_type, n_steps=n_steps,
+        barrier=barrier, barrier_type=btype, n_steps=n_steps,
         n_paths=n_paths, seed=42)
-    t0 = time.perf_counter()
-    fz_barrier, fz_se = exotic_price_mc_dupire(
-        "barrier", surface, S0, K, T, r, q, scheme="milstein",
-        barrier=barrier, barrier_type=barrier_type, n_steps=n_steps,
-        n_paths=n_paths, seed=42)
-    t_fz = time.perf_counter() - t0
+    fused()  # compile once
+    with stopwatch(times):
+        fz_barrier, fz_se = fused()
+    t_fdm, t_fdm_lv, t_mc, t_fz = times
 
-    print(f"\nContract:  S0={S0}  K={K}  T={T}  barrier={barrier} "
-          f"({barrier_type})")
-    print(f"{'':>4s}{'Method':>25s} {'Vanilla':>10s} {'Barrier':>10s}  "
-          f"{'Time':>8s}")
-    print(f"{'':>4s}{'-' * 57}")
-    print(f"{'':>4s}{'Black-Scholes (const σ)':>25s} "
-          f"{fmt(bs_vanilla):>10s} {'—':>10s}  {'—':>8s}")
-    print(f"{'':>4s}{'FDM (const σ)':>25s} {fmt(fdm_vanilla):>10s} "
-          f"{fmt(fdm_barrier):>10s}  {t_fdm_v + t_fdm_b:>7.3f}s")
-    print(f"{'':>4s}{'FDM (local vol)':>25s} {fmt(fdm_lv_vanilla):>10s} "
-          f"{'—':>10s}  {t_fdm_lv:>7.3f}s")
-    print(f"{'':>4s}{'MC+Milstein (local vol)':>25s} {fmt(mc_vanilla):>10s} "
-          f"{fmt(mc_barrier):>10s}  {t_mc:>7.3f}s")
-    print(f"{'':>4s}{'Fused kernel (local vol)':>25s} {'—':>10s} "
-          f"{fmt(fz_barrier):>10s}  {t_fz:>7.3f}s")
+    bs_vanilla = bs_price(opt, CALL)
+    print(f"\nContract:  S0={S0}  K={K}  T={T}  barrier={barrier} ({btype})")
+    print_table(
+        [("Method", 25, 0), ("Vanilla", 10, 4), ("Barrier", 10, 4),
+         ("Time", 9, 3)],
+        [("Black-Scholes (const σ)", bs_vanilla, None, None),
+         ("FDM (const σ)", fdm_vanilla, fdm_barrier, f"{t_fdm:.3f}s"),
+         ("FDM (local vol)", fdm_lv_vanilla, None, f"{t_fdm_lv:.3f}s"),
+         ("MC+Milstein (local vol)", mc_vanilla, mc_barrier,
+          f"{t_mc:.3f}s"),
+         ("Fused kernel (local vol)", None, fz_barrier, f"{t_fz:.3f}s")])
     print(f"\n  MC barrier stderr: {mc_se:.4f} (path matrix) / "
           f"{fz_se:.4f} (fused)  ({n_paths:,} paths, {n_steps} steps)")
 
-    # ── 5. Greeks ─────────────────────────────────────────────────────────
-    header("Step 5 — Greeks (FDM Grid vs Bump-and-Reprice)")
-    fdm_gk = fd_greeks(opt, CALL)
+    banner(5, "Greeks (FDM Grid vs Bump-and-Reprice)")
+    grid_gk = fd_greeks(opt, CALL)
+    fdm_engine = lambda S, K, T, r, q, sigma, kind: fd_price(
+        OptionSpec(S0=S, K=K, T=T, r=r, sigma=sigma, q=q), kind)
+    bump_gk = numerical_greeks(fdm_engine, S0, K, T, r, q, base_vol, CALL)
+    print()
+    print_table(
+        [("Greek", 8, 0), ("FDM Grid", 12, 6), ("Bump&Reprice", 14, 6)],
+        [(g, grid_gk.get(g), bump_gk[g])
+         for g in ("delta", "gamma", "theta", "vega", "rho")])
 
-    def _fdm_pricer(S, K, T, r, q, sigma, kind):
-        return fd_price(OptionSpec(S0=S, K=K, T=T, r=r, sigma=sigma, q=q),
-                        kind)
-
-    bump_gk = numerical_greeks(_fdm_pricer, S0, K, T, r, q, base_vol, CALL)
-    print(f"\n{'Greek':>8s} {'FDM Grid':>12s} {'Bump&Reprice':>14s}")
-    print("─" * 36)
-    for g in ("delta", "gamma", "theta"):
-        print(f"{g:>8s} {fdm_gk[g]:>12.6f} {bump_gk[g]:>14.6f}")
-    for g in ("vega", "rho"):
-        print(f"{g:>8s} {'—':>12s} {bump_gk[g]:>14.6f}")
-
-    # ── 6. Summary ────────────────────────────────────────────────────────
-    header("Step 6 — Summary")
-    knockdown = (1 - fdm_barrier / fdm_vanilla) * 100
-    lv_adj = fdm_lv_vanilla - fdm_vanilla
-    print(f"  Barrier knock-down:       {knockdown:.1f}% "
-          f"(barrier {barrier_type} at {barrier})")
-    print(f"  Local-vol adjustment:    {lv_adj:+.4f} "
-          f"({lv_adj / fdm_vanilla * 100:+.2f}% of vanilla)")
-    print(f"  FDM vs MC barrier diff:   {abs(fdm_barrier - mc_barrier):.4f}")
-    print(f"  BS vs FDM vanilla diff:   {abs(bs_vanilla - fdm_vanilla):.4f}")
+    banner(6, "Summary")
+    knockdown = 100.0 * (1.0 - fdm_barrier / fdm_vanilla)
+    lv_shift = fdm_lv_vanilla - fdm_vanilla
+    for label, text in (
+        ("Barrier knock-down", f"{knockdown:.1f}% "
+                               f"(barrier {btype} at {barrier})"),
+        ("Local-vol adjustment", f"{lv_shift:+.4f} "
+                                 f"({100*lv_shift/fdm_vanilla:+.2f}% of "
+                                 "vanilla)"),
+        ("FDM vs MC barrier diff", f"{abs(fdm_barrier - mc_barrier):.4f}"),
+        ("BS vs FDM vanilla diff", f"{abs(bs_vanilla - fdm_vanilla):.4f}"),
+    ):
+        print(f"  {label + ':':<26s}{text}")
     print()
 
 

@@ -120,3 +120,20 @@ class TestCalibrateScript:
         fit = json.loads(out.read_text())["0.5"]
         assert fit["rmse"] < 1e-4
         assert abs(fit["b"] - 0.12) < 0.02
+
+
+class TestCLIExtensions:
+    COMMON = TestCLI.COMMON
+
+    def test_fd(self, capsys):
+        _run_cli("fd", *self.COMMON, "--N-S", "128", "--N-t", "64")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 10.4506) < 5e-2
+
+    def test_greeks(self, capsys):
+        _run_cli("greeks", *self.COMMON, "--n-paths", "50000", "--seed", "3")
+        out = capsys.readouterr().out
+        rows = dict(line.split() for line in out.strip().splitlines())
+        assert set(rows) == {"price", "delta", "gamma", "vega", "theta",
+                             "rho"}
+        assert abs(float(rows["delta"]) - 0.6368) < 0.02
