@@ -166,6 +166,20 @@ def euro_price_mc(
     instead of a process pool. ``backend``: "auto" | "xla" | "pallas" —
     "pallas" selects the fused TPU kernel for large path counts.
 
+    **Seed semantics.** Each backend is bit-reproducible given
+    ``(seed, n_paths, chunk_size/antithetic flags)``, and each is invariant
+    to device placement (XLA streams are fixed by ``fold_in(key, chunk_id)``;
+    Pallas streams by the *global* program id), so ``mesh=`` never changes an
+    estimate beyond float-reduction order. The two backends draw from
+    DIFFERENT generators, however — XLA uses counter-based threefry, the
+    Pallas kernel the TPU core PRNG — so the same seed gives a different
+    (equally valid) sample on each. Under ``backend="auto"`` on TPU the
+    engine switches to Pallas at ``n_paths >= 1_000_000``; pin ``backend=``
+    explicitly when bit-stable prices across path counts or platforms
+    matter. Reference parity: one ``seed`` fully determines the run
+    (``monte_carlo.py:106-139``); the reference's process-pool layout
+    independence maps to our device-placement independence.
+
     Returns ``(price, stderr)`` (or just price when ``return_stderr=False``).
     """
     del n_workers  # process pools replaced by the device mesh

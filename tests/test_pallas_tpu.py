@@ -205,3 +205,22 @@ def test_sabr_cev_pallas_vs_xla():
     p2, s2 = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05,
                              backend="xla", seed=8, **common)
     assert abs(p1 - p2) < 5 * np.hypot(s1, s2), (p1, p2, s1, s2)
+
+
+class TestSeedSemanticsTPU:
+    """Hardware half of the seed contract (tests/test_seed_semantics.py)."""
+
+    def test_pallas_bitwise_reproducible(self):
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+        runs = [euro_price_mc(opt, CALL, n_paths=2_000_000, seed=21,
+                              backend="pallas") for _ in range(2)]
+        assert runs[0] == runs[1]
+
+    def test_backends_differ_but_agree_statistically(self):
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+        px_p, se_p = euro_price_mc(opt, CALL, n_paths=2_000_000, seed=21,
+                                   backend="pallas")
+        px_x, se_x = euro_price_mc(opt, CALL, n_paths=2_000_000, seed=21,
+                                   backend="xla")
+        assert px_p != px_x  # different generators by design (documented)
+        assert abs(px_p - px_x) < 5 * np.hypot(se_p, se_x) + 1e-4
