@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import stats as stats_ops
-from .fastmath import exp32, log32
+from .fastmath import exp32, log32, norminv32
 
 BLOCK_R = 256           # sublane rows per rep tile
 LANES = 128
@@ -35,7 +35,8 @@ TILE = BLOCK_R * LANES  # draws per bit-tile; 2 tiles of normals per rep
 NSTAT = stats_ops.STATSG_DIM
 
 
-def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
+def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool,
+               invcdf: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -78,13 +79,23 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
         # so view as i32 first.
         u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
               + 0.5) * tiny
-        u2 = pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32) * tiny
-        # log32: the VPU's own f32 log/exp carry ~1e-6-level systematic
-        # bias — fatal at the 1e-4 price-accuracy gate (see ops/fastmath.py).
-        rad = jnp.sqrt(-2.0 * log32(u1))
-        theta = two_pi * u2
-        z1 = rad * jnp.cos(theta)
-        z2 = rad * jnp.sin(theta)
+        if invcdf:
+            # Acklam inverse CDF: one normal per uniform, no sin/cos pair
+            # (martingale bias ≤ 7e-7 at σ=0.4 on the 24-bit grid — see
+            # fastmath.norminv32 and tests/test_fastmath.py).
+            u2 = (pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32)
+                  + 0.5) * tiny
+            z1 = norminv32(u1)
+            z2 = norminv32(u2)
+        else:
+            u2 = pltpu.bitcast(bits_b >> 8,
+                               jnp.int32).astype(jnp.float32) * tiny
+            # log32: the VPU's own f32 log/exp carry ~1e-6-level systematic
+            # bias — fatal at the 1e-4 price-accuracy gate (ops/fastmath.py).
+            rad = jnp.sqrt(-2.0 * log32(u1))
+            theta = two_pi * u2
+            z1 = rad * jnp.cos(theta)
+            z2 = rad * jnp.sin(theta)
 
         # Tail masking via the per-tile remainder: rem = n_paths − tile_start.
         # Operands are multiples of the tile size (exact in f32 up to
@@ -147,13 +158,14 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool):
 
 
 @partial(jax.jit, static_argnames=("n_programs", "reps", "antithetic",
-                                   "interpret"))
+                                   "interpret", "invcdf"))
 def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool,
-                interpret: bool = False):
+                interpret: bool = False, invcdf: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = partial(_mc_kernel, reps=reps, antithetic=antithetic)
+    kernel = partial(_mc_kernel, reps=reps, antithetic=antithetic,
+                     invcdf=invcdf)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -195,7 +207,7 @@ def _terminal_params(n_paths, S0, K, T, r, q, sigma, is_call):
 
 def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
                        is_call: bool, *, antithetic: bool, dtype=None,
-                       interpret: bool = False):
+                       interpret: bool = False, invcdf: bool = False):
     """(10,) sufficient statistics for n_paths terminal GBM draws (f32).
 
     Each grid program produces ``2·TILE·reps`` base draws (two Box-Muller
@@ -207,7 +219,7 @@ def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_kernel(seed_arr, params, n_programs=n_programs,
                        reps=reps, antithetic=bool(antithetic),
-                       interpret=bool(interpret))
+                       interpret=bool(interpret), invcdf=bool(invcdf))
 
 
 def mc_sumstats_pallas_sharded(mesh, seed: int, n_paths: int, S0, K, T, r, q,
