@@ -193,6 +193,28 @@ def bench_lv_ladder() -> None:
         f"{dt*1e3:.1f} ms → {1024/dt:.0f} option-solves/s")
 
 
+def bench_lsmc() -> None:
+    """Diagnostic: 512-strike American LSMC ladder, 200k paths × 50 dates —
+    one shared path matrix, per-date ladder regressions as two MXU matmuls
+    (models/american_mc.py; engine beyond the reference's scope)."""
+    import numpy as np
+
+    from optpricer_tpu import lsmc_price_batch
+
+    Ks = np.linspace(70.0, 130.0, 512)
+    run = lambda: lsmc_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.25, "put",
+                                   n_paths=200_000, n_steps=50, seed=1)
+    jax.block_until_ready(run())
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    log(f"[lsmc] 512-strike American ladder 200k×50: {dt*1e3:.0f} ms "
+        f"→ {512/dt:.0f} options/s")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -201,7 +223,7 @@ def main():
         log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
-                     ("lv-ladder", bench_lv_ladder)):
+                     ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:

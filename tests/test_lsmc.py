@@ -1,0 +1,83 @@
+"""Longstaff-Schwartz American MC vs the lattice/PDE American engines.
+
+LSMC carries a small low bias (suboptimal exercise from the finite basis),
+so the bands are max(5·stderr, ~0.5% of price) against CRR N=2000 — the
+same oracle the reference uses for its American engines.
+"""
+import numpy as np
+import pytest
+
+from optpricer_tpu import OptionSpec, lsmc_price, lsmc_price_batch
+from optpricer_tpu.models.binomial import crr
+
+KW = dict(n_paths=200_000, n_steps=50, seed=0, dtype="float64")
+
+
+def _crr(opt, kind):
+    return crr(opt, kind, N=2000, american=True)
+
+
+class TestLsmcVsLattice:
+    @pytest.mark.parametrize("K", [90.0, 105.0, 120.0])
+    def test_american_put(self, K):
+        opt = OptionSpec(S0=100.0, K=K, T=1.0, r=0.05, sigma=0.25)
+        px, se = lsmc_price(opt, "put", **KW)
+        ref = _crr(opt, "put")
+        assert px <= ref + 5 * se          # low-biased estimator
+        assert abs(px - ref) < max(5 * se, 0.006 * ref)
+
+    def test_american_call_with_dividends(self):
+        # q > 0 makes early exercise of the call genuinely valuable
+        opt = OptionSpec(S0=100.0, K=95.0, T=1.0, r=0.03, sigma=0.25, q=0.07)
+        px, se = lsmc_price(opt, "call", **KW)
+        ref = _crr(opt, "call")
+        assert abs(px - ref) < max(5 * se, 0.006 * ref)
+
+    def test_no_dividend_call_equals_european(self):
+        from optpricer_tpu.ops.black_scholes import price as bs_price
+
+        opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+        px, se = lsmc_price(opt, "call", **KW)
+        assert abs(px - bs_price(opt, "call")) < 5 * se + 0.03
+
+    def test_deep_itm_floors_at_intrinsic(self):
+        opt = OptionSpec(S0=70.0, K=105.0, T=1.0, r=0.05, sigma=0.25)
+        px, _ = lsmc_price(opt, "put", **KW)
+        assert px >= 35.0 - 1e-9
+
+    def test_premium_over_european(self):
+        from optpricer_tpu.ops.black_scholes import price as bs_price
+
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.06, sigma=0.25)
+        px, se = lsmc_price(opt, "put", **KW)
+        assert px > bs_price(opt, "put") + 0.1  # clear early-exercise value
+
+
+class TestLsmcBatch:
+    def test_ladder_matches_scalar_calls(self):
+        Ks = np.array([90.0, 100.0, 110.0])
+        batch = np.asarray(lsmc_price_batch(
+            100.0, Ks, 1.0, 0.05, 0.0, 0.25, "put", n_paths=100_000,
+            n_steps=50, seed=1, dtype="float64"))
+        for k, got in zip(Ks, batch):
+            opt = OptionSpec(S0=100.0, K=float(k), T=1.0, r=0.05, sigma=0.25)
+            single, se = lsmc_price(opt, "put", n_paths=100_000, n_steps=50,
+                                    seed=1, dtype="float64")
+            # Same paths; the scalar engine's basis is centred at K, the
+            # batch engine's at S0 — identical fits in exact arithmetic,
+            # but rounding flips a handful of exercise decisions at the
+            # boundary, so agreement is statistical, not bitwise.
+            assert abs(got - single) < se, (k, got, single, se)
+
+    def test_mixed_kinds(self):
+        Ks = np.array([95.0, 105.0])
+        out = np.asarray(lsmc_price_batch(
+            100.0, Ks, 1.0, 0.05, 0.02, 0.25, np.array(["call", "put"]),
+            n_paths=50_000, n_steps=32, seed=2, dtype="float64"))
+        assert out.shape == (2,) and np.all(out > 0)
+
+    def test_reproducible(self):
+        kw = dict(n_paths=50_000, n_steps=32, seed=3)
+        a = lsmc_price_batch(100.0, [100.0], 1.0, 0.05, 0.0, 0.2, "put", **kw)
+        b = lsmc_price_batch(100.0, [100.0], 1.0, 0.05, 0.0, 0.2, "put", **kw)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
