@@ -100,3 +100,39 @@ class TestFdSolvePallas:
                                                         interpret=True))
             ref = np.asarray(tridiag_solve_thomas(a, b, c, d))
             np.testing.assert_allclose(x, ref, **TOLS)
+
+
+class TestFusedFdLvKernel:
+    """The whole-march VMEM-resident kernel (ops/pallas_fd_lv) agrees with
+    the per-step solvers to f32 round-off (Mosaic interpreter here)."""
+
+    @staticmethod
+    def _sigma(S, t):
+        return 0.2 + 0.1 * jnp.exp(-((jnp.log(S / 100.0)) ** 2)) + 0.05 * t
+
+    def test_matches_per_step_solver(self):
+        from optpricer_tpu.models.pde import fd_price_local_vol_batch
+
+        Ks = np.array([85.0, 100.0, 115.0])
+        kw = dict(N_S=96, N_t=40, ref_vol=0.3)
+        fused = np.asarray(fd_price_local_vol_batch(
+            100.0, Ks, 1.0, 0.04, 0.01, self._sigma, "call",
+            solver="fused", **kw))
+        ref = np.asarray(fd_price_local_vol_batch(
+            100.0, Ks, 1.0, 0.04, 0.01, self._sigma, "call",
+            solver="pallas", **kw))
+        np.testing.assert_allclose(fused, ref, atol=2e-4, rtol=1e-4)
+
+    def test_puts_and_ragged_batch(self):
+        from optpricer_tpu.models.pde import (fd_price_local_vol,
+                                              fd_price_local_vol_batch)
+
+        Ks = np.linspace(90.0, 120.0, 5)  # ragged: pads to one lane tile
+        fused = np.asarray(fd_price_local_vol_batch(
+            100.0, Ks, 0.5, 0.03, 0.0, self._sigma, "put",
+            solver="fused", N_S=64, N_t=32, ref_vol=0.3))
+        for k, got in zip(Ks, fused):
+            ref = fd_price_local_vol(100.0, float(k), 0.5, 0.03, 0.0,
+                                     self._sigma, "put", solver="auto",
+                                     N_S=64, N_t=32, ref_vol=0.3)
+            assert abs(got - ref) < 2e-3, (k, got, ref)
