@@ -81,3 +81,32 @@ class TestLsmcBatch:
         a = lsmc_price_batch(100.0, [100.0], 1.0, 0.05, 0.0, 0.2, "put", **kw)
         b = lsmc_price_batch(100.0, [100.0], 1.0, 0.05, 0.0, 0.2, "put", **kw)
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLsmcSharded:
+    """Mesh LSMC: the exercise policy is fit from ALL paths (psum'd normal
+    equations), so quality matches single-device at the same path count."""
+
+    def test_matches_single_device_statistically(self):
+        from optpricer_tpu.models.american_mc import lsmc_price_sharded
+        from optpricer_tpu.parallel import get_mesh
+
+        opt = OptionSpec(S0=100.0, K=105.0, T=1.0, r=0.05, sigma=0.25)
+        kw = dict(n_paths=160_000, n_steps=32, seed=5, dtype="float64")
+        p8, se8 = lsmc_price_sharded(get_mesh(8), opt, "put", **kw)
+        p1, se1 = lsmc_price(opt, "put", **kw)
+        assert abs(p8 - p1) < 5 * np.hypot(se8, se1)
+        # and both sit just below the lattice oracle
+        ref = _crr(opt, "put")
+        assert abs(p8 - ref) < max(5 * se8, 0.008 * ref)
+
+    def test_reproducible_and_finite(self):
+        from optpricer_tpu.models.american_mc import lsmc_price_sharded
+        from optpricer_tpu.parallel import get_mesh
+
+        opt = OptionSpec(S0=100.0, K=100.0, T=0.5, r=0.04, sigma=0.2)
+        mesh = get_mesh(8)
+        kw = dict(n_paths=40_000, n_steps=16, seed=2)
+        a = lsmc_price_sharded(mesh, opt, "put", **kw)
+        b = lsmc_price_sharded(mesh, opt, "put", **kw)
+        assert a == b and np.isfinite(a[0])
