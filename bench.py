@@ -215,6 +215,24 @@ def bench_lsmc() -> None:
         f"→ {512/dt:.0f} options/s")
 
 
+def bench_qmc() -> None:
+    """Diagnostic: randomised-QMC pricer — error vs the f64 closed form at
+    2^30 points (plain MC needs ~10^10x more paths for this accuracy)."""
+    from optpricer_tpu import CALL, OptionSpec
+    from optpricer_tpu.models.monte_carlo import euro_price_mc
+
+    opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+    ref = _bs_call_f64(100.0, 110.0, 1.0, 0.03, 0.0, 0.2)
+    n = 1 << 30
+    run = lambda: euro_price_mc(opt, CALL, n_paths=n, seed=7, backend="qmc")
+    run()
+    t0 = time.perf_counter()
+    px, se = run()
+    dt = time.perf_counter() - t0
+    log(f"[qmc] 2^30 scrambled-vdc points: {dt*1e3:.0f} ms "
+        f"({n/dt:.2e} pts/s), |err vs BS64|={abs(px-ref):.1e} se={se:.1e}")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -223,7 +241,8 @@ def main():
         log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
-                     ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc)):
+                     ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
+                     ("qmc", bench_qmc)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:

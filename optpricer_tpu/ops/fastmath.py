@@ -63,57 +63,56 @@ def exp32(x):
     return p * scale
 
 
-# Acklam's inverse-normal-CDF rational approximation (|rel err| < 1.15e-9
-# in exact arithmetic; f32 evaluation noise ~1e-6 absolute, oscillating).
-# Central region |u−0.5| ≤ 0.47575: degree-5/5 rational in r = (u−0.5)².
-_NI_A = (-3.969683028665376e+01, 2.209460984245205e+02,
-         -2.759285104469687e+02, 1.383577518672690e+02,
-         -3.066479806614716e+01, 2.506628277459239e+00)
-_NI_B = (-5.447609879822406e+01, 1.615858368580409e+02,
-         -1.556989798598866e+02, 6.680131188771972e+01,
-         -1.328068155288572e+01)
-# Tail region u < 0.02425 (mirrored for the upper tail): rational in
-# t = sqrt(−2 ln u).
-_NI_C = (-7.784894002430293e-03, -3.223964580411365e-01,
-         -2.400758277161838e+00, -2.549732539343734e+00,
-         4.374664141464968e+00, 2.938163982698783e+00)
-_NI_D = (7.784695709041462e-03, 3.224671290700398e-01,
-         2.445134137142996e+00, 3.754408661907416e+00)
+# Giles' single-precision erfinv ("Approximating the erfinv function",
+# GPU Computing Gems 2012): two degree-8 polynomials in w = −ln(1−x²)
+# (central) / √w − 3 (tail). Unlike the classic Acklam rational — whose
+# |coefficients| ≈ 276 lose ~coeff·eps32 ≈ 1.6e-5 of absolute accuracy
+# when the Horner chain is evaluated in f32 — Giles' coefficients are O(1),
+# so the f32 evaluation is accurate to a few ulps of z. (The Acklam form
+# was the round-2 first cut; RQMC integration exposed its ~3e-5 systematic
+# error floor, which this form removes.)
+_GILES_CENTRAL = (2.81022636e-08, 3.43273939e-07, -3.5233877e-06,
+                  -4.39150654e-06, 0.00021858087, -0.00125372503,
+                  -0.00417768164, 0.246640727, 1.50140941)
+_GILES_TAIL = (-0.000200214257, 0.000100950558, 0.00134934322,
+               -0.00367342844, 0.00573950773, -0.0076224613,
+               0.00943887047, 1.00167406, 2.83297682)
 
 
-def _poly32(coeffs, x, tail_one: bool = False):
+def _poly32(coeffs, x):
     p = jnp.float32(coeffs[0])
     for c in coeffs[1:]:
         p = p * x + jnp.float32(c)
-    if tail_one:
-        p = p * x + jnp.float32(1.0)
     return p
+
+
+_SQRT2 = 1.4142135623730951
 
 
 def norminv32(u):
     """Φ⁻¹(u) for u ∈ (0, 1), f32, branchless (both regions evaluated).
 
-    One normal per uniform — versus Box-Muller's two normals per two
-    uniforms plus a sin/cos pair. Uses the bias-free :func:`log32` in the
-    tail so the tail shape carries no systematic distortion. With 24-bit
-    bin-midpoint uniforms the representable range is |z| ≲ 5.47.
+    Φ⁻¹(u) = √2·erfinv(2u−1) with Giles' f32 polynomials; 1−x² is formed
+    as (1−x)(1+x) so the tail keeps full precision, and the log is the
+    bias-free :func:`log32`. One normal per uniform — versus Box-Muller's
+    two normals per two uniforms plus a sin/cos pair. The argument of the
+    log is floored at the half-width of the 24-bit uniform bin (the top
+    bin midpoint 1−2⁻²⁵ rounds to 1.0 in f32), capping |z| ≲ 5.3 —
+    consistent with the generators' 24-bit resolution.
     """
     u = u.astype(jnp.float32)
-    # central region: antisymmetric rational in q = u − 1/2
-    q = u - jnp.float32(0.5)
-    r = q * q
-    z_central = q * _poly32(_NI_A, r) / _poly32(_NI_B, r, tail_one=True)
-    # Tail region, evaluated on the mirrored uniform min(u, 1−u). The
-    # mirror is floored at half the 24-bit bin width: the top bin midpoint
-    # 1−2⁻²⁵ is not representable in f32 (it rounds to 1.0, making the
-    # mirror 0), and the floor restores that bin's |z| ≈ 5.47 instead of a
-    # log-floor blow-up.
-    um = jnp.maximum(jnp.minimum(u, jnp.float32(1.0) - u),
-                     jnp.float32(2.9802322e-8))
-    t = jnp.sqrt(-2.0 * log32(um))
-    z_tail = _poly32(_NI_C, t) / _poly32(_NI_D, t, tail_one=True)
-    z_tail = jnp.where(u > 0.5, -z_tail, z_tail)
-    return jnp.where(um < jnp.float32(0.02425), z_tail, z_central)
+    x = jnp.float32(2.0) * u - jnp.float32(1.0)
+    # 1−x² formed as 4u(1−u): x = fl(2u−1) itself loses the deep-tail
+    # information (ulp(1) ≈ 1.2e-7 swamps a 1e-6 tail), while u and 1−u
+    # are both exact-to-ulp on their respective tails.
+    onem = jnp.float32(4.0) * u * (jnp.float32(1.0) - u)
+    # floor = 2·2⁻²⁴: maps the unrepresentable top bin (u=1.0 in f32) to
+    # the bin midpoint's z ≈ 5.42 instead of blowing up the log
+    w = -log32(jnp.maximum(onem, jnp.float32(1.1920929e-7)))
+    p_central = _poly32(_GILES_CENTRAL, w - jnp.float32(2.5))
+    p_tail = _poly32(_GILES_TAIL, jnp.sqrt(w) - jnp.float32(3.0))
+    p = jnp.where(w < jnp.float32(5.0), p_central, p_tail)
+    return jnp.float32(_SQRT2) * p * x
 
 
 def log32(u):

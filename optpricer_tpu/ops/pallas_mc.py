@@ -182,6 +182,186 @@ def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool,
     return stats_ops.combine_scan(out[:, 0, :NSTAT])
 
 
+def _bitrev32(v):
+    """Bit-reversal of a uint32 tile (5-stage butterfly) — the base-2
+    radical inverse underlying the van der Corput sequence."""
+    u32 = lambda c: jnp.uint32(c)
+    v = ((v >> 1) & u32(0x55555555)) | ((v & u32(0x55555555)) << 1)
+    v = ((v >> 2) & u32(0x33333333)) | ((v & u32(0x33333333)) << 2)
+    v = ((v >> 4) & u32(0x0F0F0F0F)) | ((v & u32(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & u32(0x00FF00FF)) | ((v & u32(0x00FF00FF)) << 8)
+    return (v >> 16) | (v << 16)
+
+
+def _mc_qmc_kernel(seed_ref, par_ref, out_ref, *, reps: int,
+                   progs_per_rep: int):
+    """Randomised-QMC variant of ``_mc_kernel``.
+
+    Points are the base-2 van der Corput sequence over the within-replicate
+    path index, randomised by a per-replicate digital shift (XOR with a
+    murmur-mixed word of (seed, replicate)) — deterministic given the seed
+    and free of the hardware PRNG, so every backend evaluates the SAME
+    sample set (values agree to f32 round-off; FMA contraction differs). Normals come
+    from the inverse CDF (Box-Muller would pair points and destroy the 1-D
+    stratification). Each program emits raw partial stats; the host groups
+    programs into replicates and takes the spread of replicate means as the
+    error bar — the only honest stderr for QMC points, which are not i.i.d.
+    """
+    from jax.experimental import pallas as pl
+
+    pid = pl.program_id(0) + seed_ref[1]
+    rep_id = pid // progs_per_rep
+    tile_idx = pid % progs_per_rep
+
+    # murmur3-style finalizer of (seed, replicate) → digital-shift word.
+    # Scalar path stays in int32 (Mosaic bitcast is vector-only): the >>
+    # shifts are arithmetic, so mask off the smeared sign bits; the *
+    # wraps mod 2³², which is exactly murmur's semantics.
+    h = seed_ref[0] ^ (rep_id * jnp.int32(-1640531527))  # golden ratio
+    h = h ^ ((h >> 16) & jnp.int32(0xFFFF))
+    h = h * jnp.int32(-2048144789)                       # 0x85EBCA6B
+    h = h ^ ((h >> 13) & jnp.int32(0x7FFFF))
+    h = h * jnp.int32(-1028477387)                       # 0xC2B2AE35
+    h = h ^ ((h >> 16) & jnp.int32(0xFFFF))
+
+    S0 = par_ref[0]
+    K = par_ref[1]
+    mu = par_ref[2]
+    sig = par_ref[3]
+    df = par_ref[4]
+    n_rep = par_ref[5]     # points per replicate (float, tile-exact)
+    sign = par_ref[6]
+
+    tiny = 5.9604645e-8
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 1)
+    elem = rows * LANES + cols
+    base_elem = elem.astype(jnp.float32)
+
+    scr_tile = pltpu_bitcast_i32_to_u32(
+        jnp.broadcast_to(h, (BLOCK_R, LANES)).astype(jnp.int32))
+
+    def rep_body(j, carry):
+        acc, comp = carry
+        local0 = (tile_idx * reps + j) * TILE
+        idx = pltpu_bitcast_i32_to_u32(local0 + elem)
+        u_bits = _bitrev32(idx) ^ scr_tile
+        u = (pltpu_bitcast_u32_to_i32(u_bits >> 8).astype(jnp.float32)
+             + 0.5) * tiny
+        z = norminv32(u)
+
+        rem = n_rep - local0.astype(jnp.float32)
+        w = (base_elem < rem).astype(jnp.float32)
+
+        ST = S0 * exp32(mu + sig * z)
+        X = df * jnp.maximum(sign * (ST - K), 0.0)
+        Y1 = df * ST
+        Y2 = df * (sign * (ST - K) > 0.0).astype(jnp.float32)
+        WX = X * w
+        WY1 = Y1 * w
+        WY2 = Y2 * w
+        s = jnp.stack([
+            jnp.sum(w),
+            jnp.sum(WX), jnp.sum(WX * X),
+            jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
+            jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
+            jnp.sum(WY1 * Y2),
+            jnp.sum(WX * z), jnp.sum(WX * z * z), jnp.sum(WY2 * z),
+        ])
+        return stats_ops.kahan_add(acc, comp, s)
+
+    zero = jnp.zeros((NSTAT,), jnp.float32)
+    acc, _ = jax.lax.fori_loop(0, reps, rep_body, (zero, zero))
+    row = jnp.concatenate([acc, jnp.zeros((LANES - NSTAT,), jnp.float32)])
+    out_ref[0, :, :] = jnp.broadcast_to(row[None, :], (8, LANES))
+
+
+def pltpu_bitcast_i32_to_u32(x):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.bitcast(x, jnp.uint32)
+
+
+def pltpu_bitcast_u32_to_i32(x):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.bitcast(x, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_programs", "reps", "progs_per_rep",
+                                   "interpret"))
+def _run_qmc_kernel(seed, params, *, n_programs: int, reps: int,
+                    progs_per_rep: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = partial(_mc_qmc_kernel, reps=reps, progs_per_rep=progs_per_rep)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
+        grid=(n_programs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, params)
+    return out[:, 0, :NSTAT]  # per-program rows; host groups by replicate
+
+
+def mc_sumstats_qmc(seed: int, n_paths: int, S0, K, T, r, q, sigma,
+                    is_call: bool, *, n_replicates: int = 16,
+                    interpret: bool = False):
+    """Per-replicate (R, 13) sufficient statistics for RQMC terminal GBM.
+
+    ``n_paths`` is rounded up so every replicate holds the same
+    tile-aligned point count; the actual count is ``stats[:, 0].sum()``.
+    """
+    R = int(n_replicates)
+    n_rep = -(-int(n_paths) // R)
+    target_progs = max(1, 64 // R)
+    reps = max(1, -(-n_rep // (TILE * target_progs)))
+    progs_per_rep = -(-n_rep // (TILE * reps))
+    n_programs = R * progs_per_rep
+
+    params = _terminal_params(n_rep, S0, K, T, r, q, sigma, is_call)
+    seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
+    rows = _run_qmc_kernel(seed_arr, params, n_programs=n_programs,
+                           reps=int(reps), progs_per_rep=int(progs_per_rep),
+                           interpret=bool(interpret))
+    # host-side f64 per-replicate reduction (few rows, precision cheap)
+    rows = np.asarray(jax.device_get(rows), np.float64)
+    return rows.reshape(R, progs_per_rep, NSTAT).sum(axis=1)
+
+
+def qmc_estimate(rep_stats, S0, K, T, r, q, sigma, is_call: bool,
+                 control_variate: bool = True):
+    """(price, stderr) from per-replicate stats: mean of the R replicate
+    (CV-corrected) means; stderr from their spread — the honest error bar
+    for randomised QMC."""
+    s = np.asarray(jax.device_get(rep_stats), np.float64)
+    means = []
+    for row in s:
+        if control_variate:
+            m, _ = pallas_estimate(row, S0, K, T, r, q, sigma, is_call, True)
+        else:
+            m = row[1] / row[0]
+        means.append(m)
+    means = np.asarray(means)
+    R = means.size
+    se = float(means.std(ddof=1) / np.sqrt(R)) if R > 1 else float("nan")
+    mean = float(means.mean())
+    # f32-pipeline accuracy floor: once the replicate spread drops below
+    # the kernel's systematic error level (~5e-7 relative: norminv/exp32
+    # ulps + f32 moment accumulation), the spread no longer reflects the
+    # true error — report the floor instead (measured: |err| ≈ 4.5e-7 vs
+    # f64 BS at 2^30 points where the raw spread said 8e-9).
+    return mean, max(se, 2e-7 * (1.0 + abs(mean)))
+
+
 def _plan_grid(n_paths: int, per_rep: int, n_dev: int = 1,
                target_per_dev: int = 64):
     """(reps, n_programs): grid sizing with n_programs a device multiple.

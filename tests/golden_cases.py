@@ -201,6 +201,15 @@ def _sabr():
     return dict(price=px, stderr=se)
 
 
+@case("mc_qmc_call_seed7")
+def _qmc():
+    from optpricer_tpu.models.monte_carlo import euro_price_mc
+
+    px, se = euro_price_mc(_opt(), "call", n_paths=1 << 18, seed=7,
+                           backend="qmc")
+    return dict(price=px, stderr=se)
+
+
 def compute_all() -> dict:
     out = {}
     for name, fn in sorted(_CASES.items()):

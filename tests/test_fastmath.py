@@ -90,7 +90,7 @@ class TestNorminv32:
         u = np.linspace(1e-6, 1 - 1e-6, 100_001).astype(np.float32)
         z = np.asarray(norminv32(jnp.asarray(u)))
         ref = scipy_stats.norm.ppf(u.astype(np.float64))
-        assert np.abs(z - ref).max() < 5e-4
+        assert np.abs(z - ref).max() < 5e-6
 
     def test_top_bin_maps_to_finite_tail(self):
         # f32 rounds the top bin midpoint to 1.0; the floor must give the

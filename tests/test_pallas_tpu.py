@@ -224,3 +224,34 @@ class TestSeedSemanticsTPU:
                                    backend="xla")
         assert px_p != px_x  # different generators by design (documented)
         assert abs(px_p - px_x) < 5 * np.hypot(se_p, se_x) + 1e-4
+
+
+class TestQmcTPU:
+    def test_accuracy_at_scale(self):
+        from math import erfc, exp, log, sqrt
+
+        d1 = (log(100 / 110) + 0.03 + 0.02) / 0.2
+        P = lambda x: 0.5 * erfc(-x / sqrt(2))
+        ref = 100 * P(d1) - 110 * exp(-0.03) * P(d1 - 0.2)
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+        px, se = euro_price_mc(opt, CALL, n_paths=1 << 26, seed=7,
+                               backend="qmc")
+        assert abs(px - ref) < 5 * se
+        assert abs(px - ref) < 1e-5  # 10x inside the driver gate
+
+    def test_hardware_matches_cpu_interpreter(self):
+        # The QMC point set is pure arithmetic, so hardware and the CPU
+        # Mosaic interpreter evaluate the SAME sample set; the compiled
+        # kernel's FMA/sqrt rounding differs by ~1 ulp, so agreement is
+        # to f32 round-off, not bitwise. Constants from
+        #   JAX_PLATFORMS=cpu mc_sumstats_qmc(5, 1<<20, ..., interpret=True)
+        from optpricer_tpu.ops.pallas_mc import mc_sumstats_qmc
+
+        args = (100.0, 110.0, 1.0, 0.03, 0.0, 0.2, True)
+        hw = mc_sumstats_qmc(5, 1 << 20, *args, interpret=False)
+        assert hw[0, 0] == 65536.0
+        np.testing.assert_allclose(
+            hw[0, :3], [65536.0, 346881.3125, 9690020.5], rtol=1e-6)
+        np.testing.assert_allclose(
+            hw[7, :3], [65536.0, 346859.96875, 9687252.5], rtol=1e-6)
+        assert abs(float(hw[:, 1].sum()) / 5550500.515625 - 1) < 1e-6
