@@ -87,7 +87,8 @@ from .validation import (
 )
 
 # TPU-native extensions beyond the reference API
-from .models.mc_fused import exotic_price_mc, exotic_price_mc_dupire
+from .models.mc_fused import (exotic_price_mc, exotic_price_mc_dupire,
+                              exotic_greeks_mc)
 from .models.american_mc import (lsmc_price, lsmc_price_batch,
                                  lsmc_price_sharded)
 from .models.pde import fd_price_batch, fd_price_local_vol_batch
@@ -123,7 +124,7 @@ __all__ = [
     "exotic_price_mc", "exotic_price_mc_dupire", "fd_price_batch",
     "fd_price_local_vol_batch", "lsmc_price", "lsmc_price_batch",
     "lsmc_price_sharded",
-    "euro_greeks_mc",
+    "euro_greeks_mc", "exotic_greeks_mc",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

@@ -32,7 +32,102 @@ from ..dtypes import canonical
 from .exotics import _price_from_payoff
 from .monte_carlo import resolve_seed
 
-__all__ = ["exotic_price_mc", "exotic_price_mc_dupire"]
+__all__ = ["exotic_price_mc", "exotic_price_mc_dupire", "exotic_greeks_mc"]
+
+
+# payoffs whose pathwise delta the homogeneity argument covers (see
+# exotic_greeks_mc); barrier/digital payoffs are discontinuous in S_T and
+# need likelihood-ratio estimators instead
+_PATHWISE_OK = ("vanilla", "asian", "lookback")
+
+
+def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
+                     strike_type: str = "fixed", **kwargs) -> dict:
+    """Price + pathwise delta for a path-dependent option from ONE run.
+
+    Under GBM every running path statistic (terminal spot, running average,
+    running max/min) is degree-1 homogeneous in S0, so for any continuous
+    payoff ``max(sign·(A({S_t}) − K_eff), 0)`` the pathwise delta is
+
+        delta = (E[X] + sign · K_eff · E[Y3]) / S0
+
+    with X the discounted payoff, Y3 = e^{−rT}·1{payoff ITM} the payoff's
+    own exercise indicator (the 11th kernel moment), and K_eff = K for
+    fixed strikes / 0 for floating. Supported: vanilla, asian
+    (fixed/floating, arithmetic/geometric), lookback (fixed/floating).
+    Barrier and digital payoffs are discontinuous — pathwise
+    differentiation is biased there, so they are rejected.
+
+    Accepts ``exotic_price_mc``'s kwargs (GBM only: ``sigma=``). Returns
+    ``{"price", "stderr", "delta", "exercise_prob"}``.
+    """
+    if payoff not in _PATHWISE_OK:
+        raise ValueError(
+            f"pathwise delta requires a continuous payoff {_PATHWISE_OK}; "
+            f"{payoff!r} needs a likelihood-ratio estimator")
+    if kwargs.get("sigma") is None:
+        raise ValueError("exotic_greeks_mc supports GBM dynamics (sigma=)")
+    from ..ops.pallas_path_mc import path_mc_sumstats_pallas
+
+    import numpy as np
+
+    sigma = kwargs["sigma"]
+    seed_val = resolve_seed(kwargs.get("seed"))
+    n_steps = int(kwargs.get("n_steps", 252))
+    backend = kwargs.get("backend", "auto")
+    use_pallas = n_steps % 2 == 0 and (
+        backend == "pallas"
+        or (backend == "auto" and jax.default_backend() == "tpu"))
+    control_variate = bool(kwargs.get("control_variate", False))
+    pk = dict(payoff=payoff,
+              antithetic=bool(kwargs.get("antithetic", True)),
+              average_type=kwargs.get("average_type", "arithmetic"),
+              strike_type=strike_type,
+              interpret=jax.default_backend() != "tpu")
+    if use_pallas:
+        s = np.asarray(jax.device_get(path_mc_sumstats_pallas(
+            seed_val, int(kwargs.get("n_paths", 100_000)), n_steps,
+            S0, K, T, r, q, sigma, kind == "call", **pk)), np.float64)
+        n, mX, mY3 = s[0], s[1] / s[0], s[10] / s[0]
+        price, se = _estimate_from_stats(s, S0, K, T, r, q, sigma,
+                                         kind == "call", "gbm",
+                                         control_variate)
+    else:
+        # XLA engine: the same moments from the fused payoff vector
+        key = jax.random.key(seed_val)
+        dt_ = canonical(kwargs.get("dtype"))
+        fixed = dict(
+            S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),
+            T=jnp.asarray(T, dt_), r=jnp.asarray(r, dt_),
+            q=jnp.asarray(q, dt_), sigma=jnp.asarray(sigma, dt_),
+            barrier=jnp.asarray(0.0, dt_), rebate=jnp.asarray(0.0, dt_),
+            payout=jnp.asarray(1.0, dt_), bump=jnp.asarray(0.01, dt_),
+            **{k: jnp.asarray(0.0, dt_) for k in (
+                "h_v0", "h_kappa", "h_theta", "h_xi", "h_rho",
+                "m_lam", "m_mJ", "m_sJ", "s_alpha0", "s_nu", "s_rho")},
+            s_beta=jnp.asarray(1.0, dt_))
+        pay, _ = _fused_paths(
+            key, fixed, n_paths=int(kwargs.get("n_paths", 100_000)),
+            payoff=payoff, kind=kind, n_steps=n_steps,
+            antithetic=bool(kwargs.get("antithetic", True)),
+            barrier_type="up-and-out",
+            average_type=kwargs.get("average_type", "arithmetic"),
+            strike_type=strike_type, model_kind="gbm", sigma_loc=None,
+            dtype=dt_)
+        pay = np.asarray(jax.device_get(pay), np.float64)
+        df = np.exp(-r * T)
+        X = df * pay
+        n, mX = X.size, X.mean()
+        mY3 = df * float((pay > 0.0).mean())
+        price, se = float(mX), float(X.std(ddof=1) / np.sqrt(n))
+
+    sign = 1.0 if kind == "call" else -1.0
+    K_eff = 0.0 if strike_type == "floating" else K
+    # use the CV-corrected price in the E[X] slot when available
+    delta = (price + sign * K_eff * mY3) / S0
+    return {"price": float(price), "stderr": float(se),
+            "delta": float(delta),
+            "exercise_prob": float(mY3 * np.exp(r * T))}
 
 
 def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,

@@ -35,7 +35,13 @@ from .fastmath import exp32, log32
 BLOCK_R = 32            # sublane rows per path tile
 LANES = 128
 TILE = BLOCK_R * LANES  # paths per tile (4096)
-NSTAT = stats_ops.STATS2_DIM
+# dual-CV layout + an 11th moment: ΣY3 where Y3 = e^{−rT}·1{payoff ITM}
+# (the PAYOFF's own exercise indicator, unlike Y2's terminal-spot one).
+# Under GBM every running statistic is degree-1 homogeneous in S0, so the
+# pathwise delta of each continuous payoff is (E[X] + sign·K_eff·E[Y3])/S0
+# with K_eff = K for fixed strikes, 0 for floating — see
+# models.mc_fused.exotic_greeks_mc.
+NSTAT = stats_ops.STATS2_DIM + 1
 
 PAYOFF_IDS = {"vanilla": 0, "barrier": 1, "asian": 2, "digital": 3,
               "lookback": 4}
@@ -303,21 +309,19 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             X = df * pay
             Y1 = df * S
             Y2 = df * (sign * (S - K) > 0.0).astype(jnp.float32)
-            return X, Y1, Y2
+            Y3 = df * (pay > 0.0).astype(jnp.float32)
+            return X, Y1, Y2, Y3
 
         prog_offset = (pid.astype(jnp.float32) * reps
                        + c.astype(jnp.float32)) * TILE
         rem = n_paths - prog_offset
         w = (base_elem < rem).astype(jnp.float32)
 
-        Xp, Y1p, Y2p = payoff_of(st_p)
+        obs = payoff_of(st_p)
         if antithetic:
-            Xm, Y1m, Y2m = payoff_of(st_m)
-            X = 0.5 * (Xp + Xm)
-            Y1 = 0.5 * (Y1p + Y1m)
-            Y2 = 0.5 * (Y2p + Y2m)
-        else:
-            X, Y1, Y2 = Xp, Y1p, Y2p
+            obs_m = payoff_of(st_m)
+            obs = tuple(0.5 * (a + b) for a, b in zip(obs, obs_m))
+        X, Y1, Y2, Y3 = obs
 
         WX = X * w
         WY1 = Y1 * w
@@ -328,6 +332,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             jnp.sum(WY1), jnp.sum(WY1 * Y1), jnp.sum(WX * Y1),
             jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
             jnp.sum(WY1 * Y2),
+            jnp.sum(Y3 * w),
         ])
         return stats_ops.kahan_add(acc, comp, s)
 
