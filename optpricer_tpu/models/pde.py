@@ -429,16 +429,18 @@ def fd_price_local_vol_batch(S0, K, T, r, q, sigma_func, kind, *,
     Python call) a single-kernel workload. ``ref_vol`` shapes the grid.
 
     ``solver="fused"`` routes the ENTIRE march into one VMEM-resident
-    Pallas kernel (``ops.pallas_fd_lv``) — measured slower than the default
-    per-step kernel on current hardware (latency-bound; see that module's
-    docstring), offered as an explicit opt-in.
+    Pallas kernel (``ops.pallas_fd_lv``) with a log-depth parallel-cyclic-
+    reduction solve per step; ``solver="fused_thomas"`` selects the same
+    kernel with the sequential Thomas walk (latency-bound — kept for
+    cross-validation; see that module's docstring).
     """
-    if solver == "fused":
+    if solver in ("fused", "fused_pcr", "fused_thomas"):
         from ..ops.pallas_fd_lv import fd_lv_ladder_pallas
 
         return fd_lv_ladder_pallas(
             S0, K, T, r, q, sigma_func, kind, N_S=N_S, N_t=N_t,
-            theta=theta, S_max_mult=S_max_mult, ref_vol=ref_vol)
+            theta=theta, S_max_mult=S_max_mult, ref_vol=ref_vol,
+            method="thomas" if solver == "fused_thomas" else "pcr")
     dt_ = canonical(dtype)
     K_arr = np.atleast_1d(np.asarray(K, dtype=float))
     mask = np.broadcast_to(np.atleast_1d(is_call_mask(kind)), K_arr.shape)

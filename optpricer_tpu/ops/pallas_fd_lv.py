@@ -6,17 +6,20 @@ kernel instead keeps the value ladder V — and everything derived per step
 (σ, operator diagonals, rhs, elimination coefficients) — resident in VMEM
 for ALL time steps; HBM sees one write of the final interior values.
 
-**Measured result (v5e, 1024-strike 512×512 ladder): 103 ms vs 85 ms for
-the per-step Pallas Thomas path — the fused march is LATENCY-bound on the
-in-kernel sequential elimination (the dependent chain is rows × 2 sweeps ×
-steps with a reciprocal per row), while the per-step formulation overlaps
-its HBM traffic behind eight independent lane-tile programs.** It is kept
-as the explicit ``solver="fused"`` opt-in of
-``models.pde.fd_price_local_vol_batch`` — correct (f32-roundoff parity
-with the other solvers, tested in interpret mode) and the right starting
-point for a log-depth in-kernel solve (parallel cyclic reduction), which
-is what would beat the latency wall. Production default remains the
-per-step kernel.
+**Measured results (v5e, 1024-strike 512×512 ladder):** per-step Pallas
+Thomas path 85 ms; fused march with the sequential Thomas walk 118 ms
+(LATENCY-bound: the dependent chain is rows × 2 sweeps × steps with a
+reciprocal per row); fused march with the log-depth **parallel cyclic
+reduction** solve 100 ms (throughput-bound: ⌈log₂ m⌉ levels × six
+sublane rotates + one full-width divide per level, insensitive to
+``b_tile`` 128→1024 — i.e. pure VPU/VMEM work, no pipelining gap). PCR is
+therefore the fused kernel's default (``method="pcr"``), but the fused
+march as a whole remains the explicit ``solver="fused"`` opt-in of
+``models.pde.fd_price_local_vol_batch`` — the per-step formulation still
+wins by overlapping its HBM traffic behind eight independent lane-tile
+programs while doing O(m) rather than O(m log m) solve work. Both fused
+variants agree with the per-step solvers to f32 round-off (tested in
+interpret mode).
 
 Per time step, in registers/VMEM:
   1. σ(S, t) from the traced ``sigma_func`` closure on the (rows, lanes)
@@ -51,7 +54,8 @@ LANE = 128
 def _fd_lv_kernel(par_ref, K_ref, sign_ref, out_ref,
                   V, CP, DP, AL, CL, S, *,
                   n_t: int, m: int, m_pad: int, b_tile: int,
-                  theta: float, american: bool, sigma_func):
+                  theta: float, american: bool, sigma_func,
+                  method: str):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -122,6 +126,47 @@ def _fd_lv_kernel(par_ref, K_ref, sign_ref, out_ref,
                  + td * AL[:] * row0 * bc_l_new
                  + td * CL[:] * rowL * bc_r_new)
 
+        if method == "pcr":
+            # ---- parallel cyclic reduction: log-depth, full-width ----
+            # LHS coefficients as whole (m_pad, b_tile) arrays; a is zeroed
+            # on row 0 and c on row m-1 (the Dirichlet transfer already
+            # moved both couplings onto the rhs), padding rows are identity
+            # equations solving to zero.  Every PCR level is pure
+            # elementwise VPU work + eight sublane rotates — no sequential
+            # reciprocal chain, which is what bounds the Thomas walk.
+            #
+            # Wrap-around safety needs no masks: a_i = 0 for i < 2^k and
+            # c_i = 0 for i >= m_pad - 2^k hold inductively, so every
+            # rolled-in garbage value is multiplied by an exact zero.
+            not0 = (rows != 0).astype(jnp.float32)
+            notL = (rows != m - 1).astype(jnp.float32)
+            # diagonal-normalised form: divide each equation by its diag
+            # once, then every level needs only six rolls and one divide.
+            rb0 = 1.0 / (1.0 + td * (AL[:] + CL[:] + r * interior))
+            DP[:] = DP[:] * rb0
+            a_new = -td * AL[:] * not0 * rb0
+            CL[:] = -td * CL[:] * notL * rb0
+            AL[:] = a_new
+            for _k in range((m_pad - 1).bit_length()):
+                sft = 1 << _k
+                am = pltpu.roll(AL[:], sft, 0)
+                cm = pltpu.roll(CL[:], sft, 0)
+                dm = pltpu.roll(DP[:], sft, 0)
+                ap = pltpu.roll(AL[:], m_pad - sft, 0)
+                cpv = pltpu.roll(CL[:], m_pad - sft, 0)
+                dpv = pltpu.roll(DP[:], m_pad - sft, 0)
+                rcp = 1.0 / (1.0 - AL[:] * cm - CL[:] * ap)
+                new_a = -rcp * AL[:] * am
+                new_c = -rcp * CL[:] * cpv
+                new_d = rcp * (DP[:] - AL[:] * dm - CL[:] * dpv)
+                AL[:] = new_a
+                CL[:] = new_c
+                DP[:] = new_d
+            V[:] = DP[:]
+            if american:
+                V[:] = jnp.maximum(V[:], intrinsic())
+            return bc_l_new, bc_r_new
+
         # ---- Thomas elimination along rows, systems on lanes ----
         lane_zeros = jnp.zeros((b_tile,), jnp.float32)
 
@@ -179,15 +224,15 @@ def _fd_lv_kernel(par_ref, K_ref, sign_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("n_t", "m", "m_pad", "b_tile", "n_prog",
                                    "theta", "american", "sigma_func",
-                                   "interpret"))
+                                   "interpret", "method"))
 def _run_fd_lv(params, K_pad, sign_pad, *, n_t, m, m_pad, b_tile, n_prog,
-               theta, american, sigma_func, interpret):
+               theta, american, sigma_func, interpret, method):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = partial(_fd_lv_kernel, n_t=n_t, m=m, m_pad=m_pad,
                      b_tile=b_tile, theta=theta, american=american,
-                     sigma_func=sigma_func)
+                     sigma_func=sigma_func, method=method)
     lane_spec = pl.BlockSpec((1, b_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -214,13 +259,19 @@ def fd_lv_ladder_pallas(S0, K, T, r, q, sigma_func, kind, *,
                         N_S: int = 512, N_t: int = 512, theta: float = 0.5,
                         S_max_mult: float = 4.0, ref_vol: float = 0.3,
                         american: bool = False, b_tile: int = 512,
-                        interpret=None):
+                        interpret=None, method: str = "pcr"):
     """Local-vol strike/kind ladder priced by the fused VMEM-resident march.
 
     Same grid construction and θ-scheme semantics as
     ``models.pde.fd_price_local_vol_batch``; ``sigma_func(S, t)`` must be a
     JAX-traceable closure (it is traced INTO the kernel). Returns (B,)
     prices interpolated at ``ln S0``.
+
+    ``method`` selects the in-kernel solve: ``"pcr"`` (default) is the
+    log-depth parallel cyclic reduction — throughput-bound VPU work;
+    ``"thomas"`` is the sequential group-walk elimination, kept for
+    cross-validation and for convection-dominated grids where PCR's
+    diagonal-dominance margin is thin.
     """
     from ..models.pde import _build_grid
     from ..ops.black_scholes import is_call_mask
@@ -249,7 +300,8 @@ def fd_lv_ladder_pallas(S0, K, T, r, q, sigma_func, kind, *,
         params, jnp.asarray(K_pad), jnp.asarray(sign_pad),
         n_t=int(N_t), m=m, m_pad=int(m_pad), b_tile=int(b_tile),
         n_prog=int(n_prog), theta=float(theta), american=bool(american),
-        sigma_func=sigma_func, interpret=bool(interpret))
+        sigma_func=sigma_func, interpret=bool(interpret),
+        method=str(method))
 
     # assemble the full grid: analytic Dirichlet rows at tau = T
     V_int = np.asarray(V_int)[:m, :B]           # (m, B)

@@ -123,6 +123,21 @@ class TestFusedFdLvKernel:
             solver="pallas", **kw))
         np.testing.assert_allclose(fused, ref, atol=2e-4, rtol=1e-4)
 
+    def test_pcr_matches_thomas_walk(self):
+        """Both in-kernel solves (log-depth PCR, sequential Thomas group
+        walk) produce the same march to f32 round-off."""
+        from optpricer_tpu.models.pde import fd_price_local_vol_batch
+
+        Ks = np.array([85.0, 100.0, 115.0])
+        kw = dict(N_S=96, N_t=40, ref_vol=0.3)
+        pcr = np.asarray(fd_price_local_vol_batch(
+            100.0, Ks, 1.0, 0.04, 0.01, self._sigma, "call",
+            solver="fused", **kw))
+        tho = np.asarray(fd_price_local_vol_batch(
+            100.0, Ks, 1.0, 0.04, 0.01, self._sigma, "call",
+            solver="fused_thomas", **kw))
+        np.testing.assert_allclose(pcr, tho, atol=2e-4, rtol=1e-4)
+
     def test_puts_and_ragged_batch(self):
         from optpricer_tpu.models.pde import (fd_price_local_vol,
                                               fd_price_local_vol_batch)
