@@ -77,6 +77,17 @@ def _bc_values(tau, K, r, S_min, S_max, is_call):
     return bc_left, bc_right
 
 
+_SOLVERS = ("auto", "propagator", "parallel", "thomas", "pallas")
+_SOLVERS_BATCH_LV = _SOLVERS + ("fused", "fused_pcr", "fused_thomas")
+
+
+def _check_solver(solver: str, valid=_SOLVERS) -> str:
+    if solver not in valid:
+        raise ValueError(f"unknown solver {solver!r}; expected one of "
+                         f"{', '.join(valid)}")
+    return solver
+
+
 @partial(jax.jit, static_argnames=("N_t", "american", "two_layers",
                                    "sigma_func", "solver", "american_method",
                                    "psor_sweeps"))
@@ -280,6 +291,7 @@ def fd_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     project-after-solve (``pde.py:205-207``); "psor" solves the LCP with
     projected red-black SOR per step (more accurate near the free
     boundary)."""
+    _check_solver(solver)
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
                                      opt.sigma, kind, N_S, N_t, theta,
                                      S_max_mult, dtype)
@@ -300,6 +312,7 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
     """European barrier price: knock-out via Dirichlet nodes at/beyond the
     barrier; knock-in via parity V_in = V_vanilla − V_out
     (reference ``pde.py:271-329``)."""
+    _check_solver(solver)
     grid_kw = dict(N_S=N_S, N_t=N_t, theta=theta, S_max_mult=S_max_mult,
                    dtype=dtype, solver=solver)
     if barrier_type.endswith("in"):
@@ -336,7 +349,7 @@ def fd_greeks(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
     S_max_mult = kwargs.pop("S_max_mult", 4.0)
     american = kwargs.pop("american", False)
     dtype = kwargs.pop("dtype", None)
-    solver = kwargs.pop("solver", "auto")
+    solver = _check_solver(kwargs.pop("solver", "auto"))
 
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
                                      opt.sigma, kind, N_S, N_t, theta_scheme,
@@ -372,6 +385,7 @@ def fd_price_local_vol(S0: float, K: float, T: float, r: float, q: float,
     """Local-vol FD price: node-wise σ(S, t) from a traceable ``sigma_func``
     evaluated inside the scan (reference ``pde.py:385-426``); ``ref_vol``
     only shapes the grid."""
+    _check_solver(solver)
     x_np, x_grid, args = _prep_solve(S0, K, T, r, q, 0.0, kind, N_S, N_t,
                                      theta, S_max_mult, dtype,
                                      grid_sigma=ref_vol)
@@ -434,6 +448,7 @@ def fd_price_local_vol_batch(S0, K, T, r, q, sigma_func, kind, *,
     kernel with the sequential Thomas walk (latency-bound — kept for
     cross-validation; see that module's docstring).
     """
+    _check_solver(solver, _SOLVERS_BATCH_LV)
     if solver in ("fused", "fused_pcr", "fused_thomas"):
         from ..ops.pallas_fd_lv import fd_lv_ladder_pallas
 

@@ -186,3 +186,18 @@ class TestPSOR:
         eu2 = fd_price(OPT, CALL, N_S=200, N_t=200,
                        american_method="psor")
         assert abs(eu1 - eu2) < 1e-9
+
+
+def test_unknown_solver_raises():
+    import pytest
+    from optpricer_tpu import OptionSpec
+    from optpricer_tpu.models.pde import (fd_price, fd_price_local_vol_batch)
+
+    opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+    with pytest.raises(ValueError, match="unknown solver"):
+        fd_price(opt, "call", N_S=32, N_t=16, solver="warp")
+    with pytest.raises(ValueError, match="unknown solver"):
+        fd_price_local_vol_batch(
+            100.0, [100.0], 1.0, 0.05, 0.0,
+            lambda S, t: 0.2 + 0.0 * S, "call",
+            N_S=32, N_t=16, solver="warp")
