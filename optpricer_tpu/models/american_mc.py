@@ -177,7 +177,9 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
     from .processes import _gbm_core
 
     dt_ = canonical(dtype)
-    axis = mesh.axis_names[0]
+    from ..parallel.mesh import mesh_axes
+
+    axis = mesh_axes(mesh)
     n_dev = int(mesh.devices.size)
     n_local = -(-int(n_paths) // n_dev)
     key = jax.random.key(resolve_seed(seed))

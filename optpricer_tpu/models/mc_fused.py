@@ -392,7 +392,9 @@ def exotic_price_mc(
     # engines — scaling out improves, never degrades, the estimate.
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
+    from ..parallel.mesh import mesh_axes
+
+    axis = mesh_axes(mesh)
     n_dev = mesh.devices.size
     n_local = -(-int(n_paths) // n_dev)
     sign = 1.0 if kind == "call" else -1.0

@@ -421,7 +421,9 @@ def mc_sumstats_pallas_sharded(mesh, seed: int, n_paths: int, S0, K, T, r, q,
     """
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
+    from ..parallel.mesh import mesh_axes
+
+    axis = mesh_axes(mesh)
     n_dev = int(mesh.devices.size)
     reps, n_programs = _plan_grid(int(n_paths), 2 * TILE, n_dev)
     progs_per_dev = n_programs // n_dev

@@ -488,7 +488,9 @@ def path_mc_sumstats_pallas_sharded(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
         svi_slices, scheme, dS_bump, heston, sabr)
-    axis = mesh.axis_names[0]
+    from ..parallel.mesh import mesh_axes
+
+    axis = mesh_axes(mesh)
     n_dev = int(mesh.devices.size)
     reps, n_programs = _plan_grid(int(n_paths), TILE, n_dev)
     progs_per_dev = n_programs // n_dev

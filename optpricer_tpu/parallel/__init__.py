@@ -1,2 +1,3 @@
-# optpricer_tpu.parallel — device-mesh data parallelism (DP over ICI).
-from .mesh import get_mesh, mc_sumstats_sharded  # noqa: F401
+# optpricer_tpu.parallel — device-mesh data parallelism (DP over ICI/DCN).
+from .mesh import (get_mesh, get_mesh_multislice, mesh_axes,  # noqa: F401
+                   mc_sumstats_sharded)

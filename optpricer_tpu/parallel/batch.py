@@ -19,6 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dtypes import canonical
 from ..ops.black_scholes import greeks_core, is_call_mask, price_core
+from .mesh import mesh_axes
 
 __all__ = ["bs_price_sharded", "bs_greeks_sharded", "crr_vec_sharded",
            "fd_batch_sharded"]
@@ -43,7 +44,7 @@ def _prep_batch(mesh: Mesh, dtype, S, K, T, r, q, sigma, kind):
     n_dev = mesh.devices.size
     cols, _ = zip(*[_pad(c, n_dev) for c in cols])
     mask, _ = _pad(mask, n_dev)
-    sharding = jax.NamedSharding(mesh, P(mesh.axis_names[0]))
+    sharding = jax.NamedSharding(mesh, P(mesh_axes(mesh)))
     put = lambda a, d: jax.device_put(jnp.asarray(a, d), sharding)
     return ([put(c, dt) for c in cols] + [put(mask, bool)], B, sharding)
 
@@ -79,7 +80,7 @@ def crr_vec_sharded(mesh: Mesh, S0, K, T, r, q, sigma, kind, N: int = 500,
     K_pad, B = _pad(K_arr, n_dev)
     mask_pad, _ = _pad(mask, n_dev)
 
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=P(axis))
@@ -115,7 +116,7 @@ def fd_batch_sharded(mesh: Mesh, S0, K, T, r, q, sigma, kind, *,
 
     x_np, dx, dt = _build_grid(S0, T, sigma, N_S, N_t, S_max_mult)
     x_grid = jnp.asarray(x_np, dt_)
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=P(axis))
