@@ -43,7 +43,7 @@ _PATHWISE_OK = ("vanilla", "asian", "lookback")
 
 def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
                      strike_type: str = "fixed", **kwargs) -> dict:
-    """Price + pathwise delta for a path-dependent option from ONE run.
+    """Price + pathwise delta AND vega for a path-dependent option, one run.
 
     Under GBM every running path statistic (terminal spot, running average,
     running max/min) is degree-1 homogeneous in S0, so for any continuous
@@ -58,8 +58,15 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     Barrier and digital payoffs are discontinuous — pathwise
     differentiation is biased there, so they are rejected.
 
+    Pathwise vega rides the same run: dS_t/dσ = S_t·(W_t − σt) under exact
+    log-Euler GBM, chained through each payoff's smooth inner argument
+    (running average / extremum) — the kernel carries the Brownian path and
+    a payoff-specific accumulator in registers and emits ΣY4/ΣY4² moments
+    (Y4 = e^{−rT}·dpay/dσ), the XLA engine the same observable per path.
+
     Accepts ``exotic_price_mc``'s kwargs (GBM only: ``sigma=``). Returns
-    ``{"price", "stderr", "delta", "exercise_prob"}``.
+    ``{"price", "stderr", "delta", "vega", "vega_stderr",
+    "exercise_prob"}``.
     """
     if payoff not in _PATHWISE_OK:
         raise ValueError(
@@ -87,11 +94,15 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     if use_pallas:
         s = np.asarray(jax.device_get(path_mc_sumstats_pallas(
             seed_val, int(kwargs.get("n_paths", 100_000)), n_steps,
-            S0, K, T, r, q, sigma, kind == "call", **pk)), np.float64)
+            S0, K, T, r, q, sigma, kind == "call", vega_stats=True,
+            **pk)), np.float64)
         n, mX, mY3 = s[0], s[1] / s[0], s[10] / s[0]
         price, se = _estimate_from_stats(s, S0, K, T, r, q, sigma,
                                          kind == "call", "gbm",
                                          control_variate)
+        vega = s[11] / n
+        vega_se = float(np.sqrt(max(0.0, s[12] / n - vega * vega) / n))
+        vega = float(vega)
     else:
         # XLA engine: the same moments from the fused payoff vector
         key = jax.random.key(seed_val)
@@ -106,27 +117,31 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
                 "h_v0", "h_kappa", "h_theta", "h_xi", "h_rho",
                 "m_lam", "m_mJ", "m_sJ", "s_alpha0", "s_nu", "s_rho")},
             s_beta=jnp.asarray(1.0, dt_))
-        pay, _ = _fused_paths(
+        pay, _, dpay = _fused_paths(
             key, fixed, n_paths=int(kwargs.get("n_paths", 100_000)),
             payoff=payoff, kind=kind, n_steps=n_steps,
             antithetic=bool(kwargs.get("antithetic", True)),
             barrier_type="up-and-out",
             average_type=kwargs.get("average_type", "arithmetic"),
             strike_type=strike_type, model_kind="gbm", sigma_loc=None,
-            dtype=dt_)
+            dtype=dt_, with_vega=True)
         pay = np.asarray(jax.device_get(pay), np.float64)
+        dpay = np.asarray(jax.device_get(dpay), np.float64)
         df = np.exp(-r * T)
         X = df * pay
         n, mX = X.size, X.mean()
         mY3 = df * float((pay > 0.0).mean())
         price, se = float(mX), float(X.std(ddof=1) / np.sqrt(n))
+        Y4 = df * dpay
+        vega, vega_se = float(Y4.mean()), float(Y4.std(ddof=1) / np.sqrt(n))
 
     sign = 1.0 if kind == "call" else -1.0
     K_eff = 0.0 if strike_type == "floating" else K
     # use the CV-corrected price in the E[X] slot when available
     delta = (price + sign * K_eff * mY3) / S0
     return {"price": float(price), "stderr": float(se),
-            "delta": float(delta),
+            "delta": float(delta), "vega": vega,
+            "vega_stderr": vega_se,
             "exercise_prob": float(mY3 * np.exp(r * T))}
 
 
@@ -252,6 +267,43 @@ def _terminal_payoff(payoff, carry, *, K, kind, n_steps, barrier_type,
         return (jnp.maximum(run_max - K, 0.0) if is_call
                 else jnp.maximum(K - run_min, 0.0))
     raise ValueError(f"unknown payoff {payoff!r}")
+
+
+def _pathwise_dpay(payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, *,
+                   K, sigma, T, kind, n_steps, average_type, strike_type):
+    """Per-path dpay/dσ for continuous payoffs under GBM.
+
+    Inputs are the scan carries of ``_fused_paths(with_vega=True)``:
+    W = Brownian path at T; g1/g2 = payoff-specific accumulators
+    (asian: Σ S_k·U_k or Σ U_k; lookback: U at the running max/min).
+    The pathwise chain rule uses dS_t/dσ = S_t·(W_t − σt) and
+    dpay/dσ = 1{pay > 0}·d(inner)/dσ with inner the smooth argument of
+    the max (for lookback-floating, pay itself).
+    """
+    sign = 1.0 if kind == "call" else -1.0
+    U_T = W - sigma * T
+    dS_T = S_T * U_T
+    itm = (pay > 0.0).astype(pay.dtype)
+    if payoff == "vanilla":
+        dinner = sign * dS_T
+    elif payoff == "asian":
+        if average_type == "geometric":
+            avg = jnp.exp(rlog / n_steps)
+            davg = avg * (g1 / n_steps)
+        else:
+            davg = g1 / n_steps
+        dinner = sign * ((dS_T - davg) if strike_type == "floating"
+                         else davg)
+    elif payoff == "lookback":
+        dmax = rmax * g1
+        dmin = rmin * g2
+        if strike_type == "floating":
+            dinner = (dS_T - dmin) if kind == "call" else (dmax - dS_T)
+        else:
+            dinner = dmax if kind == "call" else -dmin
+    else:
+        raise ValueError(f"no pathwise derivative for payoff {payoff!r}")
+    return itm * dinner
 
 
 def exotic_price_mc(
@@ -423,13 +475,20 @@ def exotic_price_mc(
 
 @partial(jax.jit, static_argnames=(
     "payoff", "kind", "n_steps", "n_paths", "antithetic", "barrier_type",
-    "average_type", "strike_type", "model_kind", "sigma_loc", "dtype"))
+    "average_type", "strike_type", "model_kind", "sigma_loc", "dtype",
+    "with_vega"))
 def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                  barrier_type, average_type, strike_type, model_kind,
-                 sigma_loc, dtype):
+                 sigma_loc, dtype, with_vega: bool = False):
     """Module-level jitted core: repeat calls with the same static config
     (payoff/model/steps/paths) reuse the compilation even as market data
-    changes — essential for bump risk and book loops."""
+    changes — essential for bump risk and book loops.
+
+    ``with_vega`` (GBM only) additionally carries the Brownian path W_t and
+    the payoff-specific pathwise accumulators, returning
+    ``(pay, S_T, dpay_dsigma)`` — the exact pathwise vega observable
+    dpay/dσ = 1{ITM}·d(inner)/dσ with dS_t/dσ = S_t·(W_t − σt).
+    """
     dt_ = dtype
     dt = fixed["T"] / n_steps
     sqrt_dt = jnp.sqrt(dt)
@@ -449,6 +508,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     state0 = fixed["s_alpha0"] if model_kind.startswith("sabr") \
         else jnp.maximum(fixed["h_v0"], 0.0)
     v_init = zeros + state0
+    if with_vega and model_kind != "gbm":
+        raise ValueError("pathwise vega accumulators require GBM dynamics")
     carry0 = (
         S_init,
         zeros,                                  # running sum (excl. t=0)
@@ -458,6 +519,9 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         crossed0 if payoff == "barrier" else zeros > 1.0,
         v_init,                                 # Heston variance state
     )
+    if with_vega:
+        # (W_t, g1, g2): Brownian path + payoff-specific dA/dσ accumulators
+        carry0 = carry0 + (zeros, zeros, zeros)
 
     def gbm_step(S, z, t_now):
         mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
@@ -524,7 +588,10 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                    lv_milstein=lv_milstein_step).get(model_kind)
 
     def step(carry, t_idx):
-        S, rsum, rlog, rmax, rmin, crossed, v = carry
+        if with_vega:
+            S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2 = carry
+        else:
+            S, rsum, rlog, rmax, rmin, crossed, v = carry
         zk = jax.random.fold_in(key, t_idx)
         t_now = t_idx.astype(dt_) * dt
         if sv_model:
@@ -553,6 +620,17 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             if antithetic:
                 z = jnp.concatenate([z, -z])
             S_new = step_fn(S, z, t_now)
+        if with_vega:
+            # dS_t/dσ = S_t·(W_t − σt) under exact log-Euler GBM
+            W = W + sqrt_dt * z
+            t_new = (t_idx.astype(dt_) + 1.0) * dt
+            U = W - fixed["sigma"] * t_new
+            if payoff == "asian":
+                g1 = g1 + (U if average_type == "geometric" else S_new * U)
+            if payoff == "lookback":
+                # record U at the step that sets a new running extremum
+                g1 = jnp.where(S_new > rmax, U, g1)
+                g2 = jnp.where(S_new < rmin, U, g2)
         if payoff == "asian":
             rsum = rsum + S_new
             if average_type == "geometric":
@@ -564,13 +642,24 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             hit = (S_new >= fixed["barrier"]) if up else \
                 (S_new <= fixed["barrier"])
             crossed = jnp.logical_or(crossed, hit)
-        return (S_new, rsum, rlog, rmax, rmin, crossed, v), None
+        out = (S_new, rsum, rlog, rmax, rmin, crossed, v)
+        if with_vega:
+            out = out + (W, g1, g2)
+        return out, None
 
     carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
-    carry = carry[:6]
     pay = _terminal_payoff(
-        payoff, carry, K=fixed["K"], kind=kind, n_steps=n_steps,
+        payoff, carry[:6], K=fixed["K"], kind=kind, n_steps=n_steps,
         barrier_type=barrier_type, rebate=fixed["rebate"],
         average_type=average_type, strike_type=strike_type,
         payout=fixed["payout"])
-    return pay, carry[0]
+    if not with_vega:
+        return pay, carry[0]
+    S_T, _, rlog, rmax, rmin = carry[0], carry[1], carry[2], carry[3], \
+        carry[4]
+    W, g1, g2 = carry[7], carry[8], carry[9]
+    dpay = _pathwise_dpay(
+        payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2,
+        K=fixed["K"], sigma=fixed["sigma"], T=fixed["T"], kind=kind,
+        n_steps=n_steps, average_type=average_type, strike_type=strike_type)
+    return pay, S_T, dpay

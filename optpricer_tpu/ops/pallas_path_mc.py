@@ -35,13 +35,18 @@ from .fastmath import exp32, log32
 BLOCK_R = 32            # sublane rows per path tile
 LANES = 128
 TILE = BLOCK_R * LANES  # paths per tile (4096)
-# dual-CV layout + an 11th moment: ΣY3 where Y3 = e^{−rT}·1{payoff ITM}
-# (the PAYOFF's own exercise indicator, unlike Y2's terminal-spot one).
-# Under GBM every running statistic is degree-1 homogeneous in S0, so the
-# pathwise delta of each continuous payoff is (E[X] + sign·K_eff·E[Y3])/S0
-# with K_eff = K for fixed strikes, 0 for floating — see
-# models.mc_fused.exotic_greeks_mc.
-NSTAT = stats_ops.STATS2_DIM + 1
+# dual-CV layout + three extra moments:
+#   [10] ΣY3,  Y3 = e^{−rT}·1{payoff ITM} — the PAYOFF's own exercise
+#        indicator (unlike Y2's terminal-spot one). Under GBM every running
+#        statistic is degree-1 homogeneous in S0, so the pathwise delta of
+#        each continuous payoff is (E[X] + sign·K_eff·E[Y3])/S0 with
+#        K_eff = K for fixed strikes, 0 for floating.
+#   [11] ΣY4, [12] ΣY4² with Y4 = e^{−rT}·dpay/dσ — the exact pathwise
+#        vega observable, carried in-register via the Brownian path W_t
+#        (dS_t/dσ = S_t·(W_t − σt)) and payoff-specific accumulators;
+#        zero unless the kernel runs with ``with_vega`` (GBM only).
+# See models.mc_fused.exotic_greeks_mc for the host-side estimators.
+NSTAT = stats_ops.STATS2_DIM + 3
 
 PAYOFF_IDS = {"vanilla": 0, "barrier": 1, "asian": 2, "digital": 3,
               "lookback": 4}
@@ -51,7 +56,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                  reps: int, antithetic: bool, payoff_id: int,
                  barrier_up: bool, knock_out: bool, average_geo: bool,
                  strike_floating: bool, is_call: bool,
-                 dynamics: str = "gbm", n_slices: int = 0):
+                 dynamics: str = "gbm", n_slices: int = 0,
+                 with_vega: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -193,7 +199,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             # explicit f32 — under x64 (interpret-mode tests) jnp.zeros
             # would default to f64 and poison the whole state.
             zeros = jnp.zeros(shape, jnp.float32)
-            return (S, zeros, zeros, S, S, crossed, v)
+            st = (S, zeros, zeros, S, S, crossed, v)
+            if with_vega:
+                # (W_t, g1, g2): Brownian path + pathwise-vega accumulators
+                st = st + (zeros, zeros, zeros)
+            return st
 
         st_p = init_state()
         st_m = init_state()
@@ -249,8 +259,21 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             return jnp.maximum(S_new, 1e-10), v
 
         def advance(st, z, zv, t_now):
-            S, rsum, rlog, rmax, rmin, crossed, v = st
+            if with_vega:
+                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2 = st
+            else:
+                S, rsum, rlog, rmax, rmin, crossed, v = st
+            S_prev_max, S_prev_min = rmax, rmin
             S, v = move(S, v, z, zv, t_now)
+            if with_vega:
+                # dS_t/dσ = S_t·(W_t − σt); sig = σ√dt so σ = sig/√dt
+                W = W + sqrt_dt * z
+                U = W - (sig / sqrt_dt) * (t_now + dt_step)
+                if payoff_id == 2:
+                    g1 = g1 + (U if average_geo else S * U)
+                if payoff_id == 4:
+                    g1 = jnp.where(S > S_prev_max, U, g1)
+                    g2 = jnp.where(S < S_prev_min, U, g2)
             if payoff_id == 2:  # asian
                 rsum = rsum + S
                 if average_geo:
@@ -262,7 +285,10 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                 hit = ((S >= barrier) if barrier_up
                        else (S <= barrier)).astype(jnp.float32)
                 crossed = jnp.maximum(crossed, hit)
-            return (S, rsum, rlog, rmax, rmin, crossed, v)
+            out = (S, rsum, rlog, rmax, rmin, crossed, v)
+            if with_vega:
+                out = out + (W, g1, g2)
+            return out
 
         def step_body(t, states):
             st_p, st_m = states
@@ -283,7 +309,10 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
 
         def payoff_of(st):
-            S, rsum, rlog, rmax, rmin, crossed, v = st
+            if with_vega:
+                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2 = st
+            else:
+                S, rsum, rlog, rmax, rmin, crossed, v = st
             vanilla = jnp.maximum(sign * (S - K), 0.0)
             if payoff_id == 0:
                 pay = vanilla
@@ -310,7 +339,30 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             Y1 = df * S
             Y2 = df * (sign * (S - K) > 0.0).astype(jnp.float32)
             Y3 = df * (pay > 0.0).astype(jnp.float32)
-            return X, Y1, Y2, Y3
+            if not with_vega:
+                return X, Y1, Y2, Y3, jnp.zeros(shape, jnp.float32)
+            # pathwise dpay/dσ — same chain rule as mc_fused._pathwise_dpay
+            T_total = jnp.float32(n_steps) * dt_step
+            U_T = W - (sig / sqrt_dt) * T_total
+            dS_T = S * U_T
+            if payoff_id == 0:  # vanilla
+                dinner = sign * dS_T
+            elif payoff_id == 2:  # asian
+                if average_geo:
+                    avg_v = exp32(rlog / n_steps)
+                    davg = avg_v * (g1 / n_steps)
+                else:
+                    davg = g1 / n_steps
+                dinner = sign * ((dS_T - davg) if strike_floating else davg)
+            else:  # lookback (payoff_id == 4)
+                dmax = rmax * g1
+                dmin = rmin * g2
+                if strike_floating:
+                    dinner = (dS_T - dmin) if is_call else (dmax - dS_T)
+                else:
+                    dinner = dmax if is_call else -dmin
+            Y4 = df * (pay > 0.0).astype(jnp.float32) * dinner
+            return X, Y1, Y2, Y3, Y4
 
         prog_offset = (pid.astype(jnp.float32) * reps
                        + c.astype(jnp.float32)) * TILE
@@ -321,11 +373,12 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         if antithetic:
             obs_m = payoff_of(st_m)
             obs = tuple(0.5 * (a + b) for a, b in zip(obs, obs_m))
-        X, Y1, Y2, Y3 = obs
+        X, Y1, Y2, Y3, Y4 = obs
 
         WX = X * w
         WY1 = Y1 * w
         WY2 = Y2 * w
+        WY4 = Y4 * w
         s = jnp.stack([
             jnp.sum(w),
             jnp.sum(WX), jnp.sum(WX * X),
@@ -333,6 +386,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             jnp.sum(WY2), jnp.sum(WY2 * Y2), jnp.sum(WX * Y2),
             jnp.sum(WY1 * Y2),
             jnp.sum(Y3 * w),
+            jnp.sum(WY4), jnp.sum(WY4 * Y4),
         ])
         return stats_ops.kahan_add(acc, comp, s)
 
@@ -346,11 +400,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                                    "antithetic", "payoff_id", "barrier_up",
                                    "knock_out", "average_geo",
                                    "strike_floating", "is_call", "dynamics",
-                                   "n_slices", "interpret"))
+                                   "n_slices", "interpret", "with_vega"))
 def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
                      antithetic, payoff_id, barrier_up, knock_out,
                      average_geo, strike_floating, is_call, dynamics="gbm",
-                     n_slices=0, interpret=False):
+                     n_slices=0, interpret=False, with_vega=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -358,7 +412,8 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
         _path_kernel, n_steps=n_steps, reps=reps, antithetic=antithetic,
         payoff_id=payoff_id, barrier_up=barrier_up, knock_out=knock_out,
         average_geo=average_geo, strike_floating=strike_floating,
-        is_call=is_call, dynamics=dynamics, n_slices=n_slices)
+        is_call=is_call, dynamics=dynamics, n_slices=n_slices,
+        with_vega=with_vega)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -438,8 +493,13 @@ def path_mc_sumstats_pallas(
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
     heston=None, sabr=None, interpret: bool = False,
+    vega_stats: bool = False,
 ):
-    """(10,) sufficient statistics for a path-dependent payoff.
+    """(13,) sufficient statistics for a path-dependent payoff.
+
+    ``vega_stats=True`` (GBM + continuous payoff only) fills moments
+    [11]/[12] with ΣY4/ΣY4², Y4 = e^{−rT}·dpay/dσ — the pathwise vega
+    observable carried in-register; otherwise those slots are zero.
 
     Dynamics: GBM by default; Dupire local vol when ``svi_slices`` is given
     (array (6, n_slices), rows a/b/rho/m/sg/T — σ(S,t) evaluated from the
@@ -455,11 +515,17 @@ def path_mc_sumstats_pallas(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
         svi_slices, scheme, dS_bump, heston, sabr)
+    if vega_stats:
+        if static["dynamics"] != "gbm":
+            raise ValueError("vega_stats requires GBM dynamics")
+        if payoff not in ("vanilla", "asian", "lookback"):
+            raise ValueError(
+                f"vega_stats requires a continuous payoff; got {payoff!r}")
     reps, n_programs = _plan_grid(int(n_paths), TILE)
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_path_kernel(
         seed_arr, params, svi, n_programs=n_programs, reps=reps,
-        interpret=bool(interpret), **static)
+        interpret=bool(interpret), with_vega=bool(vega_stats), **static)
 
 
 def path_mc_sumstats_pallas_sharded(

@@ -78,3 +78,72 @@ def test_pallas_path_agrees_with_xla():
                           backend="pallas", **kw)
     # interpreter PRNG is degenerate on CPU, so only check plumbing/shape
     assert set(gp) == set(gx) and np.isfinite(gp["delta"])
+
+
+class TestPathwiseVega:
+    """Pathwise vega: dS_t/dσ = S_t·(W_t − σt) carried through each
+    payoff's chain rule; validated against analytic BS vega (vanilla) and
+    CRN central differences in σ (asian/lookback, all strike conventions).
+    """
+
+    def test_vanilla_vega_matches_bs(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu.ops.black_scholes import greeks_core
+
+        g = exotic_greeks_mc("vanilla", 100.0, 105.0, 1.0, 0.03,
+                             kind="call", **KW)
+        ref = float(greeks_core(jnp.float64(100.0), jnp.float64(105.0),
+                                jnp.float64(1.0), jnp.float64(0.03),
+                                jnp.float64(0.0), jnp.float64(0.2),
+                                jnp.asarray(True))["vega"])
+        assert abs(g["vega"] - ref) < 4.0 * g["vega_stderr"] + 1e-6
+
+    @pytest.mark.parametrize("kind,avg,strike", [
+        ("call", "arithmetic", "fixed"),
+        ("put", "arithmetic", "fixed"),
+        ("call", "geometric", "fixed"),
+        ("call", "arithmetic", "floating"),
+    ])
+    def test_asian_vega_matches_crn_bump(self, kind, avg, strike):
+        h = 0.01
+        kw = dict(KW, average_type=avg, strike_type=strike)
+        g = exotic_greeks_mc("asian", 100.0, 100.0, 1.0, 0.03, kind=kind,
+                             **kw)
+        up, _ = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.03, kind=kind,
+                                **dict(kw, sigma=0.2 + h))
+        dn, _ = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.03, kind=kind,
+                                **dict(kw, sigma=0.2 - h))
+        fd = (up - dn) / (2.0 * h)
+        assert abs(g["vega"] - fd) < 0.02 * max(1.0, abs(fd))
+
+    @pytest.mark.parametrize("kind,strike", [
+        ("call", "fixed"), ("put", "fixed"),
+        ("call", "floating"), ("put", "floating"),
+    ])
+    def test_lookback_vega_matches_crn_bump(self, kind, strike):
+        h = 0.01
+        kw = dict(KW, strike_type=strike)
+        g = exotic_greeks_mc("lookback", 100.0, 100.0, 1.0, 0.03, kind=kind,
+                             **kw)
+        up, _ = exotic_price_mc("lookback", 100.0, 100.0, 1.0, 0.03,
+                                kind=kind, **dict(kw, sigma=0.2 + h))
+        dn, _ = exotic_price_mc("lookback", 100.0, 100.0, 1.0, 0.03,
+                                kind=kind, **dict(kw, sigma=0.2 - h))
+        fd = (up - dn) / (2.0 * h)
+        assert abs(g["vega"] - fd) < 0.02 * max(1.0, abs(fd))
+
+    def test_vega_stats_guards(self):
+        from optpricer_tpu.ops.pallas_path_mc import path_mc_sumstats_pallas
+
+        with pytest.raises(ValueError, match="continuous payoff"):
+            path_mc_sumstats_pallas(
+                0, 4096, 16, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
+                payoff="digital", antithetic=True, vega_stats=True,
+                interpret=True)
+        with pytest.raises(ValueError, match="GBM"):
+            path_mc_sumstats_pallas(
+                0, 4096, 16, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
+                payoff="asian", antithetic=True, vega_stats=True,
+                heston=dict(v0=0.04, kappa=1.0, theta=0.04, xi=0.3,
+                            rho=-0.5), interpret=True)
