@@ -43,7 +43,7 @@ _PATHWISE_OK = ("vanilla", "asian", "lookback")
 
 def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
                      strike_type: str = "fixed", **kwargs) -> dict:
-    """Price + pathwise delta AND vega for a path-dependent option, one run.
+    """Price + pathwise delta, vega, rho AND theta from ONE run.
 
     Under GBM every running path statistic (terminal spot, running average,
     running max/min) is degree-1 homogeneous in S0, so for any continuous
@@ -58,15 +58,20 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     Barrier and digital payoffs are discontinuous — pathwise
     differentiation is biased there, so they are rejected.
 
-    Pathwise vega rides the same run: dS_t/dσ = S_t·(W_t − σt) under exact
-    log-Euler GBM, chained through each payoff's smooth inner argument
-    (running average / extremum) — the kernel carries the Brownian path and
-    a payoff-specific accumulator in registers and emits ΣY4/ΣY4² moments
-    (Y4 = e^{−rT}·dpay/dσ), the XLA engine the same observable per path.
+    Vega, rho and theta ride the same run via the pathwise chain rules
+    dS_t/dσ = S_t·(W_t − σt), dS_t/dr = S_t·t, dS_t/dT = S_t·(ct + σW_t/2)/T
+    (c = r−q−σ²/2), chained through each payoff's smooth inner argument —
+    see ``_pathwise_dinner``. The Pallas kernel carries the Brownian path
+    and up to four payoff-specific accumulators in registers and emits six
+    extra moments (ΣY/ΣY² for Y = e^{−rT}·dpay/dσ, dX/dr, dX/dT); the XLA
+    engine produces the same observables per path. Theta follows the
+    reference sign convention (−dV/dT, negative for long vanillas); gamma
+    is NOT pathwise-estimable (the delta is discontinuous) — use
+    ``euro_greeks_mc``'s LR estimator or bump-and-reprice.
 
     Accepts ``exotic_price_mc``'s kwargs (GBM only: ``sigma=``). Returns
-    ``{"price", "stderr", "delta", "vega", "vega_stderr",
-    "exercise_prob"}``.
+    ``{"price", "stderr", "delta", "vega", "vega_stderr", "rho",
+    "rho_stderr", "theta", "theta_stderr", "exercise_prob"}``.
     """
     if payoff not in _PATHWISE_OK:
         raise ValueError(
@@ -91,18 +96,22 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
               average_type=kwargs.get("average_type", "arithmetic"),
               strike_type=strike_type,
               interpret=jax.default_backend() != "tpu")
+    def _mom(s, i, n):
+        m = s[i] / n
+        return float(m), float(np.sqrt(max(0.0, s[i + 1] / n - m * m) / n))
+
     if use_pallas:
         s = np.asarray(jax.device_get(path_mc_sumstats_pallas(
             seed_val, int(kwargs.get("n_paths", 100_000)), n_steps,
-            S0, K, T, r, q, sigma, kind == "call", vega_stats=True,
+            S0, K, T, r, q, sigma, kind == "call", greek_stats=True,
             **pk)), np.float64)
         n, mX, mY3 = s[0], s[1] / s[0], s[10] / s[0]
         price, se = _estimate_from_stats(s, S0, K, T, r, q, sigma,
                                          kind == "call", "gbm",
                                          control_variate)
-        vega = s[11] / n
-        vega_se = float(np.sqrt(max(0.0, s[12] / n - vega * vega) / n))
-        vega = float(vega)
+        vega, vega_se = _mom(s, 11, n)
+        rho, rho_se = _mom(s, 13, n)
+        theta, theta_se = _mom(s, 15, n)
     else:
         # XLA engine: the same moments from the fused payoff vector
         key = jax.random.key(seed_val)
@@ -117,31 +126,38 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
                 "h_v0", "h_kappa", "h_theta", "h_xi", "h_rho",
                 "m_lam", "m_mJ", "m_sJ", "s_alpha0", "s_nu", "s_rho")},
             s_beta=jnp.asarray(1.0, dt_))
-        pay, _, dpay = _fused_paths(
+        pay, _, dinner = _fused_paths(
             key, fixed, n_paths=int(kwargs.get("n_paths", 100_000)),
             payoff=payoff, kind=kind, n_steps=n_steps,
             antithetic=bool(kwargs.get("antithetic", True)),
             barrier_type="up-and-out",
             average_type=kwargs.get("average_type", "arithmetic"),
             strike_type=strike_type, model_kind="gbm", sigma_loc=None,
-            dtype=dt_, with_vega=True)
+            dtype=dt_, with_greeks=True)
         pay = np.asarray(jax.device_get(pay), np.float64)
-        dpay = np.asarray(jax.device_get(dpay), np.float64)
+        d_sig, d_r, d_T = (np.asarray(jax.device_get(d), np.float64)
+                           for d in dinner)
         df = np.exp(-r * T)
         X = df * pay
         n, mX = X.size, X.mean()
         mY3 = df * float((pay > 0.0).mean())
         price, se = float(mX), float(X.std(ddof=1) / np.sqrt(n))
-        Y4 = df * dpay
-        vega, vega_se = float(Y4.mean()), float(Y4.std(ddof=1) / np.sqrt(n))
+
+        def _obs(Y):
+            return float(Y.mean()), float(Y.std(ddof=1) / np.sqrt(n))
+
+        vega, vega_se = _obs(df * d_sig)
+        rho, rho_se = _obs(-T * X + df * d_r)          # dX/dr
+        theta, theta_se = _obs(r * X - df * d_T)       # −dX/dT
 
     sign = 1.0 if kind == "call" else -1.0
     K_eff = 0.0 if strike_type == "floating" else K
     # use the CV-corrected price in the E[X] slot when available
     delta = (price + sign * K_eff * mY3) / S0
     return {"price": float(price), "stderr": float(se),
-            "delta": float(delta), "vega": vega,
-            "vega_stderr": vega_se,
+            "delta": float(delta), "vega": vega, "vega_stderr": vega_se,
+            "rho": rho, "rho_stderr": rho_se,
+            "theta": theta, "theta_stderr": theta_se,
             "exercise_prob": float(mY3 * np.exp(r * T))}
 
 
@@ -269,41 +285,70 @@ def _terminal_payoff(payoff, carry, *, K, kind, n_steps, barrier_type,
     raise ValueError(f"unknown payoff {payoff!r}")
 
 
-def _pathwise_dpay(payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, *,
-                   K, sigma, T, kind, n_steps, average_type, strike_type):
-    """Per-path dpay/dσ for continuous payoffs under GBM.
+def _pathwise_dinner(payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, g3, g4,
+                     *, K, sigma, r, q, T, kind, n_steps, average_type,
+                     strike_type):
+    """Per-path d(inner)/d(σ, r, T) for continuous payoffs under GBM,
+    already multiplied by the exercise indicator.
 
-    Inputs are the scan carries of ``_fused_paths(with_vega=True)``:
-    W = Brownian path at T; g1/g2 = payoff-specific accumulators
-    (asian: Σ S_k·U_k or Σ U_k; lookback: U at the running max/min).
-    The pathwise chain rule uses dS_t/dσ = S_t·(W_t − σt) and
-    dpay/dσ = 1{pay > 0}·d(inner)/dσ with inner the smooth argument of
-    the max (for lookback-floating, pay itself).
+    Inputs are the scan carries of ``_fused_paths(with_greeks=True)``:
+    W = Brownian path at T; accumulators by payoff —
+    asian arithmetic: g1 = Σ S_k·W_k, g2 = Σ S_k·t_k;
+    asian geometric:  g1 = Σ W_k (Σ t_k is deterministic);
+    lookback: (g1, g3) = (W, t) at the running max, (g2, g4) at the min.
+
+    The chain rules all come from ln S_t = ln S0 + c·t + σW_t with
+    c = r − q − σ²/2 and, for total-maturity sensitivity, W_t = √T·B_{t/T}
+    so dW_t/dT = W_t/(2T):
+      dS_t/dσ = S_t·(W_t − σt);  dS_t/dr = S_t·t;
+      dS_t/dT = S_t·(c·t + σW_t/2)/T.
+    ``inner`` is the smooth argument of the max (lookback-floating: pay
+    itself). Returns ``(dσ, dr, dT)`` arrays.
     """
     sign = 1.0 if kind == "call" else -1.0
-    U_T = W - sigma * T
-    dS_T = S_T * U_T
+    c = r - q - 0.5 * sigma * sigma
     itm = (pay > 0.0).astype(pay.dtype)
+
+    def dS_terminal():
+        return (S_T * (W - sigma * T), S_T * T,
+                S_T * (c * T + 0.5 * sigma * W) / T)
+
     if payoff == "vanilla":
-        dinner = sign * dS_T
+        ds, dr, dT = dS_terminal()
+        dinner = (sign * ds, sign * dr, sign * dT)
     elif payoff == "asian":
+        m = n_steps
         if average_type == "geometric":
-            avg = jnp.exp(rlog / n_steps)
-            davg = avg * (g1 / n_steps)
+            avg = jnp.exp(rlog / m)
+            tsum = (T / m) * (m * (m + 1.0) / 2.0)
+            davg = (avg * (g1 - sigma * tsum) / m,
+                    avg * tsum / m,
+                    avg * (c * tsum + 0.5 * sigma * g1) / (m * T))
         else:
-            davg = g1 / n_steps
-        dinner = sign * ((dS_T - davg) if strike_type == "floating"
-                         else davg)
-    elif payoff == "lookback":
-        dmax = rmax * g1
-        dmin = rmin * g2
+            davg = ((g1 - sigma * g2) / m,
+                    g2 / m,
+                    (c * g2 + 0.5 * sigma * g1) / (m * T))
         if strike_type == "floating":
-            dinner = (dS_T - dmin) if kind == "call" else (dmax - dS_T)
+            ds = dS_terminal()
+            dinner = tuple(sign * (a - b) for a, b in zip(ds, davg))
         else:
-            dinner = dmax if kind == "call" else -dmin
+            dinner = tuple(sign * d for d in davg)
+    elif payoff == "lookback":
+        dmax = (rmax * (g1 - sigma * g3), rmax * g3,
+                rmax * (c * g3 + 0.5 * sigma * g1) / T)
+        dmin = (rmin * (g2 - sigma * g4), rmin * g4,
+                rmin * (c * g4 + 0.5 * sigma * g2) / T)
+        if strike_type == "floating":
+            ds = dS_terminal()
+            if kind == "call":
+                dinner = tuple(a - b for a, b in zip(ds, dmin))
+            else:
+                dinner = tuple(a - b for a, b in zip(dmax, ds))
+        else:
+            dinner = dmax if kind == "call" else tuple(-d for d in dmin)
     else:
         raise ValueError(f"no pathwise derivative for payoff {payoff!r}")
-    return itm * dinner
+    return tuple(itm * d for d in dinner)
 
 
 def exotic_price_mc(
@@ -476,18 +521,18 @@ def exotic_price_mc(
 @partial(jax.jit, static_argnames=(
     "payoff", "kind", "n_steps", "n_paths", "antithetic", "barrier_type",
     "average_type", "strike_type", "model_kind", "sigma_loc", "dtype",
-    "with_vega"))
+    "with_greeks"))
 def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                  barrier_type, average_type, strike_type, model_kind,
-                 sigma_loc, dtype, with_vega: bool = False):
+                 sigma_loc, dtype, with_greeks: bool = False):
     """Module-level jitted core: repeat calls with the same static config
     (payoff/model/steps/paths) reuse the compilation even as market data
     changes — essential for bump risk and book loops.
 
-    ``with_vega`` (GBM only) additionally carries the Brownian path W_t and
-    the payoff-specific pathwise accumulators, returning
-    ``(pay, S_T, dpay_dsigma)`` — the exact pathwise vega observable
-    dpay/dσ = 1{ITM}·d(inner)/dσ with dS_t/dσ = S_t·(W_t − σt).
+    ``with_greeks`` (GBM only) additionally carries the Brownian path W_t
+    and the payoff-specific pathwise accumulators, returning
+    ``(pay, S_T, (dσ, dr, dT))`` — the exact pathwise first-order
+    observables 1{ITM}·d(inner)/d(σ, r, T); see ``_pathwise_dinner``.
     """
     dt_ = dtype
     dt = fixed["T"] / n_steps
@@ -508,8 +553,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     state0 = fixed["s_alpha0"] if model_kind.startswith("sabr") \
         else jnp.maximum(fixed["h_v0"], 0.0)
     v_init = zeros + state0
-    if with_vega and model_kind != "gbm":
-        raise ValueError("pathwise vega accumulators require GBM dynamics")
+    if with_greeks and model_kind != "gbm":
+        raise ValueError("pathwise Greek accumulators require GBM dynamics")
     carry0 = (
         S_init,
         zeros,                                  # running sum (excl. t=0)
@@ -519,9 +564,9 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         crossed0 if payoff == "barrier" else zeros > 1.0,
         v_init,                                 # Heston variance state
     )
-    if with_vega:
-        # (W_t, g1, g2): Brownian path + payoff-specific dA/dσ accumulators
-        carry0 = carry0 + (zeros, zeros, zeros)
+    if with_greeks:
+        # (W, g1..g4): Brownian path + payoff-specific Greek accumulators
+        carry0 = carry0 + (zeros,) * 5
 
     def gbm_step(S, z, t_now):
         mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
@@ -588,8 +633,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                    lv_milstein=lv_milstein_step).get(model_kind)
 
     def step(carry, t_idx):
-        if with_vega:
-            S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2 = carry
+        if with_greeks:
+            S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2, g3, g4 = carry
         else:
             S, rsum, rlog, rmax, rmin, crossed, v = carry
         zk = jax.random.fold_in(key, t_idx)
@@ -620,17 +665,23 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             if antithetic:
                 z = jnp.concatenate([z, -z])
             S_new = step_fn(S, z, t_now)
-        if with_vega:
-            # dS_t/dσ = S_t·(W_t − σt) under exact log-Euler GBM
+        if with_greeks:
             W = W + sqrt_dt * z
             t_new = (t_idx.astype(dt_) + 1.0) * dt
-            U = W - fixed["sigma"] * t_new
             if payoff == "asian":
-                g1 = g1 + (U if average_type == "geometric" else S_new * U)
+                if average_type == "geometric":
+                    g1 = g1 + W
+                else:
+                    g1 = g1 + S_new * W
+                    g2 = g2 + S_new * t_new
             if payoff == "lookback":
-                # record U at the step that sets a new running extremum
-                g1 = jnp.where(S_new > rmax, U, g1)
-                g2 = jnp.where(S_new < rmin, U, g2)
+                # record (W, t) at the step that sets a new extremum
+                newmax = S_new > rmax
+                newmin = S_new < rmin
+                g1 = jnp.where(newmax, W, g1)
+                g3 = jnp.where(newmax, t_new, g3)
+                g2 = jnp.where(newmin, W, g2)
+                g4 = jnp.where(newmin, t_new, g4)
         if payoff == "asian":
             rsum = rsum + S_new
             if average_type == "geometric":
@@ -643,8 +694,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                 (S_new <= fixed["barrier"])
             crossed = jnp.logical_or(crossed, hit)
         out = (S_new, rsum, rlog, rmax, rmin, crossed, v)
-        if with_vega:
-            out = out + (W, g1, g2)
+        if with_greeks:
+            out = out + (W, g1, g2, g3, g4)
         return out, None
 
     carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
@@ -653,13 +704,13 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         barrier_type=barrier_type, rebate=fixed["rebate"],
         average_type=average_type, strike_type=strike_type,
         payout=fixed["payout"])
-    if not with_vega:
+    if not with_greeks:
         return pay, carry[0]
-    S_T, _, rlog, rmax, rmin = carry[0], carry[1], carry[2], carry[3], \
-        carry[4]
-    W, g1, g2 = carry[7], carry[8], carry[9]
-    dpay = _pathwise_dpay(
-        payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2,
-        K=fixed["K"], sigma=fixed["sigma"], T=fixed["T"], kind=kind,
-        n_steps=n_steps, average_type=average_type, strike_type=strike_type)
-    return pay, S_T, dpay
+    S_T, rlog, rmax, rmin = carry[0], carry[2], carry[3], carry[4]
+    W, g1, g2, g3, g4 = carry[7:12]
+    dinner = _pathwise_dinner(
+        payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, g3, g4,
+        K=fixed["K"], sigma=fixed["sigma"], r=fixed["r"], q=fixed["q"],
+        T=fixed["T"], kind=kind, n_steps=n_steps,
+        average_type=average_type, strike_type=strike_type)
+    return pay, S_T, dinner

@@ -41,12 +41,15 @@ TILE = BLOCK_R * LANES  # paths per tile (4096)
 #        statistic is degree-1 homogeneous in S0, so the pathwise delta of
 #        each continuous payoff is (E[X] + sign·K_eff·E[Y3])/S0 with
 #        K_eff = K for fixed strikes, 0 for floating.
-#   [11] ΣY4, [12] ΣY4² with Y4 = e^{−rT}·dpay/dσ — the exact pathwise
-#        vega observable, carried in-register via the Brownian path W_t
-#        (dS_t/dσ = S_t·(W_t − σt)) and payoff-specific accumulators;
-#        zero unless the kernel runs with ``with_vega`` (GBM only).
+#   [11..16] ΣY/ΣY² for the three pathwise first-order observables
+#        Y4 = e^{−rT}·dpay/dσ (vega), Y5 = dX/dr (rho, incl. the −T·X
+#        discount term), Y6 = −dX/dT (theta, reference sign convention) —
+#        carried in-register via the Brownian path W_t and up to four
+#        payoff-specific accumulators (dS_t/dσ = S_t·(W_t − σt),
+#        dS_t/dr = S_t·t, dS_t/dT = S_t·(ct + σW_t/2)/T); zero unless the
+#        kernel runs with ``with_greeks`` (GBM only).
 # See models.mc_fused.exotic_greeks_mc for the host-side estimators.
-NSTAT = stats_ops.STATS2_DIM + 3
+NSTAT = stats_ops.STATS2_DIM + 7
 
 PAYOFF_IDS = {"vanilla": 0, "barrier": 1, "asian": 2, "digital": 3,
               "lookback": 4}
@@ -57,7 +60,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                  barrier_up: bool, knock_out: bool, average_geo: bool,
                  strike_floating: bool, is_call: bool,
                  dynamics: str = "gbm", n_slices: int = 0,
-                 with_vega: bool = False):
+                 with_greeks: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -200,9 +203,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             # would default to f64 and poison the whole state.
             zeros = jnp.zeros(shape, jnp.float32)
             st = (S, zeros, zeros, S, S, crossed, v)
-            if with_vega:
-                # (W_t, g1, g2): Brownian path + pathwise-vega accumulators
-                st = st + (zeros, zeros, zeros)
+            if with_greeks:
+                # (W, g1..g4): Brownian path + pathwise Greek accumulators
+                # asian arith: g1 = ΣS·W, g2 = ΣS·t; asian geo: g1 = ΣW;
+                # lookback: (g1, g3) = (W, t) at max, (g2, g4) at min
+                st = st + (zeros,) * 5
             return st
 
         st_p = init_state()
@@ -259,21 +264,28 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             return jnp.maximum(S_new, 1e-10), v
 
         def advance(st, z, zv, t_now):
-            if with_vega:
-                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2 = st
+            if with_greeks:
+                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2, g3, g4 = st
             else:
                 S, rsum, rlog, rmax, rmin, crossed, v = st
             S_prev_max, S_prev_min = rmax, rmin
             S, v = move(S, v, z, zv, t_now)
-            if with_vega:
-                # dS_t/dσ = S_t·(W_t − σt); sig = σ√dt so σ = sig/√dt
+            if with_greeks:
                 W = W + sqrt_dt * z
-                U = W - (sig / sqrt_dt) * (t_now + dt_step)
+                t_new = t_now + dt_step
                 if payoff_id == 2:
-                    g1 = g1 + (U if average_geo else S * U)
+                    if average_geo:
+                        g1 = g1 + W
+                    else:
+                        g1 = g1 + S * W
+                        g2 = g2 + S * t_new
                 if payoff_id == 4:
-                    g1 = jnp.where(S > S_prev_max, U, g1)
-                    g2 = jnp.where(S < S_prev_min, U, g2)
+                    newmax = S > S_prev_max
+                    newmin = S < S_prev_min
+                    g1 = jnp.where(newmax, W, g1)
+                    g3 = jnp.where(newmax, t_new, g3)
+                    g2 = jnp.where(newmin, W, g2)
+                    g4 = jnp.where(newmin, t_new, g4)
             if payoff_id == 2:  # asian
                 rsum = rsum + S
                 if average_geo:
@@ -286,8 +298,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                        else (S <= barrier)).astype(jnp.float32)
                 crossed = jnp.maximum(crossed, hit)
             out = (S, rsum, rlog, rmax, rmin, crossed, v)
-            if with_vega:
-                out = out + (W, g1, g2)
+            if with_greeks:
+                out = out + (W, g1, g2, g3, g4)
             return out
 
         def step_body(t, states):
@@ -309,8 +321,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
 
         def payoff_of(st):
-            if with_vega:
-                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2 = st
+            if with_greeks:
+                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2, g3, g4 = st
             else:
                 S, rsum, rlog, rmax, rmin, crossed, v = st
             vanilla = jnp.maximum(sign * (S - K), 0.0)
@@ -339,30 +351,64 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             Y1 = df * S
             Y2 = df * (sign * (S - K) > 0.0).astype(jnp.float32)
             Y3 = df * (pay > 0.0).astype(jnp.float32)
-            if not with_vega:
-                return X, Y1, Y2, Y3, jnp.zeros(shape, jnp.float32)
-            # pathwise dpay/dσ — same chain rule as mc_fused._pathwise_dpay
+            zeros = jnp.zeros(shape, jnp.float32)
+            if not with_greeks:
+                return X, Y1, Y2, Y3, zeros, zeros, zeros
+            # pathwise d(inner)/d(σ, r, T) — same chain rules as
+            # mc_fused._pathwise_dinner (σ = sig/√dt, c = r−q−σ²/2)
             T_total = jnp.float32(n_steps) * dt_step
-            U_T = W - (sig / sqrt_dt) * T_total
-            dS_T = S * U_T
+            sig_ann = sig / sqrt_dt
+            c_drift = rq - 0.5 * sig_ann * sig_ann
+            r_rate = -jnp.log(df) / T_total
+
+            def d_terminal():
+                return (S * (W - sig_ann * T_total), S * T_total,
+                        S * (c_drift * T_total + 0.5 * sig_ann * W)
+                        / T_total)
+
             if payoff_id == 0:  # vanilla
-                dinner = sign * dS_T
+                ds, dr, dT = d_terminal()
+                dinner = (sign * ds, sign * dr, sign * dT)
             elif payoff_id == 2:  # asian
+                m = jnp.float32(n_steps)
                 if average_geo:
                     avg_v = exp32(rlog / n_steps)
-                    davg = avg_v * (g1 / n_steps)
+                    tsum = dt_step * (m * (m + 1.0) / 2.0)
+                    davg = (avg_v * (g1 - sig_ann * tsum) / m,
+                            avg_v * tsum / m,
+                            avg_v * (c_drift * tsum + 0.5 * sig_ann * g1)
+                            / (m * T_total))
                 else:
-                    davg = g1 / n_steps
-                dinner = sign * ((dS_T - davg) if strike_floating else davg)
-            else:  # lookback (payoff_id == 4)
-                dmax = rmax * g1
-                dmin = rmin * g2
+                    davg = ((g1 - sig_ann * g2) / m,
+                            g2 / m,
+                            (c_drift * g2 + 0.5 * sig_ann * g1)
+                            / (m * T_total))
                 if strike_floating:
-                    dinner = (dS_T - dmin) if is_call else (dmax - dS_T)
+                    ds = d_terminal()
+                    dinner = tuple(sign * (a - b)
+                                   for a, b in zip(ds, davg))
                 else:
-                    dinner = dmax if is_call else -dmin
-            Y4 = df * (pay > 0.0).astype(jnp.float32) * dinner
-            return X, Y1, Y2, Y3, Y4
+                    dinner = tuple(sign * d for d in davg)
+            else:  # lookback (payoff_id == 4)
+                dmax = (rmax * (g1 - sig_ann * g3), rmax * g3,
+                        rmax * (c_drift * g3 + 0.5 * sig_ann * g1)
+                        / T_total)
+                dmin = (rmin * (g2 - sig_ann * g4), rmin * g4,
+                        rmin * (c_drift * g4 + 0.5 * sig_ann * g2)
+                        / T_total)
+                if strike_floating:
+                    ds = d_terminal()
+                    if is_call:
+                        dinner = tuple(a - b for a, b in zip(ds, dmin))
+                    else:
+                        dinner = tuple(a - b for a, b in zip(dmax, ds))
+                else:
+                    dinner = dmax if is_call else tuple(-d for d in dmin)
+            itm = (pay > 0.0).astype(jnp.float32)
+            Y4 = df * itm * dinner[0]                       # dX/dσ
+            Y5 = -T_total * X + df * itm * dinner[1]        # dX/dr
+            Y6 = r_rate * X - df * itm * dinner[2]          # −dX/dT
+            return X, Y1, Y2, Y3, Y4, Y5, Y6
 
         prog_offset = (pid.astype(jnp.float32) * reps
                        + c.astype(jnp.float32)) * TILE
@@ -373,12 +419,14 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         if antithetic:
             obs_m = payoff_of(st_m)
             obs = tuple(0.5 * (a + b) for a, b in zip(obs, obs_m))
-        X, Y1, Y2, Y3, Y4 = obs
+        X, Y1, Y2, Y3, Y4, Y5, Y6 = obs
 
         WX = X * w
         WY1 = Y1 * w
         WY2 = Y2 * w
         WY4 = Y4 * w
+        WY5 = Y5 * w
+        WY6 = Y6 * w
         s = jnp.stack([
             jnp.sum(w),
             jnp.sum(WX), jnp.sum(WX * X),
@@ -387,6 +435,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             jnp.sum(WY1 * Y2),
             jnp.sum(Y3 * w),
             jnp.sum(WY4), jnp.sum(WY4 * Y4),
+            jnp.sum(WY5), jnp.sum(WY5 * Y5),
+            jnp.sum(WY6), jnp.sum(WY6 * Y6),
         ])
         return stats_ops.kahan_add(acc, comp, s)
 
@@ -400,11 +450,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                                    "antithetic", "payoff_id", "barrier_up",
                                    "knock_out", "average_geo",
                                    "strike_floating", "is_call", "dynamics",
-                                   "n_slices", "interpret", "with_vega"))
+                                   "n_slices", "interpret", "with_greeks"))
 def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
                      antithetic, payoff_id, barrier_up, knock_out,
                      average_geo, strike_floating, is_call, dynamics="gbm",
-                     n_slices=0, interpret=False, with_vega=False):
+                     n_slices=0, interpret=False, with_greeks=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -413,7 +463,7 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
         payoff_id=payoff_id, barrier_up=barrier_up, knock_out=knock_out,
         average_geo=average_geo, strike_floating=strike_floating,
         is_call=is_call, dynamics=dynamics, n_slices=n_slices,
-        with_vega=with_vega)
+        with_greeks=with_greeks)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -493,13 +543,13 @@ def path_mc_sumstats_pallas(
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
     heston=None, sabr=None, interpret: bool = False,
-    vega_stats: bool = False,
+    greek_stats: bool = False,
 ):
-    """(13,) sufficient statistics for a path-dependent payoff.
+    """(17,) sufficient statistics for a path-dependent payoff.
 
-    ``vega_stats=True`` (GBM + continuous payoff only) fills moments
-    [11]/[12] with ΣY4/ΣY4², Y4 = e^{−rT}·dpay/dσ — the pathwise vega
-    observable carried in-register; otherwise those slots are zero.
+    ``greek_stats=True`` (GBM + continuous payoff only) fills moments
+    [11..16] with ΣY/ΣY² for the pathwise vega/rho/theta observables
+    carried in-register; otherwise those slots are zero.
 
     Dynamics: GBM by default; Dupire local vol when ``svi_slices`` is given
     (array (6, n_slices), rows a/b/rho/m/sg/T — σ(S,t) evaluated from the
@@ -515,17 +565,17 @@ def path_mc_sumstats_pallas(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
         svi_slices, scheme, dS_bump, heston, sabr)
-    if vega_stats:
+    if greek_stats:
         if static["dynamics"] != "gbm":
-            raise ValueError("vega_stats requires GBM dynamics")
+            raise ValueError("greek_stats requires GBM dynamics")
         if payoff not in ("vanilla", "asian", "lookback"):
             raise ValueError(
-                f"vega_stats requires a continuous payoff; got {payoff!r}")
+                f"greek_stats requires a continuous payoff; got {payoff!r}")
     reps, n_programs = _plan_grid(int(n_paths), TILE)
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_path_kernel(
         seed_arr, params, svi, n_programs=n_programs, reps=reps,
-        interpret=bool(interpret), with_vega=bool(vega_stats), **static)
+        interpret=bool(interpret), with_greeks=bool(greek_stats), **static)
 
 
 def path_mc_sumstats_pallas_sharded(

@@ -139,11 +139,57 @@ class TestPathwiseVega:
         with pytest.raises(ValueError, match="continuous payoff"):
             path_mc_sumstats_pallas(
                 0, 4096, 16, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
-                payoff="digital", antithetic=True, vega_stats=True,
+                payoff="digital", antithetic=True, greek_stats=True,
                 interpret=True)
         with pytest.raises(ValueError, match="GBM"):
             path_mc_sumstats_pallas(
                 0, 4096, 16, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
-                payoff="asian", antithetic=True, vega_stats=True,
+                payoff="asian", antithetic=True, greek_stats=True,
                 heston=dict(v0=0.04, kappa=1.0, theta=0.04, xi=0.3,
                             rho=-0.5), interpret=True)
+
+
+class TestPathwiseRhoTheta:
+    """Rho and theta from the same run: dS_t/dr = S_t·t and
+    dS_t/dT = S_t·(ct + σW_t/2)/T, plus the discount terms −T·X / r·X.
+    Theta uses the reference sign convention (−dV/dT)."""
+
+    def test_vanilla_matches_bs(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu.ops.black_scholes import greeks_core
+
+        g = exotic_greeks_mc("vanilla", 100.0, 105.0, 1.0, 0.03, 0.01,
+                             kind="call", **KW)
+        ref = greeks_core(jnp.float64(100.0), jnp.float64(105.0),
+                          jnp.float64(1.0), jnp.float64(0.03),
+                          jnp.float64(0.01), jnp.float64(0.2),
+                          jnp.asarray(True))
+        for k in ("rho", "theta"):
+            assert abs(g[k] - float(ref[k])) < \
+                4.0 * g[k + "_stderr"] + 1e-6, k
+
+    @pytest.mark.parametrize("payoff,kind,kw2", [
+        ("asian", "call", {}),
+        ("asian", "put", {"average_type": "geometric"}),
+        ("asian", "call", {"strike_type": "floating"}),
+        ("lookback", "put", {}),
+        ("lookback", "call", {"strike_type": "floating"}),
+    ])
+    def test_rho_theta_match_crn_bumps(self, payoff, kind, kw2):
+        kw = dict(KW, **kw2)
+        g = exotic_greeks_mc(payoff, 100.0, 100.0, 1.0, 0.03, 0.01,
+                             kind=kind, **kw)
+        h = 1e-3
+        up, _ = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.03 + h, 0.01,
+                                kind=kind, **kw)
+        dn, _ = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.03 - h, 0.01,
+                                kind=kind, **kw)
+        fd_rho = (up - dn) / (2.0 * h)
+        assert abs(g["rho"] - fd_rho) < 0.02 * max(1.0, abs(fd_rho))
+        up, _ = exotic_price_mc(payoff, 100.0, 100.0, 1.0 + h, 0.03, 0.01,
+                                kind=kind, **kw)
+        dn, _ = exotic_price_mc(payoff, 100.0, 100.0, 1.0 - h, 0.03, 0.01,
+                                kind=kind, **kw)
+        fd_theta = -(up - dn) / (2.0 * h)
+        assert abs(g["theta"] - fd_theta) < 0.02 * max(1.0, abs(fd_theta))
