@@ -37,8 +37,9 @@ __all__ = ["exotic_price_mc", "exotic_price_mc_dupire", "exotic_greeks_mc"]
 
 # payoffs whose pathwise delta the homogeneity argument covers (see
 # exotic_greeks_mc); barrier/digital payoffs are discontinuous in S_T and
-# need likelihood-ratio estimators instead
+# use the likelihood-ratio estimators instead
 _PATHWISE_OK = ("vanilla", "asian", "lookback")
+_LR_OK = ("barrier", "digital")
 
 
 def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
@@ -56,7 +57,13 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     fixed strikes / 0 for floating. Supported: vanilla, asian
     (fixed/floating, arithmetic/geometric), lookback (fixed/floating).
     Barrier and digital payoffs are discontinuous — pathwise
-    differentiation is biased there, so they are rejected.
+    differentiation is biased there, so they switch to LIKELIHOOD-RATIO
+    estimators instead: all four LR Greeks derive from three per-path
+    scores (z₁ the first shock, W the Brownian path, Q = Σz²):
+    score_S0 = z₁/(S0σ√dt), score_σ = (Q−m)/σ − W, score_r = W/σ,
+    score_T = (Q−m)/(2T) + cW/(σT). LR estimators are unbiased for ANY
+    path functional but their variance grows as 1/dt for delta — prefer
+    more paths or fewer monitoring dates.
 
     Vega, rho and theta ride the same run via the pathwise chain rules
     dS_t/dσ = S_t·(W_t − σt), dS_t/dr = S_t·t, dS_t/dT = S_t·(ct + σW_t/2)/T
@@ -70,13 +77,19 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     ``euro_greeks_mc``'s LR estimator or bump-and-reprice.
 
     Accepts ``exotic_price_mc``'s kwargs (GBM only: ``sigma=``). Returns
-    ``{"price", "stderr", "delta", "vega", "vega_stderr", "rho",
-    "rho_stderr", "theta", "theta_stderr", "exercise_prob"}``.
+    Gamma comes from one more moment in the same run: pure-LR
+    X·((z₁²−1)/(S0σ√dt)² − z₁/(S0²σ√dt)) for the discontinuous payoffs,
+    and for the continuous ones a lower-variance mixed pathwise-LR form —
+    LR applied to the homogeneity delta observable D = (X+sign·K_eff·
+    df·1{ITM})/S0, giving Γ = E[D·z₁/(S0σ√dt) − D/S0].
+
+    Returns ``{"price", "stderr", "delta", "gamma", "gamma_stderr",
+    "vega", "vega_stderr", "rho", "rho_stderr", "theta", "theta_stderr",
+    "exercise_prob"}`` (plus ``delta_stderr`` on the LR payoffs).
     """
-    if payoff not in _PATHWISE_OK:
-        raise ValueError(
-            f"pathwise delta requires a continuous payoff {_PATHWISE_OK}; "
-            f"{payoff!r} needs a likelihood-ratio estimator")
+    if payoff not in _PATHWISE_OK + _LR_OK:
+        raise ValueError(f"unknown payoff {payoff!r}; expected one of "
+                         f"{_PATHWISE_OK + _LR_OK}")
     if kwargs.get("sigma") is None:
         raise ValueError("exotic_greeks_mc supports GBM dynamics (sigma=)")
     from ..ops.pallas_path_mc import path_mc_sumstats_pallas
@@ -91,10 +104,17 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
         backend == "pallas"
         or (backend == "auto" and jax.default_backend() == "tpu"))
     control_variate = bool(kwargs.get("control_variate", False))
+    use_lr = payoff in _LR_OK
+    barrier = float(kwargs.get("barrier", 0.0))
+    barrier_type = kwargs.get("barrier_type", "up-and-out")
+    rebate = float(kwargs.get("rebate", 0.0))
+    payout = float(kwargs.get("payout", 1.0))
     pk = dict(payoff=payoff,
               antithetic=bool(kwargs.get("antithetic", True)),
               average_type=kwargs.get("average_type", "arithmetic"),
               strike_type=strike_type,
+              barrier=barrier, barrier_type=barrier_type, rebate=rebate,
+              payout=payout,
               interpret=jax.default_backend() != "tpu")
     def _mom(s, i, n):
         m = s[i] / n
@@ -112,6 +132,8 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
         vega, vega_se = _mom(s, 11, n)
         rho, rho_se = _mom(s, 13, n)
         theta, theta_se = _mom(s, 15, n)
+        lr_delta, lr_delta_se = _mom(s, 17, n)
+        gamma, gamma_se = _mom(s, 19, n)
     else:
         # XLA engine: the same moments from the fused payoff vector
         key = jax.random.key(seed_val)
@@ -120,8 +142,9 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
             S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),
             T=jnp.asarray(T, dt_), r=jnp.asarray(r, dt_),
             q=jnp.asarray(q, dt_), sigma=jnp.asarray(sigma, dt_),
-            barrier=jnp.asarray(0.0, dt_), rebate=jnp.asarray(0.0, dt_),
-            payout=jnp.asarray(1.0, dt_), bump=jnp.asarray(0.01, dt_),
+            barrier=jnp.asarray(barrier, dt_),
+            rebate=jnp.asarray(rebate, dt_),
+            payout=jnp.asarray(payout, dt_), bump=jnp.asarray(0.01, dt_),
             **{k: jnp.asarray(0.0, dt_) for k in (
                 "h_v0", "h_kappa", "h_theta", "h_xi", "h_rho",
                 "m_lam", "m_mJ", "m_sJ", "s_alpha0", "s_nu", "s_rho")},
@@ -130,13 +153,13 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
             key, fixed, n_paths=int(kwargs.get("n_paths", 100_000)),
             payoff=payoff, kind=kind, n_steps=n_steps,
             antithetic=bool(kwargs.get("antithetic", True)),
-            barrier_type="up-and-out",
+            barrier_type=barrier_type,
             average_type=kwargs.get("average_type", "arithmetic"),
             strike_type=strike_type, model_kind="gbm", sigma_loc=None,
             dtype=dt_, with_greeks=True)
         pay = np.asarray(jax.device_get(pay), np.float64)
-        d_sig, d_r, d_T = (np.asarray(jax.device_get(d), np.float64)
-                           for d in dinner)
+        obs = tuple(np.asarray(jax.device_get(d), np.float64)
+                    for d in dinner)
         df = np.exp(-r * T)
         X = df * pay
         n, mX = X.size, X.mean()
@@ -146,19 +169,48 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
         def _obs(Y):
             return float(Y.mean()), float(Y.std(ddof=1) / np.sqrt(n))
 
-        vega, vega_se = _obs(df * d_sig)
-        rho, rho_se = _obs(-T * X + df * d_r)          # dX/dr
-        theta, theta_se = _obs(r * X - df * d_T)       # −dX/dT
+        if use_lr:
+            z1, W, Q = obs
+            m = float(n_steps)
+            dt_step = T / m
+            sdt = sigma * np.sqrt(dt_step)
+            c = r - q - 0.5 * sigma * sigma
+            lr_delta, lr_delta_se = _obs(X * z1 / (S0 * sdt))
+            vega, vega_se = _obs(X * ((Q - m) / sigma - W))
+            rho, rho_se = _obs(X * (W / sigma) - T * X)
+            theta, theta_se = _obs(
+                r * X - X * ((Q - m) / (2.0 * T) + c * W / (sigma * T)))
+            gamma, gamma_se = _obs(
+                X * ((z1 * z1 - 1.0) / (S0 * S0 * sdt * sdt)
+                     - z1 / (S0 * S0 * sdt)))
+        else:
+            d_sig, d_r, d_T, z1 = obs
+            vega, vega_se = _obs(df * d_sig)
+            rho, rho_se = _obs(-T * X + df * d_r)      # dX/dr
+            theta, theta_se = _obs(r * X - df * d_T)   # −dX/dT
+            # mixed pathwise-LR gamma: LR-differentiate the per-path
+            # homogeneity delta D = (X + sign·K_eff·1{ITM}·df)/S0
+            sdt = sigma * np.sqrt(T / float(n_steps))
+            sgn = 1.0 if kind == "call" else -1.0
+            Ke = 0.0 if strike_type == "floating" else K
+            D = (X + sgn * Ke * df * (pay > 0.0)) / S0
+            gamma, gamma_se = _obs(D * z1 / (S0 * sdt) - D / S0)
 
-    sign = 1.0 if kind == "call" else -1.0
-    K_eff = 0.0 if strike_type == "floating" else K
-    # use the CV-corrected price in the E[X] slot when available
-    delta = (price + sign * K_eff * mY3) / S0
-    return {"price": float(price), "stderr": float(se),
-            "delta": float(delta), "vega": vega, "vega_stderr": vega_se,
-            "rho": rho, "rho_stderr": rho_se,
-            "theta": theta, "theta_stderr": theta_se,
-            "exercise_prob": float(mY3 * np.exp(r * T))}
+    out = {"price": float(price), "stderr": float(se),
+           "gamma": gamma, "gamma_stderr": gamma_se,
+           "vega": vega, "vega_stderr": vega_se,
+           "rho": rho, "rho_stderr": rho_se,
+           "theta": theta, "theta_stderr": theta_se,
+           "exercise_prob": float(mY3 * np.exp(r * T))}
+    if use_lr:
+        out["delta"] = lr_delta
+        out["delta_stderr"] = lr_delta_se
+    else:
+        sign = 1.0 if kind == "call" else -1.0
+        K_eff = 0.0 if strike_type == "floating" else K
+        # use the CV-corrected price in the E[X] slot when available
+        out["delta"] = float((price + sign * K_eff * mY3) / S0)
+    return out
 
 
 def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
@@ -555,6 +607,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     v_init = zeros + state0
     if with_greeks and model_kind != "gbm":
         raise ValueError("pathwise Greek accumulators require GBM dynamics")
+    if with_greeks and payoff not in _PATHWISE_OK + _LR_OK:
+        raise ValueError(f"no Greek estimator for payoff {payoff!r}")
     carry0 = (
         S_init,
         zeros,                                  # running sum (excl. t=0)
@@ -565,8 +619,9 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         v_init,                                 # Heston variance state
     )
     if with_greeks:
-        # (W, g1..g4): Brownian path + payoff-specific Greek accumulators
-        carry0 = carry0 + (zeros,) * 5
+        # (W, g1..g4, z1c): Brownian path + payoff-specific Greek
+        # accumulators + first shock z₁ (gamma/LR scores)
+        carry0 = carry0 + (zeros,) * 6
 
     def gbm_step(S, z, t_now):
         mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
@@ -634,7 +689,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
 
     def step(carry, t_idx):
         if with_greeks:
-            S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2, g3, g4 = carry
+            (S, rsum, rlog, rmax, rmin, crossed, v,
+             W, g1, g2, g3, g4, z1c) = carry
         else:
             S, rsum, rlog, rmax, rmin, crossed, v = carry
         zk = jax.random.fold_in(key, t_idx)
@@ -668,6 +724,10 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         if with_greeks:
             W = W + sqrt_dt * z
             t_new = (t_idx.astype(dt_) + 1.0) * dt
+            z1c = jnp.where(t_idx == 0, z, z1c)  # first shock
+            if payoff in _LR_OK:
+                # likelihood-ratio score ingredient: Σz²
+                g2 = g2 + z * z
             if payoff == "asian":
                 if average_type == "geometric":
                     g1 = g1 + W
@@ -695,7 +755,7 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             crossed = jnp.logical_or(crossed, hit)
         out = (S_new, rsum, rlog, rmax, rmin, crossed, v)
         if with_greeks:
-            out = out + (W, g1, g2, g3, g4)
+            out = out + (W, g1, g2, g3, g4, z1c)
         return out, None
 
     carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
@@ -707,10 +767,13 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     if not with_greeks:
         return pay, carry[0]
     S_T, rlog, rmax, rmin = carry[0], carry[2], carry[3], carry[4]
-    W, g1, g2, g3, g4 = carry[7:12]
+    W, g1, g2, g3, g4, z1c = carry[7:13]
+    if payoff in _LR_OK:
+        # host assembles the LR observables from (z1, W, Σz²)
+        return pay, S_T, (z1c, W, g2)
     dinner = _pathwise_dinner(
         payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, g3, g4,
         K=fixed["K"], sigma=fixed["sigma"], r=fixed["r"], q=fixed["q"],
         T=fixed["T"], kind=kind, n_steps=n_steps,
         average_type=average_type, strike_type=strike_type)
-    return pay, S_T, dinner
+    return pay, S_T, dinner + (z1c,)

@@ -41,15 +41,24 @@ TILE = BLOCK_R * LANES  # paths per tile (4096)
 #        statistic is degree-1 homogeneous in S0, so the pathwise delta of
 #        each continuous payoff is (E[X] + sign·K_eff·E[Y3])/S0 with
 #        K_eff = K for fixed strikes, 0 for floating.
-#   [11..16] ΣY/ΣY² for the three pathwise first-order observables
-#        Y4 = e^{−rT}·dpay/dσ (vega), Y5 = dX/dr (rho, incl. the −T·X
-#        discount term), Y6 = −dX/dT (theta, reference sign convention) —
-#        carried in-register via the Brownian path W_t and up to four
-#        payoff-specific accumulators (dS_t/dσ = S_t·(W_t − σt),
-#        dS_t/dr = S_t·t, dS_t/dT = S_t·(ct + σW_t/2)/T); zero unless the
-#        kernel runs with ``with_greeks`` (GBM only).
+#   [11..16] ΣY/ΣY² for the three first-order observables
+#        Y4 = dX/dσ (vega), Y5 = dX/dr (rho, incl. the −T·X discount
+#        term), Y6 = −dX/dT (theta, reference sign convention). For
+#        continuous payoffs these are PATHWISE (Brownian path W_t + up to
+#        four accumulators in registers; dS_t/dσ = S_t·(W_t − σt),
+#        dS_t/dr = S_t·t, dS_t/dT = S_t·(ct + σW_t/2)/T); for barrier/
+#        digital payoffs they are LIKELIHOOD-RATIO (scores from z₁, W,
+#        Q = Σz²).
+#   [17..18] ΣY7/ΣY7² with Y7 = X·z₁/(S0σ√dt) — the LR delta observable
+#        (discontinuous payoffs only; continuous payoffs get delta free
+#        from the homogeneity argument + [10]).
+#   [19..20] ΣY8/ΣY8² with Y8 the gamma observable: pure LR
+#        X·((z₁²−1)/(S0σ√dt)² − z₁/(S0²σ√dt)) for barrier/digital; mixed
+#        pathwise-LR D·(z₁/(S0σ√dt) − 1/S0) with D = (X + sign·K_eff·Y3)/S0
+#        (LR applied to the homogeneity delta observable) for the rest.
+#   All zero unless the kernel runs with ``with_greeks`` (GBM only).
 # See models.mc_fused.exotic_greeks_mc for the host-side estimators.
-NSTAT = stats_ops.STATS2_DIM + 7
+NSTAT = stats_ops.STATS2_DIM + 11
 
 PAYOFF_IDS = {"vanilla": 0, "barrier": 1, "asian": 2, "digital": 3,
               "lookback": 4}
@@ -204,10 +213,11 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             zeros = jnp.zeros(shape, jnp.float32)
             st = (S, zeros, zeros, S, S, crossed, v)
             if with_greeks:
-                # (W, g1..g4): Brownian path + pathwise Greek accumulators
+                # (W, g1..g4, z1c): Brownian path + pathwise Greek
+                # accumulators + the first shock z₁ (gamma/LR scores).
                 # asian arith: g1 = ΣS·W, g2 = ΣS·t; asian geo: g1 = ΣW;
                 # lookback: (g1, g3) = (W, t) at max, (g2, g4) at min
-                st = st + (zeros,) * 5
+                st = st + (zeros,) * 6
             return st
 
         st_p = init_state()
@@ -265,7 +275,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
 
         def advance(st, z, zv, t_now):
             if with_greeks:
-                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2, g3, g4 = st
+                (S, rsum, rlog, rmax, rmin, crossed, v,
+                 W, g1, g2, g3, g4, z1c) = st
             else:
                 S, rsum, rlog, rmax, rmin, crossed, v = st
             S_prev_max, S_prev_min = rmax, rmin
@@ -273,6 +284,10 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             if with_greeks:
                 W = W + sqrt_dt * z
                 t_new = t_now + dt_step
+                z1c = jnp.where(t_now == 0.0, z, z1c)  # first shock
+                if payoff_id in (1, 3):
+                    # likelihood-ratio score ingredient: Σz²
+                    g2 = g2 + z * z
                 if payoff_id == 2:
                     if average_geo:
                         g1 = g1 + W
@@ -299,7 +314,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                 crossed = jnp.maximum(crossed, hit)
             out = (S, rsum, rlog, rmax, rmin, crossed, v)
             if with_greeks:
-                out = out + (W, g1, g2, g3, g4)
+                out = out + (W, g1, g2, g3, g4, z1c)
             return out
 
         def step_body(t, states):
@@ -322,7 +337,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
 
         def payoff_of(st):
             if with_greeks:
-                S, rsum, rlog, rmax, rmin, crossed, v, W, g1, g2, g3, g4 = st
+                (S, rsum, rlog, rmax, rmin, crossed, v,
+                 W, g1, g2, g3, g4, z1c) = st
             else:
                 S, rsum, rlog, rmax, rmin, crossed, v = st
             vanilla = jnp.maximum(sign * (S - K), 0.0)
@@ -353,13 +369,28 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             Y3 = df * (pay > 0.0).astype(jnp.float32)
             zeros = jnp.zeros(shape, jnp.float32)
             if not with_greeks:
-                return X, Y1, Y2, Y3, zeros, zeros, zeros
-            # pathwise d(inner)/d(σ, r, T) — same chain rules as
-            # mc_fused._pathwise_dinner (σ = sig/√dt, c = r−q−σ²/2)
+                return X, Y1, Y2, Y3, zeros, zeros, zeros, zeros, zeros
             T_total = jnp.float32(n_steps) * dt_step
             sig_ann = sig / sqrt_dt
             c_drift = rq - 0.5 * sig_ann * sig_ann
             r_rate = -jnp.log(df) / T_total
+
+            if payoff_id in (1, 3):
+                # likelihood-ratio observables from (z₁, W, Q) — same
+                # scores as mc_fused.exotic_greeks_mc's LR branch
+                m_f = jnp.float32(n_steps)
+                Y4 = X * ((g2 - m_f) / sig_ann - W)
+                Y5 = X * (W / sig_ann) - T_total * X
+                Y6 = r_rate * X - X * ((g2 - m_f) / (2.0 * T_total)
+                                       + c_drift * W / (sig_ann * T_total))
+                Y7 = X * z1c / (S0 * sig)    # sig = σ√dt
+                # pure-LR gamma: Γ = E[X·((z₁²−1)/(S0σ√dt)² − z₁/(S0²σ√dt))]
+                Y8 = X * ((z1c * z1c - 1.0) / (S0 * S0 * sig * sig)
+                          - z1c / (S0 * S0 * sig))
+                return X, Y1, Y2, Y3, Y4, Y5, Y6, Y7, Y8
+
+            # pathwise d(inner)/d(σ, r, T) — same chain rules as
+            # mc_fused._pathwise_dinner (σ = sig/√dt, c = r−q−σ²/2)
 
             def d_terminal():
                 return (S * (W - sig_ann * T_total), S * T_total,
@@ -408,7 +439,13 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             Y4 = df * itm * dinner[0]                       # dX/dσ
             Y5 = -T_total * X + df * itm * dinner[1]        # dX/dr
             Y6 = r_rate * X - df * itm * dinner[2]          # −dX/dT
-            return X, Y1, Y2, Y3, Y4, Y5, Y6
+            # mixed pathwise-LR gamma: LR-differentiate the per-path
+            # homogeneity delta D = (X + sign·K_eff·Y3)/S0 →
+            # Γ = E[D·z₁/(S0σ√dt) − D/S0]
+            K_eff = 0.0 if strike_floating else K
+            D = (X + sign * K_eff * Y3) / S0
+            Y8 = D * z1c / (S0 * sig) - D / S0
+            return X, Y1, Y2, Y3, Y4, Y5, Y6, zeros, Y8
 
         prog_offset = (pid.astype(jnp.float32) * reps
                        + c.astype(jnp.float32)) * TILE
@@ -419,7 +456,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         if antithetic:
             obs_m = payoff_of(st_m)
             obs = tuple(0.5 * (a + b) for a, b in zip(obs, obs_m))
-        X, Y1, Y2, Y3, Y4, Y5, Y6 = obs
+        X, Y1, Y2, Y3, Y4, Y5, Y6, Y7, Y8 = obs
 
         WX = X * w
         WY1 = Y1 * w
@@ -427,6 +464,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         WY4 = Y4 * w
         WY5 = Y5 * w
         WY6 = Y6 * w
+        WY7 = Y7 * w
+        WY8 = Y8 * w
         s = jnp.stack([
             jnp.sum(w),
             jnp.sum(WX), jnp.sum(WX * X),
@@ -437,6 +476,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             jnp.sum(WY4), jnp.sum(WY4 * Y4),
             jnp.sum(WY5), jnp.sum(WY5 * Y5),
             jnp.sum(WY6), jnp.sum(WY6 * Y6),
+            jnp.sum(WY7), jnp.sum(WY7 * Y7),
+            jnp.sum(WY8), jnp.sum(WY8 * Y8),
         ])
         return stats_ops.kahan_add(acc, comp, s)
 
@@ -545,11 +586,13 @@ def path_mc_sumstats_pallas(
     heston=None, sabr=None, interpret: bool = False,
     greek_stats: bool = False,
 ):
-    """(17,) sufficient statistics for a path-dependent payoff.
+    """(21,) sufficient statistics for a path-dependent payoff.
 
-    ``greek_stats=True`` (GBM + continuous payoff only) fills moments
-    [11..16] with ΣY/ΣY² for the pathwise vega/rho/theta observables
-    carried in-register; otherwise those slots are zero.
+    ``greek_stats=True`` (GBM only) fills moments [11..20] with ΣY/ΣY²
+    for the vega/rho/theta/gamma(/LR-delta) observables carried
+    in-register — pathwise for continuous payoffs, likelihood-ratio for
+    barrier and digital (gamma is mixed pathwise-LR for the continuous
+    ones); otherwise those slots are zero.
 
     Dynamics: GBM by default; Dupire local vol when ``svi_slices`` is given
     (array (6, n_slices), rows a/b/rho/m/sg/T — σ(S,t) evaluated from the
@@ -568,9 +611,9 @@ def path_mc_sumstats_pallas(
     if greek_stats:
         if static["dynamics"] != "gbm":
             raise ValueError("greek_stats requires GBM dynamics")
-        if payoff not in ("vanilla", "asian", "lookback"):
-            raise ValueError(
-                f"greek_stats requires a continuous payoff; got {payoff!r}")
+        if payoff not in ("vanilla", "asian", "lookback", "barrier",
+                          "digital"):
+            raise ValueError(f"no Greek estimator for payoff {payoff!r}")
     reps, n_programs = _plan_grid(int(n_paths), TILE)
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_path_kernel(

@@ -62,11 +62,13 @@ def test_lookback_fixed_delta_matches_bump():
     assert abs(g["delta"] - (up - dn) / (2 * h)) < 3e-3
 
 
-def test_discontinuous_payoffs_rejected():
-    with pytest.raises(ValueError, match="likelihood-ratio"):
-        exotic_greeks_mc("barrier", 100.0, 100.0, 1.0, 0.03, **KW)
-    with pytest.raises(ValueError, match="likelihood-ratio"):
-        exotic_greeks_mc("digital", 100.0, 100.0, 1.0, 0.03, **KW)
+def test_discontinuous_payoffs_use_lr():
+    # barrier/digital switch to likelihood-ratio estimators (own stderr
+    # on delta, since the homogeneity shortcut no longer applies)
+    for payoff in ("barrier", "digital"):
+        g = exotic_greeks_mc(payoff, 100.0, 100.0, 1.0, 0.03,
+                             barrier=130.0, **KW)
+        assert "delta_stderr" in g and np.isfinite(g["delta"])
 
 
 def test_pallas_path_agrees_with_xla():
@@ -136,11 +138,9 @@ class TestPathwiseVega:
     def test_vega_stats_guards(self):
         from optpricer_tpu.ops.pallas_path_mc import path_mc_sumstats_pallas
 
-        with pytest.raises(ValueError, match="continuous payoff"):
-            path_mc_sumstats_pallas(
-                0, 4096, 16, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
-                payoff="digital", antithetic=True, greek_stats=True,
-                interpret=True)
+        with pytest.raises(ValueError, match="unknown payoff"):
+            exotic_greeks_mc("parisian", 100.0, 100.0, 1.0, 0.03,
+                             sigma=0.2)
         with pytest.raises(ValueError, match="GBM"):
             path_mc_sumstats_pallas(
                 0, 4096, 16, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
@@ -193,3 +193,131 @@ class TestPathwiseRhoTheta:
                                 kind=kind, **kw)
         fd_theta = -(up - dn) / (2.0 * h)
         assert abs(g["theta"] - fd_theta) < 0.02 * max(1.0, abs(fd_theta))
+
+
+class TestLikelihoodRatioGreeks:
+    """Barrier/digital payoffs are discontinuous, so exotic_greeks_mc
+    switches to likelihood-ratio estimators: all four Greeks derive from
+    the scores (z₁, W, Q=Σz²). Oracles: AD on the closed-form digital
+    price; the vanilla limit (B→∞) of the knock-out barrier."""
+
+    KWLR = dict(sigma=0.2, n_steps=16, n_paths=500_000, seed=3,
+                backend="xla", dtype="float64")
+
+    def test_digital_matches_analytic(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.stats import norm
+
+        def dig_price(S0, K, T, r, q, sigma):
+            d2 = (jnp.log(S0 / K) + (r - q - 0.5 * sigma**2) * T) \
+                / (sigma * jnp.sqrt(T))
+            return jnp.exp(-r * T) * norm.cdf(d2)
+
+        args = (100.0, 105.0, 1.0, 0.03, 0.01, 0.2)
+        ana = {"delta": float(jax.grad(dig_price, 0)(*args)),
+               "vega": float(jax.grad(dig_price, 5)(*args)),
+               "rho": float(jax.grad(dig_price, 3)(*args)),
+               "theta": float(-jax.grad(dig_price, 2)(*args))}
+        g = exotic_greeks_mc("digital", 100.0, 105.0, 1.0, 0.03, 0.01,
+                             kind="call", **self.KWLR)
+        for k, ref in ana.items():
+            se = g.get(k + "_stderr", g["stderr"])
+            assert abs(g[k] - ref) < 4.0 * se + 1e-4, (k, g[k], ref)
+
+    def test_barrier_vanilla_limit(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu.ops.black_scholes import greeks_core
+
+        g = exotic_greeks_mc("barrier", 100.0, 105.0, 1.0, 0.03, 0.01,
+                             kind="call", barrier=1e6,
+                             barrier_type="up-and-out", **self.KWLR)
+        ref = greeks_core(*(jnp.float64(v)
+                            for v in (100.0, 105.0, 1.0, 0.03, 0.01, 0.2)),
+                          jnp.asarray(True))
+        for k in ("delta", "vega", "rho", "theta"):
+            se = g.get(k + "_stderr", g["stderr"])
+            assert abs(g[k] - float(ref[k])) < 4.0 * se + 1e-3, k
+
+    def test_knockout_delta_sign(self):
+        # deep up-and-out call near the barrier: vega negative, delta can
+        # flip; the estimator must at least reproduce the CRN price slope
+        g = exotic_greeks_mc("barrier", 100.0, 100.0, 1.0, 0.03, 0.0,
+                             kind="call", barrier=120.0,
+                             barrier_type="up-and-out", **self.KWLR)
+        assert g["vega"] < 0.0  # knock-out calls lose value with vol
+        h = 1.0
+        up, _ = exotic_price_mc("barrier", 101.0, 100.0, 1.0, 0.03, 0.0,
+                                kind="call", barrier=120.0,
+                                barrier_type="up-and-out", **self.KWLR)
+        dn, _ = exotic_price_mc("barrier", 99.0, 100.0, 1.0, 0.03, 0.0,
+                                kind="call", barrier=120.0,
+                                barrier_type="up-and-out", **self.KWLR)
+        fd = (up - dn) / (2.0 * h)
+        assert abs(g["delta"] - fd) < 0.1 * max(0.05, abs(fd))
+
+    def test_lr_delta_has_stderr(self):
+        g = exotic_greeks_mc("digital", 100.0, 100.0, 1.0, 0.03, 0.0,
+                             **self.KWLR)
+        assert "delta_stderr" in g and g["delta_stderr"] > 0.0
+
+
+class TestGamma:
+    """Gamma from the same single run: mixed pathwise-LR for continuous
+    payoffs (LR applied to the homogeneity delta observable), pure LR for
+    barrier/digital. Oracles: analytic BS gamma (vanilla), AD on the
+    closed-form digital price, CRN second differences (asian)."""
+
+    def test_vanilla_gamma_matches_bs(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu.ops.black_scholes import greeks_core
+
+        g = exotic_greeks_mc("vanilla", 100.0, 105.0, 1.0, 0.03,
+                             kind="call", **KW)
+        ref = float(greeks_core(jnp.float64(100.0), jnp.float64(105.0),
+                                jnp.float64(1.0), jnp.float64(0.03),
+                                jnp.float64(0.0), jnp.float64(0.2),
+                                jnp.asarray(True))["gamma"])
+        assert abs(g["gamma"] - ref) < 4.0 * g["gamma_stderr"] + 5e-4
+
+    def test_digital_gamma_matches_analytic(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.stats import norm
+
+        def dig_price(S0):
+            K, T, r, q, sigma = 105.0, 1.0, 0.03, 0.01, 0.2
+            d2 = (jnp.log(S0 / K) + (r - q - 0.5 * sigma**2) * T) \
+                / (sigma * jnp.sqrt(T))
+            return jnp.exp(-r * T) * norm.cdf(d2)
+
+        ref = float(jax.grad(jax.grad(dig_price))(100.0))
+        g = exotic_greeks_mc(
+            "digital", 100.0, 105.0, 1.0, 0.03, 0.01, kind="call",
+            sigma=0.2, n_steps=16, n_paths=500_000, seed=3,
+            backend="xla", dtype="float64")
+        assert abs(g["gamma"] - ref) < 4.0 * g["gamma_stderr"] + 1e-4
+
+    def test_asian_gamma_matches_bump(self):
+        h = 2.0
+        g = exotic_greeks_mc("asian", 100.0, 100.0, 1.0, 0.03,
+                             kind="call", **KW)
+        px = {}
+        for s0 in (100.0 - h, 100.0, 100.0 + h):
+            px[s0], _ = exotic_price_mc("asian", s0, 100.0, 1.0, 0.03,
+                                        kind="call", **KW)
+        fd = (px[100.0 + h] - 2.0 * px[100.0] + px[100.0 - h]) / (h * h)
+        assert abs(g["gamma"] - fd) < 4.0 * g["gamma_stderr"] + 2e-3
+
+    def test_gamma_present_for_all_payoffs(self):
+        kw = dict(sigma=0.2, n_steps=8, n_paths=50_000, seed=1,
+                  backend="xla", dtype="float64")
+        for payoff, extra in (("vanilla", {}), ("asian", {}),
+                              ("lookback", {}),
+                              ("barrier", {"barrier": 130.0}),
+                              ("digital", {})):
+            g = exotic_greeks_mc(payoff, 100.0, 100.0, 1.0, 0.03,
+                                 **kw, **extra)
+            assert np.isfinite(g["gamma"]) and g["gamma_stderr"] >= 0.0

@@ -87,7 +87,7 @@ class TestPathSharded:
             mesh, 5, 100_000, 8, 100.0, 100.0, 1.0, 0.03, 0.0, None, True,
             payoff="barrier", antithetic=True, barrier=130.0,
             barrier_type="up-and-out", heston=heston))
-        assert out.shape == (17,) and np.all(np.isfinite(out))
+        assert out.shape == (21,) and np.all(np.isfinite(out))
 
     def test_exotic_price_mc_mesh_pallas_backend(self, mesh):
         from optpricer_tpu import exotic_price_mc

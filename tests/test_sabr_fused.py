@@ -54,7 +54,7 @@ def test_pallas_interpret_sabr_runs():
     s = np.asarray(path_mc_sumstats_pallas(
         5, 50_000, 8, 100.0, 100.0, 1.0, 0.03, 0.0, None, True,
         payoff="vanilla", antithetic=True, sabr=SABR, interpret=True))
-    assert s.shape == (17,) and np.all(np.isfinite(s)) and s[0] == 50_000
+    assert s.shape == (21,) and np.all(np.isfinite(s)) and s[0] == 50_000
 
 
 def test_pallas_sharded_sabr_matches_single():
