@@ -92,6 +92,8 @@ from .models.mc_fused import (exotic_price_mc, exotic_price_mc_dupire,
 from .models.american_mc import (lsmc_price, lsmc_price_batch,
                                  lsmc_price_sharded)
 from .models.pde import fd_price_batch, fd_price_local_vol_batch
+from .models.analytic import (merton_price, heston_price_cos,
+                              sabr_implied_vol, sabr_price_hagan)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -125,6 +127,8 @@ __all__ = [
     "fd_price_local_vol_batch", "lsmc_price", "lsmc_price_batch",
     "lsmc_price_sharded",
     "euro_greeks_mc", "exotic_greeks_mc",
+    "merton_price", "heston_price_cos", "sabr_implied_vol",
+    "sabr_price_hagan",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

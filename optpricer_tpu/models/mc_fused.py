@@ -655,18 +655,20 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         return S_new, v_new
 
     def sabr_step(S, sig, z1, z2):
-        # exact lognormal σ update, then the asset step uses the NEW σ —
-        # same discretisation as processes._sabr_core
+        # asset step with the PRE-update σ, then the exact lognormal σ
+        # update — same ordering as processes._sabr_core (the reference
+        # advances σ first, which biases the forward by e^{ρανT}; see the
+        # divergence note there)
         nu = fixed["s_nu"]
-        sig_n = sig * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)
         if model_kind == "sabr_ln":  # beta == 1: exact log-Euler
             S_n = S * jnp.exp((fixed["r"] - fixed["q"]
-                               - 0.5 * sig_n * sig_n) * dt
-                              + sig_n * sqrt_dt * z1)
+                               - 0.5 * sig * sig) * dt
+                              + sig * sqrt_dt * z1)
         else:  # CEV beta < 1: Euler with positivity clamp
             S_n = S + (fixed["r"] - fixed["q"]) * S * dt \
-                + sig_n * (S ** fixed["s_beta"]) * sqrt_dt * z1
+                + sig * (S ** fixed["s_beta"]) * sqrt_dt * z1
             S_n = jnp.maximum(S_n, 1e-12)
+        sig_n = sig * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)
         return S_n, sig_n
 
     def merton_step(S, z, kp_counts, zj):

@@ -195,13 +195,18 @@ def _sabr_core(key, S0, r, q, alpha0, beta, nu, rho, T,
     def step(carry, zs):
         S_t, sig_t = carry
         z1, z2 = zs
-        sig_n = sig_t * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)  # exact
-        if lognormal:  # beta == 1: log-Euler (exact for GBM with sig_n)
-            S_n = S_t * jnp.exp((r - q - 0.5 * sig_n * sig_n) * dt
-                                + sig_n * sqrt_dt * z1)
+        # The asset step uses the PRE-update σ_t. The reference advances σ
+        # first (``processes.py:208-214``), which correlates the step's σ
+        # with its own asset shock and biases the forward by e^{ρανT}
+        # (−1.8% at ρ=−0.3, ν=0.3, α=0.2, T=1) — a documented divergence:
+        # the standard ordering keeps e^{−rT}·E[S_T] = S0·e^{−qT} exact.
+        if lognormal:  # beta == 1: log-Euler (exact for GBM with sig_t)
+            S_n = S_t * jnp.exp((r - q - 0.5 * sig_t * sig_t) * dt
+                                + sig_t * sqrt_dt * z1)
         else:  # Euler with positivity clamp
-            S_n = S_t + (r - q) * S_t * dt + sig_n * (S_t ** beta) * sqrt_dt * z1
+            S_n = S_t + (r - q) * S_t * dt + sig_t * (S_t ** beta) * sqrt_dt * z1
             S_n = jnp.maximum(S_n, 1e-12)
+        sig_n = sig_t * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)  # exact
         return (S_n, sig_n), S_n
 
     (_, _), S_rows = jax.lax.scan(step, (s_init, sig_init), (Z1, Z2))

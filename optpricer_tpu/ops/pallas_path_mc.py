@@ -240,20 +240,22 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                     + h_xi * jnp.sqrt(v_eff) * sqrt_dt * zv, 0.0)
                 return S_new, v_new
             if is_sabr:
-                # exact lognormal σ carried in registers; asset step uses
-                # the NEW σ — same discretisation as processes._sabr_core
+                # exact lognormal σ carried in registers; the asset step
+                # uses the PRE-update σ — same ordering as
+                # processes._sabr_core (reference's σ-first ordering
+                # biases the forward by e^{ρανT}; see divergence note)
                 z1 = rho_sv * zv + jnp.sqrt(jnp.maximum(
                     0.0, 1.0 - rho_sv * rho_sv)) * z
-                sig_n = v * exp32(s_nu * sqrt_dt * zv
-                                  - 0.5 * s_nu * s_nu * dt_step)
                 if dynamics == "sabr_ln":  # beta == 1: exact log-Euler
-                    S_new = S * exp32((rq - 0.5 * sig_n * sig_n) * dt_step
-                                      + sig_n * sqrt_dt * z1)
+                    S_new = S * exp32((rq - 0.5 * v * v) * dt_step
+                                      + v * sqrt_dt * z1)
                 else:  # CEV beta < 1: Euler with positivity clamp
                     Sb = exp32(s_beta * log32(jnp.maximum(S, 1e-12)))
                     S_new = jnp.maximum(
-                        S + rq * S * dt_step + sig_n * Sb * sqrt_dt * z1,
+                        S + rq * S * dt_step + v * Sb * sqrt_dt * z1,
                         1e-12)
+                sig_n = v * exp32(s_nu * sqrt_dt * zv
+                                  - 0.5 * s_nu * s_nu * dt_step)
                 return S_new, sig_n
             if dynamics == "lv_euler":
                 s_loc = sigma_loc(S, t_now)

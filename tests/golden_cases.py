@@ -210,6 +210,30 @@ def _qmc():
     return dict(price=px, stderr=se)
 
 
+@case("merton_series")
+def _merton_analytic():
+    from optpricer_tpu import merton_price
+
+    return float(merton_price(100.0, 105.0, 0.75, 0.04, 0.01, sigma=0.22,
+                              lam=0.6, mJ=-0.07, sJ=0.13))
+
+
+@case("heston_cos")
+def _heston_analytic():
+    from optpricer_tpu import heston_price_cos
+
+    return float(heston_price_cos(100.0, 105.0, 0.75, 0.04, 0.01, v0=0.045,
+                                  kappa=1.8, theta=0.05, xi=0.45, rho=-0.55))
+
+
+@case("sabr_hagan")
+def _sabr_analytic():
+    from optpricer_tpu import sabr_price_hagan
+
+    return float(sabr_price_hagan(100.0, 105.0, 0.75, 0.04, 0.01,
+                                  alpha=0.22, beta=1.0, nu=0.5, rho=-0.4))
+
+
 def compute_all() -> dict:
     out = {}
     for name, fn in sorted(_CASES.items()):

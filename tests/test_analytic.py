@@ -1,0 +1,141 @@
+"""Semi-analytic engines (models/analytic.py): Merton series, Heston COS,
+Hagan SABR.
+
+Oracles: exact degenerate limits (λ=0 / ξ→0 / ν=0 reduce each model to
+Black-Scholes), the published Fang-Oosterlee COS test value, put-call
+parity, and z-tests against the framework's own fused MC engines — which
+simultaneously gives those MC kernels a true non-statistical oracle.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optpricer_tpu import (bs_price_vec, exotic_price_mc, heston_price_cos,
+                           merton_price, sabr_implied_vol, sabr_price_hagan)
+
+S0, K, T, R = 100.0, 100.0, 1.0, 0.05
+
+
+def _bs(K_=K, sig=0.2, r=R, q=0.0, kind="call"):
+    return float(bs_price_vec(S0, K_, T, r, q, sig, kind, dtype="float64"))
+
+
+class TestMerton:
+    def test_lam_zero_reduces_to_bs(self):
+        m = float(merton_price(S0, K, T, R, sigma=0.2, lam=0.0, mJ=-0.1,
+                               sJ=0.15))
+        assert m == pytest.approx(_bs(), abs=1e-10)
+
+    def test_sj_zero_mj_zero_reduces_to_bs(self):
+        # jumps of size zero change nothing (κ=0, σ_k=σ for... only k
+        # terms shift r_k by 0) — series must resum to BS exactly
+        m = float(merton_price(S0, K, T, R, sigma=0.2, lam=2.0, mJ=0.0,
+                               sJ=0.0))
+        assert m == pytest.approx(_bs(), abs=1e-8)
+
+    def test_matches_fused_mc(self):
+        mp = dict(sigma=0.2, lam=0.5, mJ=-0.08, sJ=0.12)
+        ref = float(merton_price(S0, K, T, R, sigma=0.2, lam=0.5, mJ=-0.08,
+                                 sJ=0.12))
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, merton=mp,
+                                 n_steps=64, n_paths=400_000, seed=11,
+                                 backend="xla", dtype="float64")
+        assert abs(px - ref) < 4.0 * se + 1e-3
+
+    def test_put_call_parity(self):
+        kw = dict(sigma=0.25, lam=1.0, mJ=0.05, sJ=0.2)
+        c = float(merton_price(S0, 90.0, T, R, 0.01, **kw, kind="call"))
+        p = float(merton_price(S0, 90.0, T, R, 0.01, **kw, kind="put"))
+        fwd = S0 * np.exp(-0.01 * T) - 90.0 * np.exp(-R * T)
+        assert c - p == pytest.approx(fwd, abs=1e-8)
+
+    def test_jumps_add_value_atm(self):
+        base = _bs()
+        m = float(merton_price(S0, K, T, R, sigma=0.2, lam=1.0, mJ=-0.1,
+                               sJ=0.2))
+        assert m > base  # extra (compensated) variance ⇒ dearer option
+
+    def test_ad_greeks_finite(self):
+        g = jax.grad(lambda s: merton_price(s, K, T, R, sigma=0.2, lam=0.5,
+                                            mJ=-0.05, sJ=0.1))(
+            jnp.asarray(S0, jnp.float64))
+        assert np.isfinite(float(g)) and 0.0 < float(g) < 1.0
+
+
+HESTON = dict(v0=0.04, kappa=2.0, theta=0.05, xi=0.4, rho=-0.6)
+
+
+class TestHestonCOS:
+    def test_degenerate_reduces_to_bs(self):
+        h = float(heston_price_cos(S0, K, T, R, v0=0.04, kappa=1.5,
+                                   theta=0.04, xi=1e-5, rho=0.0))
+        assert h == pytest.approx(_bs(), abs=5e-5)
+
+    def test_fang_oosterlee_reference_value(self):
+        # COS paper test case: put = 5.785155450 (Fang & Oosterlee 2008)
+        hp = float(heston_price_cos(
+            100.0, 100.0, 1.0, 0.0, v0=0.0175, kappa=1.5768, theta=0.0398,
+            xi=0.5751, rho=-0.5711, kind="put", N=512))
+        assert hp == pytest.approx(5.785155450, abs=5e-5)
+
+    def test_put_call_parity_exact(self):
+        c = float(heston_price_cos(S0, 90.0, T, R, 0.01, **HESTON,
+                                   kind="call"))
+        p = float(heston_price_cos(S0, 90.0, T, R, 0.01, **HESTON,
+                                   kind="put"))
+        fwd = S0 * np.exp(-0.01 * T) - 90.0 * np.exp(-R * T)
+        assert c - p == pytest.approx(fwd, abs=1e-9)
+
+    def test_matches_fused_mc(self):
+        ref = float(heston_price_cos(S0, K, T, R, **HESTON))
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, heston=HESTON,
+                                 n_steps=256, n_paths=400_000, seed=12,
+                                 backend="xla", dtype="float64")
+        # full-truncation Euler carries O(dt) bias on top of MC noise
+        assert abs(px - ref) < 4.0 * se + 0.03
+
+    def test_strike_batch_matches_loop(self):
+        Ks = jnp.linspace(80.0, 120.0, 9)
+        batch = np.asarray(heston_price_cos(S0, Ks, T, R, **HESTON))
+        loop = np.array([float(heston_price_cos(S0, float(k), T, R,
+                                                **HESTON)) for k in Ks])
+        np.testing.assert_allclose(batch, loop, rtol=1e-12)
+        assert np.all(np.diff(batch) < 0.0)  # calls decrease in strike
+
+    def test_converges_in_N(self):
+        h1 = float(heston_price_cos(S0, K, T, R, **HESTON, N=96))
+        h2 = float(heston_price_cos(S0, K, T, R, **HESTON, N=512))
+        assert abs(h1 - h2) < 1e-6  # exponential convergence well set in
+
+
+class TestSABRHagan:
+    def test_nu_zero_beta_one_is_flat_bs_vol(self):
+        iv = float(sabr_implied_vol(100.0, 123.0, 1.0, 0.2, 1.0, 1e-9, 0.0))
+        assert iv == pytest.approx(0.2, abs=1e-9)
+        px = float(sabr_price_hagan(S0, 110.0, T, R, alpha=0.2, beta=1.0,
+                                    nu=1e-9, rho=0.0))
+        assert px == pytest.approx(_bs(110.0), abs=1e-8)
+
+    def test_atm_continuity(self):
+        # the z/x(z) removable singularity must be smooth through ATM
+        ivs = [float(sabr_implied_vol(100.0, k, 1.0, 0.2, 1.0, 0.5, -0.3))
+               for k in (99.999, 100.0, 100.001)]
+        assert abs(ivs[0] - 2 * ivs[1] + ivs[2]) < 1e-6
+
+    def test_skew_sign(self):
+        # ρ<0 tilts the smile down in strike
+        lo = float(sabr_implied_vol(100.0, 90.0, 1.0, 0.2, 1.0, 0.5, -0.5))
+        hi = float(sabr_implied_vol(100.0, 110.0, 1.0, 0.2, 1.0, 0.5, -0.5))
+        assert lo > hi
+
+    def test_matches_fused_mc_beta_one(self):
+        sp = dict(alpha0=0.2, beta=1.0, nu=0.3, rho=-0.3)
+        ref = float(sabr_price_hagan(S0, K, T, R, alpha=0.2, beta=1.0,
+                                     nu=0.3, rho=-0.3))
+        px, se = exotic_price_mc("vanilla", S0, K, T, R, sabr=sp,
+                                 n_steps=256, n_paths=400_000, seed=13,
+                                 backend="xla", dtype="float64")
+        # Hagan is an O(T) asymptotic: allow ~0.5% of premium on top of MC
+        assert abs(px - ref) < 4.0 * se + 0.005 * ref

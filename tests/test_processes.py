@@ -66,8 +66,11 @@ class TestMartingale:
                                  200, 50_000, seed=42), tol=0.015)
 
     def test_sabr_beta1(self):
+        # pre-update-σ ordering keeps the forward exact even at ρ≠0 (the
+        # reference's σ-first ordering would fail this at tol=0.01: its
+        # bias is e^{ρανT} ≈ −1.8% here)
         self._check(sabr_paths(S0, R, Q, 0.2, 1.0, 0.3, -0.3, T, 200,
-                               50_000, seed=42), tol=0.02)
+                               50_000, seed=42), tol=0.01)
 
     def test_local_vol_const(self):
         sigma_fn = lambda S, t: 0.2 * jnp.ones_like(S)
