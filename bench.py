@@ -134,15 +134,20 @@ def bench_asian() -> None:
     """Diagnostic: fused arithmetic-Asian MC, 1M paths (BASELINE config 3)."""
     from optpricer_tpu.models.mc_fused import exotic_price_mc
 
-    run = lambda: exotic_price_mc(
+    run = lambda cv: exotic_price_mc(
         "asian", 100.0, 100.0, 1.0, 0.03, sigma=0.2, n_steps=252,
-        n_paths=1_000_000, seed=7)
-    px, se = run()
+        n_paths=1_000_000, seed=7, control_variate=cv)
+    px, se = run(False)
     t0 = time.perf_counter()
-    px, se = run()
+    px, se = run(False)
     dt = time.perf_counter() - t0
+    px_cv, se_cv = run(True)
+    t0 = time.perf_counter()
+    px_cv, se_cv = run(True)
+    dt_cv = time.perf_counter() - t0
     log(f"[asian] 1M paths × 252 steps fused: {dt*1e3:.0f} ms, "
-        f"price={px:.4f} ± {se:.1e}")
+        f"price={px:.4f} ± {se:.1e}; geo-CV {dt_cv*1e3:.0f} ms, "
+        f"{px_cv:.4f} ± {se_cv:.1e} ({se/max(se_cv,1e-12):.0f}× tighter)")
 
 
 def bench_localvol() -> None:

@@ -26,7 +26,69 @@ from ..dtypes import canonical
 from ..ops.black_scholes import is_call_mask, price_core
 
 __all__ = ["merton_price", "heston_price_cos", "sabr_implied_vol",
-           "sabr_price_hagan"]
+           "sabr_price_hagan", "geometric_asian_price"]
+
+
+# --------------------------------------------------------------------------
+# Discrete geometric Asian — exact closed form (GBM)
+# --------------------------------------------------------------------------
+
+def geometric_asian_price_f64(S0, K, T, r, q=0.0, sigma=0.2, *,
+                              kind="call", n_steps: int = 252) -> float:
+    """Host-float64 scalar version of :func:`geometric_asian_price` —
+    the control-variate mean must not inherit the device f32 precision."""
+    import math
+
+    m = float(n_steps)
+    c = r - q - 0.5 * sigma * sigma
+    mu_g = math.log(S0) + c * T * (m + 1.0) / (2.0 * m)
+    var_g = sigma * sigma * T * (m + 1.0) * (2.0 * m + 1.0) / (6.0 * m * m)
+    sig_g = math.sqrt(var_g)
+    df = math.exp(-r * T)
+    F_g = math.exp(mu_g + 0.5 * var_g)
+    d2 = (mu_g - math.log(K)) / sig_g
+    d1 = d2 + sig_g
+    Phi = lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+    if kind == "call":
+        return df * (F_g * Phi(d1) - K * Phi(d2))
+    return df * (K * Phi(-d2) - F_g * Phi(-d1))
+
+
+def geometric_asian_price(S0, K, T, r, q=0.0, sigma=0.2, *, kind="call",
+                          n_steps: int = 252):
+    """Fixed-strike geometric-average Asian under GBM, exact closed form.
+
+    Monitoring matches the MC engines (``mc_fused._terminal_payoff``,
+    reference ``exotics.py:102-163``): the average runs over the n_steps
+    grid points t_i = i·T/m, i=1..m, with t=0 excluded.  ln G is Gaussian
+    with
+
+        mu_G    = ln S0 + c·T(m+1)/(2m),          c = r − q − σ²/2
+        sigma_G² = σ²·T·(m+1)(2m+1)/(6m²)
+
+    so the price is a Black-Scholes formula on (mu_G, sigma_G).  Serves
+    as the control-variate mean for arithmetic-Asian pricing
+    (``exotic_price_mc(..., control_variate=True)``) and as an exact
+    oracle for the geometric-Asian MC path.
+    """
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    S0, K, T, r, q, sigma = (
+        jnp.asarray(v, dt_) for v in (S0, K, T, r, q, sigma))
+    is_call = jnp.asarray(is_call_mask(kind))
+    m = float(n_steps)
+    c = r - q - 0.5 * sigma * sigma
+    mu_g = jnp.log(S0) + c * T * (m + 1.0) / (2.0 * m)
+    var_g = sigma * sigma * T * (m + 1.0) * (2.0 * m + 1.0) / (6.0 * m * m)
+    sig_g = jnp.sqrt(var_g)
+    df = jnp.exp(-r * T)
+    F_g = jnp.exp(mu_g + 0.5 * var_g)
+    d2 = (mu_g - jnp.log(K)) / sig_g
+    d1 = d2 + sig_g
+    Phi = jax.scipy.stats.norm.cdf
+    call = df * (F_g * Phi(d1) - K * Phi(d2))
+    put = df * (K * Phi(-d2) - F_g * Phi(-d1))
+    return jnp.where(is_call, call, put)
 
 
 # --------------------------------------------------------------------------

@@ -272,7 +272,8 @@ _PAYOFFS = ("vanilla", "barrier", "asian", "digital", "lookback")
 
 
 def _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
-                         dynamics: str, control_variate: bool):
+                         dynamics: str, control_variate: bool,
+                         geo_ey=None):
     """(price, stderr) from the 10-stat vector, dynamics-aware.
 
     Under GBM both control-variate means are known in closed form (dual CV,
@@ -281,6 +282,9 @@ def _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
     CV is used. Without CV, the plain mean/stderr. One code path serves the
     single-chip Pallas, sharded Pallas, and sharded XLA engines, so scaling
     out never changes the estimator.
+
+    ``geo_ey`` (arithmetic asian only): the Y1 slot holds the geometric-
+    average payoff whose closed-form mean this is — single CV on it.
     """
     import numpy as np
 
@@ -294,6 +298,10 @@ def _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
         mX = s[1] / n
         vX = max(0.0, s[2] / n - mX * mX)
         return float(mX), float(np.sqrt(vX / n))
+    if geo_ey is not None:
+        mean, se = stats_ops.cv_mean_se_np(s[:6], geo_ey)
+        # f32 moment-roundoff floor (see pallas_mc_batch.euro_price_mc_batch)
+        return mean, max(se, 2e-6 * (1.0 + abs(mean)))
     if dynamics == "gbm":
         from ..ops.pallas_mc import pallas_estimate
 
@@ -464,6 +472,22 @@ def exotic_price_mc(
     seed_val = resolve_seed(seed)
     key = jax.random.key(seed_val)
 
+    # Arithmetic-asian GBM pricing upgrades the control variate to the
+    # geometric-average payoff: corr(X, Y_geo) ≈ 1 and E[Y_geo] is exact
+    # (analytic.geometric_asian_price) — typically a 30-100× stderr
+    # reduction over the terminal-spot CV from the same run.
+    use_geo_cv = (bool(control_variate) and payoff == "asian"
+                  and average_type == "arithmetic"
+                  and strike_type == "fixed" and heston is None
+                  and sabr is None and merton is None
+                  and sigma_loc is None)
+    geo_ey = None
+    if use_geo_cv:
+        from .analytic import geometric_asian_price_f64
+
+        geo_ey = geometric_asian_price_f64(S0, K, T, r, q, sigma, kind=kind,
+                                           n_steps=int(n_steps))
+
     # TPU fast path: the whole time loop runs inside one Pallas kernel
     # (hardware PRNG, state in registers — see ops/pallas_path_mc.py).
     # GBM and Heston dynamics are supported in-kernel (Dupire via
@@ -481,7 +505,8 @@ def exotic_price_mc(
         pk = dict(payoff=payoff, antithetic=bool(antithetic),
                   barrier=barrier, barrier_type=barrier_type, rebate=rebate,
                   average_type=average_type, strike_type=strike_type,
-                  payout=payout, heston=heston, sabr=sabr)
+                  payout=payout, heston=heston, sabr=sabr,
+                  geo_cv=use_geo_cv)
         if mesh is not None:
             stats_vec = path_mc_sumstats_pallas_sharded(
                 mesh, seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
@@ -489,11 +514,12 @@ def exotic_price_mc(
         else:
             stats_vec = path_mc_sumstats_pallas(
                 seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
-                sigma, kind == "call", **pk)
+                sigma, kind == "call",
+                interpret=jax.default_backend() != "tpu", **pk)
         dynamics = "gbm" if (heston is None and sabr is None) else "sv"
         return _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma,
                                     kind == "call", dynamics,
-                                    control_variate)
+                                    control_variate, geo_ey=geo_ey)
 
     fixed = dict(
         S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),
@@ -532,6 +558,19 @@ def exotic_price_mc(
                   model_kind=model_kind, sigma_loc=sigma_loc, dtype=dt_)
 
     if mesh is None:
+        if use_geo_cv:
+            import numpy as np
+
+            from ..ops import stats as stats_ops
+
+            pay, _, pay_geo = _fused_paths(key, fixed, n_paths=int(n_paths),
+                                           with_geo=True, **static)
+            df = np.exp(-r * T)
+            X = df * np.asarray(jax.device_get(pay), np.float64)
+            Y = df * np.asarray(jax.device_get(pay_geo), np.float64)
+            s = np.array([X.size, X.sum(), (X * X).sum(), Y.sum(),
+                          (Y * Y).sum(), (X * Y).sum()])
+            return stats_ops.cv_mean_se_np(s, geo_ey)
         pay, _ = _fused_paths(key, fixed, n_paths=int(n_paths), **static)
         return _price_from_payoff(pay, r, T)
 
@@ -551,10 +590,18 @@ def exotic_price_mc(
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
     def shard_fn(dev_ids):
         local_key = jax.random.fold_in(key, dev_ids[0])
-        pay, ST = _fused_paths(local_key, fixed, n_paths=n_local, **static)
+        if use_geo_cv:
+            pay, ST, pay_geo = _fused_paths(local_key, fixed,
+                                            n_paths=n_local, with_geo=True,
+                                            **static)
+        else:
+            pay, ST = _fused_paths(local_key, fixed, n_paths=n_local,
+                                   **static)
         df = jnp.exp(-fixed["r"] * fixed["T"])
         X = df * pay
-        Y1 = df * ST
+        # Y1 is the geometric-average payoff when the geo CV is on (its
+        # mean is closed-form), else the discounted terminal spot
+        Y1 = df * (pay_geo if use_geo_cv else ST)
         Y2 = df * (sign * (ST - fixed["K"]) > 0.0).astype(X.dtype)
         stats = jnp.stack([
             jnp.asarray(X.size, X.dtype),
@@ -567,16 +614,17 @@ def exotic_price_mc(
     return _estimate_from_stats(
         shard_fn(jnp.arange(n_dev)), S0, K, T, r, q,
         0.0 if sigma is None else sigma, kind == "call", model_kind,
-        control_variate)
+        control_variate, geo_ey=geo_ey)
 
 
 @partial(jax.jit, static_argnames=(
     "payoff", "kind", "n_steps", "n_paths", "antithetic", "barrier_type",
     "average_type", "strike_type", "model_kind", "sigma_loc", "dtype",
-    "with_greeks"))
+    "with_greeks", "with_geo"))
 def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                  barrier_type, average_type, strike_type, model_kind,
-                 sigma_loc, dtype, with_greeks: bool = False):
+                 sigma_loc, dtype, with_greeks: bool = False,
+                 with_geo: bool = False):
     """Module-level jitted core: repeat calls with the same static config
     (payoff/model/steps/paths) reuse the compilation even as market data
     changes — essential for bump risk and book loops.
@@ -585,6 +633,11 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     and the payoff-specific pathwise accumulators, returning
     ``(pay, S_T, (dσ, dr, dT))`` — the exact pathwise first-order
     observables 1{ITM}·d(inner)/d(σ, r, T); see ``_pathwise_dinner``.
+
+    ``with_geo`` (arithmetic asian) also accumulates the running log-sum
+    and returns ``(pay, S_T, pay_geo)`` with the same-kind geometric-
+    average payoff — the control variate whose mean
+    ``analytic.geometric_asian_price`` knows in closed form.
     """
     dt_ = dtype
     dt = fixed["T"] / n_steps
@@ -746,7 +799,7 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                 g4 = jnp.where(newmin, t_new, g4)
         if payoff == "asian":
             rsum = rsum + S_new
-            if average_type == "geometric":
+            if average_type == "geometric" or with_geo:
                 rlog = rlog + jnp.log(S_new)
         if payoff in ("lookback",):
             rmax = jnp.maximum(rmax, S_new)
@@ -767,6 +820,11 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         average_type=average_type, strike_type=strike_type,
         payout=fixed["payout"])
     if not with_greeks:
+        if with_geo:
+            geo = jnp.exp(carry[2] / n_steps)
+            sgn = 1.0 if kind == "call" else -1.0
+            pay_geo = jnp.maximum(sgn * (geo - fixed["K"]), 0.0)
+            return pay, carry[0], pay_geo
         return pay, carry[0]
     S_T, rlog, rmax, rmin = carry[0], carry[2], carry[3], carry[4]
     W, g1, g2, g3, g4, z1c = carry[7:13]

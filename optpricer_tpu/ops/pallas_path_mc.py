@@ -69,7 +69,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                  barrier_up: bool, knock_out: bool, average_geo: bool,
                  strike_floating: bool, is_call: bool,
                  dynamics: str = "gbm", n_slices: int = 0,
-                 with_greeks: bool = False):
+                 with_greeks: bool = False, geo_cv: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -305,7 +305,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                     g4 = jnp.where(newmin, t_new, g4)
             if payoff_id == 2:  # asian
                 rsum = rsum + S
-                if average_geo:
+                if average_geo or geo_cv:
                     rlog = rlog + log32(S)
             if payoff_id == 4:  # lookback
                 rmax = jnp.maximum(rmax, S)
@@ -366,7 +366,15 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                     pay = jnp.maximum(rmax - K, 0.0) if is_call \
                         else jnp.maximum(K - rmin, 0.0)
             X = df * pay
-            Y1 = df * S
+            if geo_cv:
+                # geometric-Asian payoff as Y1: E[Y1] is closed-form
+                # (analytic.geometric_asian_price), and corr(X, Y1) ≈ 1
+                # for the arithmetic average — far tighter than the
+                # terminal-spot CV
+                geo = exp32(rlog / n_steps)
+                Y1 = df * jnp.maximum(sign * (geo - K), 0.0)
+            else:
+                Y1 = df * S
             Y2 = df * (sign * (S - K) > 0.0).astype(jnp.float32)
             Y3 = df * (pay > 0.0).astype(jnp.float32)
             zeros = jnp.zeros(shape, jnp.float32)
@@ -493,11 +501,13 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                                    "antithetic", "payoff_id", "barrier_up",
                                    "knock_out", "average_geo",
                                    "strike_floating", "is_call", "dynamics",
-                                   "n_slices", "interpret", "with_greeks"))
+                                   "n_slices", "interpret", "with_greeks",
+                                   "geo_cv"))
 def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
                      antithetic, payoff_id, barrier_up, knock_out,
                      average_geo, strike_floating, is_call, dynamics="gbm",
-                     n_slices=0, interpret=False, with_greeks=False):
+                     n_slices=0, interpret=False, with_greeks=False,
+                     geo_cv=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -506,7 +516,7 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
         payoff_id=payoff_id, barrier_up=barrier_up, knock_out=knock_out,
         average_geo=average_geo, strike_floating=strike_floating,
         is_call=is_call, dynamics=dynamics, n_slices=n_slices,
-        with_greeks=with_greeks)
+        with_greeks=with_greeks, geo_cv=geo_cv)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -544,12 +554,17 @@ def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
 def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
                     payoff, antithetic, barrier, barrier_type, rebate,
                     average_type, strike_type, payout, svi_slices, scheme,
-                    dS_bump, heston, sabr=None):
+                    dS_bump, heston, sabr=None, geo_cv=False):
     """(params, svi, static_kwargs) shared by the local and sharded entry
     points; n_steps must be even (two Box-Muller normals advance two steps
     per loop iteration)."""
     if n_steps % 2:
         raise ValueError("pallas path engine requires even n_steps")
+    if geo_cv and not (payoff == "asian" and average_type == "arithmetic"
+                       and strike_type == "fixed" and heston is None
+                       and sabr is None and svi_slices is None):
+        raise ValueError("geo_cv requires a fixed-strike arithmetic asian "
+                         "payoff under GBM dynamics")
     params = _common_params(n_paths, n_steps, S0, K, T, r, q,
                             sigma if sigma is not None else 0.0,
                             is_call, barrier, rebate, payout, dS_bump,
@@ -574,7 +589,8 @@ def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
         knock_out=barrier_type.endswith("out"),
         average_geo=(average_type == "geometric"),
         strike_floating=(strike_type == "floating"),
-        is_call=bool(is_call), dynamics=dynamics, n_slices=n_slices)
+        is_call=bool(is_call), dynamics=dynamics, n_slices=n_slices,
+        geo_cv=bool(geo_cv))
     return params, svi, static
 
 
@@ -586,7 +602,7 @@ def path_mc_sumstats_pallas(
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
     heston=None, sabr=None, interpret: bool = False,
-    greek_stats: bool = False,
+    greek_stats: bool = False, geo_cv: bool = False,
 ):
     """(21,) sufficient statistics for a path-dependent payoff.
 
@@ -609,7 +625,7 @@ def path_mc_sumstats_pallas(
     params, svi, static = _resolve_config(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
-        svi_slices, scheme, dS_bump, heston, sabr)
+        svi_slices, scheme, dS_bump, heston, sabr, geo_cv)
     if greek_stats:
         if static["dynamics"] != "gbm":
             raise ValueError("greek_stats requires GBM dynamics")
@@ -630,7 +646,7 @@ def path_mc_sumstats_pallas_sharded(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
-    heston=None, sabr=None, interpret=None,
+    heston=None, sabr=None, interpret=None, geo_cv: bool = False,
 ):
     """Mesh data-parallel fused path MC: per-device Pallas grids + psum.
 
@@ -648,7 +664,7 @@ def path_mc_sumstats_pallas_sharded(
     params, svi, static = _resolve_config(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
-        svi_slices, scheme, dS_bump, heston, sabr)
+        svi_slices, scheme, dS_bump, heston, sabr, geo_cv)
     from ..parallel.mesh import mesh_axes
 
     axis = mesh_axes(mesh)
