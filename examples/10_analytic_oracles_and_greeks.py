@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Semi-analytic oracles, Heston calibration, and one-run exotic Greeks.
+
+Everything here is beyond the reference's scope:
+
+* ``merton_price`` / ``heston_price_cos`` / ``sabr_price_hagan`` — closed
+  or transform-based prices for the jump / stochastic-vol models the
+  reference can only simulate. The COS expansion prices a whole strike
+  ladder as one complex matvec (MXU work), and all three differentiate
+  under ``jax.grad``.
+* ``fit_heston`` — calibrate (v0, kappa, theta, xi, rho) to an implied-vol
+  surface by Levenberg-Marquardt with exact ``jacfwd`` Jacobians through
+  the COS transform. Warm refits take ~0.1 s.
+* ``exotic_greeks_mc`` — delta/gamma/vega/rho/theta for every path payoff
+  from ONE Monte-Carlo run: pathwise estimators where the payoff is
+  continuous, likelihood-ratio scores where it is not.
+* ``exotic_price_mc(..., control_variate=True)`` on an arithmetic Asian —
+  the geometric-average payoff rides the same run as a control variate
+  with a closed-form mean (``geometric_asian_price``), cutting the error
+  bar ~30x for free.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from optpricer_tpu import (
+    bs_implied_vol_vec, bs_price_vec, exotic_greeks_mc, exotic_price_mc,
+    fit_heston, geometric_asian_price, heston_price_cos, merton_price,
+    sabr_price_hagan,
+)
+
+S0, r, q = 100.0, 0.03, 0.01
+print("=== Semi-analytic engines vs their Monte-Carlo twins ===")
+mp = dict(lam=0.5, mJ=-0.08, sJ=0.12)
+ana = float(merton_price(S0, 100.0, 1.0, r, q, sigma=0.2, **mp))
+mc, se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q,
+                         merton=dict(sigma=0.2, **mp),
+                         n_steps=64, n_paths=200_000, seed=1)
+print(f"Merton  series {ana:.4f}   vs MC {mc:.4f} ± {se:.4f}")
+
+hp = dict(v0=0.04, kappa=1.8, theta=0.05, xi=0.45, rho=-0.55)
+ana = float(heston_price_cos(S0, 100.0, 1.0, r, q, **hp))
+mc, se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q, heston=hp,
+                         n_steps=256, n_paths=200_000, seed=2)
+print(f"Heston  COS    {ana:.4f}   vs MC {mc:.4f} ± {se:.4f}")
+
+sp = dict(alpha0=0.2, beta=1.0, nu=0.3, rho=-0.3)
+ana = float(sabr_price_hagan(S0, 100.0, 1.0, r, q, alpha=0.2, beta=1.0,
+                             nu=0.3, rho=-0.3))
+mc, se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q, sabr=sp,
+                         n_steps=256, n_paths=200_000, seed=3)
+print(f"SABR    Hagan  {ana:.4f}   vs MC {mc:.4f} ± {se:.4f}")
+
+print("\n=== Heston calibration (zero-noise round trip) ===")
+Ks = np.tile(np.linspace(80, 120, 11), 3)
+Ts = np.repeat([0.25, 0.5, 1.0], 11)
+px = np.array([float(heston_price_cos(S0, k, t, r, q, **hp))
+               for k, t in zip(Ks, Ts)])
+iv = np.asarray(bs_implied_vol_vec(S0, Ks, Ts, r, q, px, "call"))
+fit = fit_heston(Ks, Ts, iv, S0, r, q)
+for name in ("v0", "kappa", "theta", "xi", "rho"):
+    print(f"  {name:>6}: true {hp[name]:+.4f}   fit {fit[name]:+.4f}")
+print(f"  weighted-price RMSE: {fit['rmse']:.2e}")
+
+print("\n=== Exotic Greeks: one run, five Greeks, every payoff ===")
+kw = dict(sigma=0.2, n_steps=64, n_paths=400_000, seed=5)
+for payoff, extra in (("asian", {}), ("lookback", {}),
+                      ("barrier", dict(barrier=130.0)), ("digital", {})):
+    g = exotic_greeks_mc(payoff, S0, 100.0, 1.0, r, kind="call", **kw,
+                         **extra)
+    print(f"  {payoff:>8}: px {g['price']:7.4f}  Δ {g['delta']:+.4f}  "
+          f"Γ {g['gamma']:+.5f}  vega {g['vega']:+7.3f}  "
+          f"ρ {g['rho']:+7.3f}  θ {g['theta']:+7.3f}")
+
+print("\n=== Geometric control variate for the arithmetic Asian ===")
+kw = dict(sigma=0.2, n_steps=252, n_paths=1_000_000, seed=7)
+p0, se0 = exotic_price_mc("asian", S0, 100.0, 1.0, r, kind="call", **kw)
+p1, se1 = exotic_price_mc("asian", S0, 100.0, 1.0, r, kind="call",
+                          control_variate=True, **kw)
+geo = float(geometric_asian_price(S0, 100.0, 1.0, r, 0.0, 0.2,
+                                  kind="call", n_steps=252))
+print(f"  plain MC          : {p0:.4f} ± {se0:.1e}")
+print(f"  geometric CV      : {p1:.4f} ± {se1:.1e}  "
+      f"({se0 / se1:.0f}x tighter, same paths)")
+print(f"  geometric (exact) : {geo:.4f}  — the CV's closed-form mean")

@@ -19,6 +19,8 @@ Everything is jittable, broadcasting, and differentiable (AD Greeks via
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -26,7 +28,7 @@ from ..dtypes import canonical
 from ..ops.black_scholes import is_call_mask, price_core
 
 __all__ = ["merton_price", "heston_price_cos", "sabr_implied_vol",
-           "sabr_price_hagan", "geometric_asian_price"]
+           "sabr_price_hagan", "geometric_asian_price", "fit_heston"]
 
 
 # --------------------------------------------------------------------------
@@ -167,29 +169,13 @@ def _cos_chi_psi(k, a, b, c, d):
     return chi, psi
 
 
-def heston_price_cos(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
-                     kind="call", N: int = 256, L: float = 14.0):
-    """European option under Heston via the COS method (Fang-Oosterlee 2008).
-
-    Truncation range [a,b] = c1 ± L·√(c2+√c4) from the log-return
-    cumulants; N cosine terms (error decays exponentially in N for
-    Heston).  A strike vector prices as one (n_K × N) · (N,) complex
-    matvec — XLA tiles it onto the MXU, so 10k strikes cost barely more
-    than one.  Put is computed directly (bounded payoff ⇒ stable
-    coefficients) and the call recovered by put-call parity.
-
-    Gives the fused Heston MC engines (``mc_fused.exotic_price_mc`` with
-    ``heston=``, ``ops/pallas_path_mc``) a true oracle; reference has MC
-    only (``processes.py:117-162``).
-    """
-    f64 = jax.config.jax_enable_x64
-    dt_ = jnp.float64 if f64 else jnp.float32
-    cdt = jnp.complex128 if f64 else jnp.complex64
-    S0, K, T, r, q, v0, kappa, theta, xi, rho = (
-        jnp.asarray(v, dt_) for v in (S0, K, T, r, q, v0, kappa, theta,
-                                      xi, rho))
-    is_call = jnp.asarray(is_call_mask(kind))
-    K = jnp.atleast_1d(K)
+@partial(jax.jit, static_argnames=("N",))
+def _heston_cos_core(S0, K, T, r, q, v0, kappa, theta, xi, rho, is_call,
+                     L, *, N: int):
+    """Jitted COS body — the TPU backend supports complex64 only inside
+    compiled programs (eager complex dispatch raises UNIMPLEMENTED)."""
+    dt_ = S0.dtype
+    cdt = jnp.complex128 if dt_ == jnp.float64 else jnp.complex64
 
     # cumulant-based truncation (COS paper table 11)
     lam_ = xi  # vol-of-vol in the paper's notation
@@ -224,8 +210,34 @@ def heston_price_cos(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
     put = jnp.exp(-r * T) * K * jnp.real(phase @ coef)
     put = jnp.maximum(put, 0.0)
     call = put + S0 * jnp.exp(-q * T) - K * jnp.exp(-r * T)
-    out = jnp.where(is_call, call, put)
-    return out[0] if out.shape == (1,) and jnp.ndim(is_call) == 0 else out
+    return jnp.where(is_call, call, put)
+
+
+def heston_price_cos(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
+                     kind="call", N: int = 256, L: float = 14.0):
+    """European option under Heston via the COS method (Fang-Oosterlee 2008).
+
+    Truncation range [a,b] = c1 ± L·√c2 from the log-return cumulants;
+    N cosine terms (error decays exponentially in N for Heston).  A
+    strike vector prices as one (n_K × N) · (N,) complex matvec — XLA
+    tiles it onto the MXU, so 10k strikes cost barely more than one.
+    Put is computed directly (bounded payoff ⇒ stable coefficients) and
+    the call recovered by put-call parity.
+
+    Gives the fused Heston MC engines (``mc_fused.exotic_price_mc`` with
+    ``heston=``, ``ops/pallas_path_mc``) a true oracle; reference has MC
+    only (``processes.py:117-162``).
+    """
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    S0, K, T, r, q, v0, kappa, theta, xi, rho, L_ = (
+        jnp.asarray(v, dt_) for v in (S0, K, T, r, q, v0, kappa, theta,
+                                      xi, rho, L))
+    is_call = jnp.asarray(is_call_mask(kind))
+    scalar_k = jnp.ndim(K) == 0 and jnp.ndim(is_call) == 0
+    out = _heston_cos_core(S0, jnp.atleast_1d(K), T, r, q, v0, kappa,
+                           theta, xi, rho, is_call, L_, N=int(N))
+    return out[0] if scalar_k and out.shape == (1,) else out
 
 
 # --------------------------------------------------------------------------
@@ -280,3 +292,81 @@ def sabr_price_hagan(S0, K, T, r, q=0.0, *, alpha, beta=1.0, nu, rho,
                                                      - 1.0)
     iv = sabr_implied_vol(F, K, T, alpha_f, beta, nu, rho)
     return price_core(S0, K, T, r, q, iv, jnp.asarray(is_call_mask(kind)))
+
+
+# --------------------------------------------------------------------------
+# Heston calibration — LM on vega-weighted COS price residuals
+# --------------------------------------------------------------------------
+
+_HESTON_LOWER = (1e-4, 1e-2, 1e-4, 1e-2, -0.999)   # v0, kappa, theta, xi, rho
+_HESTON_UPPER = (2.0, 20.0, 2.0, 3.0, 0.999)
+
+
+@partial(jax.jit, static_argnames=("n_cos", "max_iter"))
+def _fit_heston_core(Kv, Tv, px_mkt, wv, S0, r, q, x0, lower, upper,
+                     *, n_cos: int, max_iter: int):
+    from .calibration import _lm_loop
+
+    def residuals(x):
+        v0, kappa, theta, xi, rho = x
+
+        def one(K, T):
+            return heston_price_cos(S0, K, T, r, q, v0=v0, kappa=kappa,
+                                    theta=theta, xi=xi, rho=rho,
+                                    N=n_cos)
+
+        return (jax.vmap(one)(Kv, Tv) - px_mkt) * wv
+
+    return _lm_loop(residuals, x0, lower, upper, max_iter)
+
+
+def fit_heston(strikes, expiries, market_ivs, S0, r, q=0.0, *,
+               x0=None, n_cos: int = 128, max_iter: int = 200):
+    """Calibrate Heston ``(v0, kappa, theta, xi, rho)`` to a vanilla smile.
+
+    ``strikes``/``expiries``/``market_ivs`` are same-length quote vectors
+    (one expiry repeated per slice is fine).  Quotes are converted to call
+    prices and fitted with the shared bound-projected Levenberg-Marquardt
+    loop (exact ``jacfwd`` Jacobians through the COS transform —
+    everything jit-compiles to one XLA program; each iteration prices the
+    whole quote set as one batched COS matvec).  Residuals are
+    vega-weighted prices ≈ implied-vol residuals to first order, the
+    desk-standard objective.  Analogue of ``fit_svi`` (reference
+    ``calibration.py:166-229``) for a parametric *dynamics* model the
+    reference cannot calibrate at all.
+
+    Returns ``{"v0","kappa","theta","xi","rho","rmse"}`` with ``rmse`` the
+    RMS vega-weighted price error (≈ RMS IV error).
+    """
+    import numpy as np
+
+    from ..ops.black_scholes import bs_price_vec, vega_core
+
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    Kv = jnp.asarray(np.ravel(strikes), dt_)
+    Tv = jnp.asarray(np.ravel(expiries), dt_)
+    iv = jnp.asarray(np.ravel(market_ivs), dt_)
+    if not (Kv.shape == Tv.shape == iv.shape):
+        raise ValueError("strikes, expiries and market_ivs must be "
+                         "same-length vectors")
+    S0_, r_, q_ = (jnp.asarray(v, dt_) for v in (S0, r, q))
+    px_mkt = bs_price_vec(S0_, Kv, Tv, r_, q_, iv, "call")
+    vega = vega_core(S0_, Kv, Tv, r_, q_, iv)
+    wv = 1.0 / jnp.maximum(vega, 1e-4)
+    if x0 is None:
+        iv_atm = float(jnp.median(iv))
+        x0 = (iv_atm**2, 2.0, iv_atm**2, 0.5, -0.5)
+    x, _ = _fit_heston_core(
+        Kv, Tv, px_mkt, wv, S0_, r_, q_,
+        jnp.asarray(x0, dt_), jnp.asarray(_HESTON_LOWER, dt_),
+        jnp.asarray(_HESTON_UPPER, dt_), n_cos=int(n_cos),
+        max_iter=int(max_iter))
+    v0, kappa, theta, xi, rho = (float(v) for v in x)
+    fit_px = jax.vmap(
+        lambda K, T: heston_price_cos(S0_, K, T, r_, q_, v0=v0, kappa=kappa,
+                                      theta=theta, xi=xi, rho=rho,
+                                      N=int(n_cos)))(Kv, Tv)
+    rmse = float(jnp.sqrt(jnp.mean(((fit_px - px_mkt) * wv) ** 2)))
+    return {"v0": v0, "kappa": kappa, "theta": theta, "xi": xi,
+            "rho": rho, "rmse": rmse}

@@ -196,12 +196,13 @@ def _svi_w(params, k):
     return a + b * (rho * km + jnp.sqrt(km * km + sig * sig))
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def _lm_fit(k, w_market, x0, lower, upper, *, max_iter: int = 200):
-    """Bound-projected Levenberg-Marquardt on total-variance residuals."""
+def _lm_loop(residuals, x0, lower, upper, max_iter: int):
+    """Bound-projected Levenberg-Marquardt core — traceable; callers jit.
 
-    def residuals(x):
-        return _svi_w(x, k) - w_market
+    ``residuals(x) -> (N,)`` may close over traced data. Shared by the SVI
+    slice fitter below and the Heston surface fitter
+    (``models.analytic.fit_heston``).
+    """
 
     def cost(x):
         r = residuals(x)
@@ -235,6 +236,16 @@ def _lm_fit(k, w_market, x0, lower, upper, *, max_iter: int = 200):
         cond, body, (x0, jnp.asarray(1e-3, x0.dtype), cost(x0), 0,
                      jnp.asarray(False)))
     return x, c
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _lm_fit(k, w_market, x0, lower, upper, *, max_iter: int = 200):
+    """Levenberg-Marquardt on SVI total-variance residuals."""
+
+    def residuals(x):
+        return _svi_w(x, k) - w_market
+
+    return _lm_loop(residuals, x0, lower, upper, max_iter)
 
 
 def fit_svi(strikes, forward: float, expiry: float, market_ivs, *,

@@ -139,3 +139,52 @@ class TestSABRHagan:
                                  backend="xla", dtype="float64")
         # Hagan is an O(T) asymptotic: allow ~0.5% of premium on top of MC
         assert abs(px - ref) < 4.0 * se + 0.005 * ref
+
+
+class TestFitHeston:
+    """Heston surface calibration: LM on vega-weighted COS price
+    residuals, exact jacfwd Jacobians. Zero-noise round-trip must recover
+    the generating parameters (analogue of the SVI recovery test)."""
+
+    TRUE = dict(v0=0.04, kappa=1.8, theta=0.05, xi=0.45, rho=-0.55)
+
+    def _surface(self):
+        from optpricer_tpu import bs_implied_vol_vec
+
+        S0, r, q = 100.0, 0.03, 0.01
+        Ks, Ts = [], []
+        for T_ in (0.25, 0.5, 1.0):
+            for K_ in np.linspace(80, 120, 11):
+                Ks.append(K_)
+                Ts.append(T_)
+        Ks, Ts = np.array(Ks), np.array(Ts)
+        px = np.array([float(heston_price_cos(S0, k, t, r, q, **self.TRUE))
+                       for k, t in zip(Ks, Ts)])
+        iv = np.asarray(bs_implied_vol_vec(S0, Ks, Ts, r, q, px, "call"))
+        return Ks, Ts, iv, S0, r, q
+
+    def test_zero_noise_recovery(self):
+        from optpricer_tpu import fit_heston
+
+        Ks, Ts, iv, S0, r, q = self._surface()
+        fit = fit_heston(Ks, Ts, iv, S0, r, q)
+        for k, v in self.TRUE.items():
+            assert abs(fit[k] - v) < 1e-4, (k, fit[k], v)
+        assert fit["rmse"] < 1e-6
+
+    def test_noisy_fit_stays_close(self):
+        from optpricer_tpu import fit_heston
+
+        Ks, Ts, iv, S0, r, q = self._surface()
+        rng = np.random.default_rng(7)
+        fit = fit_heston(Ks, Ts, iv + rng.normal(0, 5e-4, iv.shape),
+                         S0, r, q)
+        assert abs(fit["v0"] - self.TRUE["v0"]) < 5e-3
+        assert abs(fit["rho"] - self.TRUE["rho"]) < 0.1
+        assert fit["rmse"] < 2e-3
+
+    def test_shape_validation(self):
+        from optpricer_tpu import fit_heston
+
+        with pytest.raises(ValueError, match="same-length"):
+            fit_heston([100.0, 105.0], [1.0], [0.2, 0.2], 100.0, 0.03)
