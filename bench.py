@@ -220,6 +220,24 @@ def bench_lsmc() -> None:
         f"→ {512/dt:.0f} options/s")
 
 
+def bench_heston_cos() -> None:
+    """Diagnostic: Heston COS strike-batch throughput (one complex matvec)."""
+    import jax.numpy as jnp
+
+    from optpricer_tpu import heston_price_cos
+
+    Ks = jnp.linspace(50.0, 200.0, 65_536)
+    run = lambda: heston_price_cos(
+        100.0, Ks, 1.0, 0.03, v0=0.04, kappa=2.0, theta=0.05, xi=0.4,
+        rho=-0.6, N=256).block_until_ready()
+    run()
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    log(f"[heston-cos] 65,536-strike surface slice (N=256): "
+        f"{dt*1e3:.1f} ms → {65_536/dt:,.0f} options/s")
+
+
 def bench_qmc() -> None:
     """Diagnostic: randomised-QMC pricer — error vs the f64 closed form at
     2^30 points (plain MC needs ~10^10x more paths for this accuracy)."""
@@ -247,7 +265,7 @@ def main():
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
-                     ("qmc", bench_qmc)):
+                     ("qmc", bench_qmc), ("heston-cos", bench_heston_cos)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:

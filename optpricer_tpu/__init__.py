@@ -94,7 +94,8 @@ from .models.american_mc import (lsmc_price, lsmc_price_batch,
 from .models.pde import fd_price_batch, fd_price_local_vol_batch
 from .models.analytic import (merton_price, heston_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
-                              geometric_asian_price, fit_heston)
+                              geometric_asian_price, fit_heston,
+                              heston_greeks_cos)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -130,6 +131,7 @@ __all__ = [
     "euro_greeks_mc", "exotic_greeks_mc",
     "merton_price", "heston_price_cos", "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
+    "heston_greeks_cos",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

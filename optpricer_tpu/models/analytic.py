@@ -28,7 +28,8 @@ from ..dtypes import canonical
 from ..ops.black_scholes import is_call_mask, price_core
 
 __all__ = ["merton_price", "heston_price_cos", "sabr_implied_vol",
-           "sabr_price_hagan", "geometric_asian_price", "fit_heston"]
+           "sabr_price_hagan", "geometric_asian_price", "fit_heston",
+           "heston_greeks_cos"]
 
 
 # --------------------------------------------------------------------------
@@ -370,3 +371,35 @@ def fit_heston(strikes, expiries, market_ivs, S0, r, q=0.0, *,
     rmse = float(jnp.sqrt(jnp.mean(((fit_px - px_mkt) * wv) ** 2)))
     return {"v0": v0, "kappa": kappa, "theta": theta, "xi": xi,
             "rho": rho, "rmse": rmse}
+
+
+def heston_greeks_cos(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
+                      kind="call", N: int = 256):
+    """Full AD Greek set through the COS transform — no bumping, no MC.
+
+    ``jax.grad`` differentiates the characteristic function, the cumulant
+    truncation and the cosine coefficients exactly, so every sensitivity
+    is analytic to machine precision. Returns ``{"price", "delta",
+    "gamma", "rho", "theta", "vega_v0", "vega_theta", "vega_xi",
+    "vega_rho", "vega_kappa"}`` (the model-parameter vegas are the
+    calibration-risk set; theta is −∂V/∂T, reference sign convention).
+    """
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+
+    def price(s0, t_, r_, v0_, kap_, th_, xi_, rho_):
+        return heston_price_cos(s0, K, t_, r_, q, v0=v0_, kappa=kap_,
+                                theta=th_, xi=xi_, rho=rho_, kind=kind,
+                                N=N)
+
+    args = tuple(jnp.asarray(v, dt_)
+                 for v in (S0, T, r, v0, kappa, theta, xi, rho))
+    px = price(*args)
+    d = jax.grad(price, argnums=tuple(range(8)))(*args)
+    gamma = jax.grad(lambda s0: jax.grad(price, 0)(
+        s0, *args[1:]))(args[0])
+    return {"price": float(px), "delta": float(d[0]),
+            "gamma": float(gamma), "theta": float(-d[1]),
+            "rho": float(d[2]), "vega_v0": float(d[3]),
+            "vega_kappa": float(d[4]), "vega_theta": float(d[5]),
+            "vega_xi": float(d[6]), "vega_rho": float(d[7])}

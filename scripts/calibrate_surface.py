@@ -62,8 +62,13 @@ def slice_report(svi: SVIParams, strikes, forward, market_iv) -> dict:
             "rmse": float(np.sqrt(np.mean(resid * resid)))}
 
 
-def render_smiles(path, fits, strikes, forwards, ivs):
-    """One panel per expiry: market dots + fitted smile curve."""
+def render_smiles(path, fits, strikes, forwards, ivs, *, model_iv=None,
+                  label="SVI fit"):
+    """One panel per expiry: market dots + fitted smile curve.
+
+    ``fits`` holds per-expiry SVIParams, or pass ``model_iv(T, F, k)`` for
+    a global model (Heston).
+    """
     try:
         import matplotlib
 
@@ -73,14 +78,18 @@ def render_smiles(path, fits, strikes, forwards, ivs):
         print("matplotlib not installed — skipping plot.")
         return
 
-    expiries = sorted(fits)
+    expiries = sorted(strikes)
     fig, axes = plt.subplots(1, len(expiries), squeeze=False,
                              figsize=(5 * len(expiries), 4))
     for ax, T in zip(axes.ravel(), expiries):
         k_obs = np.log(strikes[T] / forwards[T])
         span = np.linspace(k_obs.min() - 0.1, k_obs.max() + 0.1, 200)
+        if model_iv is not None:
+            curve = model_iv(T, forwards[T], span)
+        else:
+            curve = np.asarray(fits[T].iv(span))
         ax.plot(k_obs, ivs[T], "o", markersize=4, label="Market")
-        ax.plot(span, np.asarray(fits[T].iv(span)), "-", label="SVI fit")
+        ax.plot(span, curve, "-", label=label)
         ax.set(title=f"T = {T}", xlabel="log-moneyness k",
                ylabel="Implied Vol")
         ax.legend()
@@ -89,17 +98,79 @@ def render_smiles(path, fits, strikes, forwards, ivs):
     print(f"Plot saved to {path}")
 
 
+def spot_and_carry(forwards, rate):
+    """(S0, q) from the forward curve: ln F(T) = ln S0 + (r−q)·T.
+
+    Least-squares over the quoted expiries; a single expiry gets c = 0
+    (S0 = F) — document your own carry if that matters.
+    """
+    Ts = np.array(sorted(forwards))
+    lnF = np.log([forwards[T] for T in Ts])
+    if len(Ts) < 2:
+        return float(np.exp(lnF[0])), rate
+    c, ln_s0 = np.polyfit(Ts, lnF, 1)
+    return float(np.exp(ln_s0)), rate - float(c)
+
+
+def fit_heston_surface(strikes, forwards, ivs, rate):
+    """One global Heston fit across every quoted expiry."""
+    from optpricer_tpu import fit_heston
+
+    S0, q = spot_and_carry(forwards, rate)
+    Ks = np.concatenate([strikes[T] for T in sorted(strikes)])
+    Ts = np.concatenate([np.full(len(strikes[T]), T)
+                         for T in sorted(strikes)])
+    vols = np.concatenate([ivs[T] for T in sorted(strikes)])
+    fit = fit_heston(Ks, Ts, vols, S0, rate, q)
+    return fit, S0, q
+
+
+def heston_model_iv(fit, S0, rate, q):
+    """Per-expiry smile function k ↦ implied vol from the fitted model."""
+    from optpricer_tpu import bs_implied_vol_vec, heston_price_cos
+
+    def iv_curve(T, forward, k):
+        K = forward * np.exp(np.asarray(k))
+        px = np.asarray(heston_price_cos(
+            S0, K, T, rate, q, v0=fit["v0"], kappa=fit["kappa"],
+            theta=fit["theta"], xi=fit["xi"], rho=fit["rho"]))
+        return np.asarray(bs_implied_vol_vec(
+            S0, K, np.full_like(K, T), rate, q, px, "call"))
+
+    return iv_curve
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
-        description="Fit SVI volatility surface to market IV data.")
+        description="Fit a volatility surface to market IV data.")
     ap.add_argument("--input", required=True, help="market data CSV")
     ap.add_argument("--output", required=True, help="output JSON")
     ap.add_argument("--plot", default=None, help="save smile plot PNG")
+    ap.add_argument("--model", default="svi", choices=("svi", "heston"),
+                    help="svi: per-slice raw SVI (reference contract); "
+                         "heston: one global (v0,kappa,theta,xi,rho) via "
+                         "LM through the COS transform")
+    ap.add_argument("--rate", type=float, default=0.0,
+                    help="risk-free rate for the heston model (the carry "
+                         "r−q is inferred from the forward curve)")
     ns = ap.parse_args(argv)
 
     strikes, forwards, ivs = load_quote_grid(ns.input)
     total = sum(map(len, strikes.values()))
     print(f"Loaded {total} quotes across {len(strikes)} expiries.")
+
+    if ns.model == "heston":
+        fit, S0, q = fit_heston_surface(strikes, forwards, ivs, ns.rate)
+        print("  Heston: v0={v0:.4f} kappa={kappa:.4f} theta={theta:.4f} "
+              "xi={xi:.4f} rho={rho:.4f} RMSE={rmse:.6f}".format(**fit))
+        report = dict(model="heston", S0=S0, r=ns.rate, q=q, **fit)
+        Path(ns.output).write_text(json.dumps(report, indent=2))
+        print(f"\nFitted params written to {ns.output}")
+        if ns.plot:
+            render_smiles(ns.plot, None, strikes, forwards, ivs,
+                          model_iv=heston_model_iv(fit, S0, ns.rate, q),
+                          label="Heston fit")
+        return
 
     fits = fit_all_slices(strikes, forwards, ivs)
     report = {}

@@ -188,3 +188,42 @@ class TestFitHeston:
 
         with pytest.raises(ValueError, match="same-length"):
             fit_heston([100.0, 105.0], [1.0], [0.2, 0.2], 100.0, 0.03)
+
+
+class TestHestonGreeksCOS:
+    def test_degenerate_matches_bs_greeks(self):
+        from optpricer_tpu import heston_greeks_cos
+        from optpricer_tpu.ops.black_scholes import greeks_core
+
+        g = heston_greeks_cos(S0, K, T, R, v0=0.04, kappa=1.5, theta=0.04,
+                              xi=1e-5, rho=0.0)
+        ref = greeks_core(*(jnp.float64(v)
+                            for v in (S0, K, T, R, 0.0, 0.2)),
+                          jnp.asarray(True))
+        for name in ("delta", "gamma", "theta", "rho"):
+            assert abs(g[name] - float(ref[name])) < 1e-4, name
+        # v0 enters the total variance as dw/dv0 = (1−e^{−κT})/κ (mean
+        # reversion discounts the initial level), so in the flat limit
+        # dV/dv0 = vega/(2σ)·(1−e^{−κT})/(κT)
+        dwdv0 = (1.0 - np.exp(-1.5 * T)) / 1.5
+        expect = float(ref["vega"]) / (2.0 * 0.2) * dwdv0 / T
+        assert abs(g["vega_v0"] - expect) < 1e-3
+
+    def test_matches_bumped_cos(self):
+        from optpricer_tpu import heston_greeks_cos
+
+        g = heston_greeks_cos(S0, 105.0, T, R, 0.01, **HESTON)
+        h = 1e-4
+
+        def px(**over):
+            kw = dict(HESTON, **{k: v for k, v in over.items()
+                                 if k in HESTON})
+            s0 = over.get("S0", S0)
+            return float(heston_price_cos(s0, 105.0, T, R, 0.01, **kw))
+
+        fd_delta = (px(S0=S0 + 0.01) - px(S0=S0 - 0.01)) / 0.02
+        fd_v0 = (px(v0=HESTON["v0"] + h) - px(v0=HESTON["v0"] - h)) / (2 * h)
+        fd_xi = (px(xi=HESTON["xi"] + h) - px(xi=HESTON["xi"] - h)) / (2 * h)
+        assert abs(g["delta"] - fd_delta) < 1e-5
+        assert abs(g["vega_v0"] - fd_v0) < 1e-3
+        assert abs(g["vega_xi"] - fd_xi) < 1e-3
