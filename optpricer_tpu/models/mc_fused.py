@@ -32,6 +32,26 @@ from ..dtypes import canonical
 from .exotics import _price_from_payoff
 from .monte_carlo import resolve_seed
 
+
+def _exp_for(dtype):
+    """exp for the engine dtype: the TPU VPU's own f32 exp/log carry up to
+    ~5e-6 relative error and ~1e-6 mean bias (log is ~3.5e-5 off at
+    spot-scale arguments like 100) — fatal at the 1e-4 accuracy gates, so
+    the f32 paths use the bias-free fastmath kernels everywhere."""
+    if dtype == jnp.float32:
+        from ..ops.fastmath import exp32
+
+        return exp32
+    return jnp.exp
+
+
+def _log_for(dtype):
+    if dtype == jnp.float32:
+        from ..ops.fastmath import log32
+
+        return log32
+    return jnp.log
+
 __all__ = ["exotic_price_mc", "exotic_price_mc_dupire", "exotic_greeks_mc"]
 
 
@@ -271,6 +291,49 @@ def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
 _PAYOFFS = ("vanilla", "barrier", "asian", "digital", "lookback")
 
 
+@partial(jax.jit, static_argnames=(
+    "payoff", "kind", "n_steps", "n_points", "barrier_type", "average_type",
+    "strike_type", "dtype"))
+def _qmc_replicate(key, fixed, *, payoff, kind, n_steps, n_points,
+                   barrier_type, average_type, strike_type, dtype):
+    """One randomised-QMC estimate: Sobol points → Φ⁻¹ → Brownian bridge
+    → exact GBM path matrix → payoff mean. Different keys are
+    independent digital shifts of the same point set."""
+    from ..ops.sobol import bridge_paths, sobol_uniforms
+
+    dt_ = dtype
+    u = sobol_uniforms(n_points, n_steps, key, dtype=dt_)
+    if dt_ == jnp.float64:
+        z = jax.scipy.special.ndtri(u)
+    else:
+        from ..ops.fastmath import norminv32
+
+        z = norminv32(u)
+    W = bridge_paths(z, fixed["T"])                      # (n, d)
+    dt_step = fixed["T"] / n_steps
+    t = (jnp.arange(1, n_steps + 1, dtype=dt_)) * dt_step
+    c = fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2
+    exp_, log_ = _exp_for(dt_), _log_for(dt_)
+    logS = log_(fixed["S0"]) + c * t[None, :] + fixed["sigma"] * W
+    S = exp_(logS)                                       # (n, d), excl. t=0
+    S0v = jnp.full((n_points,), fixed["S0"], dt_)
+    up = barrier_type.startswith("up")
+    hit = (S >= fixed["barrier"]) if up else (S <= fixed["barrier"])
+    hit0 = (S0v >= fixed["barrier"]) if up else (S0v <= fixed["barrier"])
+    carry = (S[:, -1],
+             jnp.sum(S, axis=1),
+             jnp.sum(logS, axis=1),
+             jnp.maximum(jnp.max(S, axis=1), S0v),
+             jnp.minimum(jnp.min(S, axis=1), S0v),
+             jnp.logical_or(jnp.any(hit, axis=1), hit0))
+    pay = _terminal_payoff(
+        payoff, carry, K=fixed["K"], kind=kind, n_steps=n_steps,
+        barrier_type=barrier_type, rebate=fixed["rebate"],
+        average_type=average_type, strike_type=strike_type,
+        payout=fixed["payout"])
+    return exp_(-fixed["r"] * fixed["T"]) * jnp.mean(pay)
+
+
 def _estimate_from_stats(stats_vec, S0, K, T, r, q, sigma, is_call: bool,
                          dynamics: str, control_variate: bool,
                          geo_ey=None):
@@ -332,7 +395,7 @@ def _terminal_payoff(payoff, carry, *, K, kind, n_steps, barrier_type,
         if average_type == "arithmetic":
             avg = run_sum / n_steps
         else:
-            avg = jnp.exp(run_logsum / n_steps)
+            avg = _exp_for(S.dtype)(run_logsum / n_steps)
         if strike_type == "fixed":
             return vanilla(avg)
         return (jnp.maximum(S - avg, 0.0) if is_call
@@ -488,6 +551,28 @@ def exotic_price_mc(
         geo_ey = geometric_asian_price_f64(S0, K, T, r, q, sigma, kind=kind,
                                            n_steps=int(n_steps))
 
+    if backend == "qmc":
+        # Randomised QMC: Sobol + Brownian bridge + exact GBM path matrix.
+        # n_paths = points per replicate; 8 independent digital shifts give
+        # the error bar (same replicate design as the terminal QMC kernel).
+        if sigma is None or merton is not None:
+            raise ValueError("backend='qmc' supports GBM dynamics (sigma=)")
+        import numpy as np
+
+        fixed_q = {k: jnp.asarray(v, dt_) for k, v in (
+            ("S0", S0), ("K", K), ("T", T), ("r", r), ("q", q),
+            ("sigma", sigma), ("barrier", barrier), ("rebate", rebate),
+            ("payout", payout))}
+        R = 8
+        key0 = jax.random.key(seed_val)
+        est = [float(_qmc_replicate(
+            jax.random.fold_in(key0, i), fixed_q, payoff=payoff, kind=kind,
+            n_steps=int(n_steps), n_points=int(n_paths),
+            barrier_type=barrier_type, average_type=average_type,
+            strike_type=strike_type, dtype=dt_)) for i in range(R)]
+        est = np.asarray(est, np.float64)
+        return float(est.mean()), float(est.std(ddof=1) / np.sqrt(R))
+
     # TPU fast path: the whole time loop runs inside one Pallas kernel
     # (hardware PRNG, state in registers — see ops/pallas_path_mc.py).
     # GBM and Heston dynamics are supported in-kernel (Dupire via
@@ -597,7 +682,7 @@ def exotic_price_mc(
         else:
             pay, ST = _fused_paths(local_key, fixed, n_paths=n_local,
                                    **static)
-        df = jnp.exp(-fixed["r"] * fixed["T"])
+        df = _exp_for(dt_)(-fixed["r"] * fixed["T"])
         X = df * pay
         # Y1 is the geometric-average payoff when the geo CV is on (its
         # mean is closed-form), else the discounted terminal spot
@@ -676,14 +761,16 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         # accumulators + first shock z₁ (gamma/LR scores)
         carry0 = carry0 + (zeros,) * 6
 
+    exp_ = _exp_for(dt_)
+
     def gbm_step(S, z, t_now):
         mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
-        return S * jnp.exp(mu + fixed["sigma"] * sqrt_dt * z)
+        return S * exp_(mu + fixed["sigma"] * sqrt_dt * z)
 
     def lv_log_euler_step(S, z, t_now):
         sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_), 0.0, jnp.inf)
-        return S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * sig * sig) * dt
-                           + sig * sqrt_dt * z)
+        return S * exp_((fixed["r"] - fixed["q"] - 0.5 * sig * sig) * dt
+                        + sig * sqrt_dt * z)
 
     def lv_milstein_step(S, z, t_now):
         sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_), 1e-8, 10.0)
@@ -700,8 +787,8 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
 
     def heston_step(S, v, z1, z2):
         v_eff = jnp.maximum(v, 0.0)  # full truncation
-        S_new = S * jnp.exp((fixed["r"] - fixed["q"] - 0.5 * v_eff) * dt
-                            + jnp.sqrt(v_eff) * sqrt_dt * z1)
+        S_new = S * exp_((fixed["r"] - fixed["q"] - 0.5 * v_eff) * dt
+                         + jnp.sqrt(v_eff) * sqrt_dt * z1)
         v_new = jnp.maximum(
             v + fixed["h_kappa"] * (fixed["h_theta"] - v_eff) * dt
             + fixed["h_xi"] * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
@@ -714,14 +801,14 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         # divergence note there)
         nu = fixed["s_nu"]
         if model_kind == "sabr_ln":  # beta == 1: exact log-Euler
-            S_n = S * jnp.exp((fixed["r"] - fixed["q"]
-                               - 0.5 * sig * sig) * dt
-                              + sig * sqrt_dt * z1)
+            S_n = S * exp_((fixed["r"] - fixed["q"]
+                            - 0.5 * sig * sig) * dt
+                           + sig * sqrt_dt * z1)
         else:  # CEV beta < 1: Euler with positivity clamp
             S_n = S + (fixed["r"] - fixed["q"]) * S * dt \
                 + sig * (S ** fixed["s_beta"]) * sqrt_dt * z1
             S_n = jnp.maximum(S_n, 1e-12)
-        sig_n = sig * jnp.exp(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)
+        sig_n = sig * exp_(nu * sqrt_dt * z2 - 0.5 * nu * nu * dt)
         return S_n, sig_n
 
     def merton_step(S, z, kp_counts, zj):
@@ -732,7 +819,7 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                  - fixed["m_lam"] * kappa_j) * dt
         y_sum = fixed["m_mJ"] * kp_counts \
             + fixed["m_sJ"] * jnp.sqrt(kp_counts) * zj
-        return S * jnp.exp(drift + fixed["sigma"] * sqrt_dt * z + y_sum)
+        return S * exp_(drift + fixed["sigma"] * sqrt_dt * z + y_sum)
 
     sv_model = model_kind in ("heston", "sabr_ln", "sabr_cev")
     rho_sv = fixed["s_rho"] if model_kind.startswith("sabr") \
@@ -800,7 +887,7 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         if payoff == "asian":
             rsum = rsum + S_new
             if average_type == "geometric" or with_geo:
-                rlog = rlog + jnp.log(S_new)
+                rlog = rlog + _log_for(dt_)(S_new)
         if payoff in ("lookback",):
             rmax = jnp.maximum(rmax, S_new)
             rmin = jnp.minimum(rmin, S_new)
@@ -821,7 +908,7 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         payout=fixed["payout"])
     if not with_greeks:
         if with_geo:
-            geo = jnp.exp(carry[2] / n_steps)
+            geo = _exp_for(dt_)(carry[2] / n_steps)
             sgn = 1.0 if kind == "call" else -1.0
             pay_geo = jnp.maximum(sgn * (geo - fixed["K"]), 0.0)
             return pay, carry[0], pay_geo
