@@ -220,6 +220,42 @@ def bench_lsmc() -> None:
         f"→ {512/dt:.0f} options/s")
 
 
+def bench_qmc_path() -> None:
+    """Diagnostic: Sobol+Brownian-bridge QMC Asian vs its exact oracle.
+
+    Runs in a time-bounded subprocess: the axon compile service is
+    erratic on this 5-program pipeline (10 s to minutes for identical
+    fresh compiles), and one stalled diagnostic must not hold the bench.
+    """
+    import subprocess
+
+    script = (
+        "import time\n"
+        "from optpricer_tpu import exotic_price_mc\n"
+        "from optpricer_tpu.models.analytic import geometric_asian_price_f64\n"
+        "ref = geometric_asian_price_f64(100.0, 100.0, 1.0, 0.03, 0.0, 0.2,"
+        " kind='call', n_steps=64)\n"
+        "kw = dict(sigma=0.2, n_steps=64, n_paths=1 << 16, backend='qmc',"
+        " average_type='geometric')\n"
+        "exotic_price_mc('asian', 100.0, 100.0, 1.0, 0.03, seed=7, **kw)\n"
+        "t0 = time.perf_counter()\n"
+        "px, se = exotic_price_mc('asian', 100.0, 100.0, 1.0, 0.03, seed=8,"
+        " **kw)\n"
+        "print('%.0f %.3e %.3e' % (1e3*(time.perf_counter()-t0),"
+        " abs(px-ref), se))\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=420, cwd=str(__import__("pathlib").Path(
+                __file__).resolve().parent)).stdout.split()
+        ms, err, se = out[-3], out[-2], out[-1]
+        log(f"[qmc-path] geometric Asian 2^16 Sobol×64-step bridge "
+            f"×8 shifts: {ms} ms warm, |err vs closed form|={err} "
+            f"(se {se})")
+    except subprocess.TimeoutExpired:
+        log("[qmc-path] skipped: compile service stalled past 420 s")
+
+
 def bench_heston_cos() -> None:
     """Diagnostic: Heston COS strike-batch throughput (one complex matvec)."""
     import jax.numpy as jnp
@@ -265,7 +301,8 @@ def main():
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
-                     ("qmc", bench_qmc), ("heston-cos", bench_heston_cos)):
+                     ("qmc", bench_qmc), ("qmc-path", bench_qmc_path),
+                     ("heston-cos", bench_heston_cos)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:

@@ -291,25 +291,60 @@ def exotic_price_mc_dupire(payoff: str, surface, S0, K, T, r, q=0.0, *,
 _PAYOFFS = ("vanilla", "barrier", "asian", "digital", "lookback")
 
 
-@partial(jax.jit, static_argnames=(
-    "payoff", "kind", "n_steps", "n_points", "barrier_type", "average_type",
-    "strike_type", "dtype"))
+@jax.jit
+def _qmc_normals_f32(u):
+    from ..ops.fastmath import norminv32
+
+    return norminv32(u)
+
+
+@jax.jit
+def _qmc_bridge(z, T):
+    from ..ops.sobol import bridge_paths
+
+    return bridge_paths(z, T)
+
+
 def _qmc_replicate(key, fixed, *, payoff, kind, n_steps, n_points,
                    barrier_type, average_type, strike_type, dtype):
     """One randomised-QMC estimate: Sobol points → Φ⁻¹ → Brownian bridge
     → exact GBM path matrix → payoff mean. Different keys are
-    independent digital shifts of the same point set."""
-    from ..ops.sobol import bridge_paths, sobol_uniforms
+    independent digital shifts of the same point set.
 
+    The stages run as SEPARATE compiled programs on purpose: fusing the
+    whole pipeline into one jit sends XLA:TPU into a ~400 s pathological
+    compile (uint32 Sobol + scatter bridge + transcendental payoff in one
+    fusion graph), while the staged form compiles in seconds and the
+    (n, d) intermediates are only ~16 MB of HBM.
+    """
     dt_ = dtype
-    u = sobol_uniforms(n_points, n_steps, key, dtype=dt_)
-    if dt_ == jnp.float64:
-        z = jax.scipy.special.ndtri(u)
-    else:
-        from ..ops.fastmath import norminv32
+    from ..ops.sobol import sobol_uniforms
 
-        z = norminv32(u)
-    W = bridge_paths(z, fixed["T"])                      # (n, d)
+    # The block_until_ready fences matter: dispatching the next stage
+    # while the previous one is still compiling drives the axon compile
+    # service into minutes-long stalls (observed 50-500 s for this 4-
+    # program pipeline); fenced, the whole pipeline compiles in ~10 s.
+    u = sobol_uniforms(n_points, n_steps, key, dtype=dt_)
+    u.block_until_ready()
+    if dt_ == jnp.float64:
+        z = jax.jit(jax.scipy.special.ndtri)(u)
+    else:
+        z = _qmc_normals_f32(u)
+    z.block_until_ready()
+    W = _qmc_bridge(z, fixed["T"])                       # (n, d)
+    W.block_until_ready()
+    return _qmc_payoff(W, fixed, payoff=payoff, kind=kind, n_steps=n_steps,
+                       n_points=n_points, barrier_type=barrier_type,
+                       average_type=average_type, strike_type=strike_type,
+                       dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=(
+    "payoff", "kind", "n_steps", "n_points", "barrier_type", "average_type",
+    "strike_type", "dtype"))
+def _qmc_payoff(W, fixed, *, payoff, kind, n_steps, n_points,
+                barrier_type, average_type, strike_type, dtype):
+    dt_ = dtype
     dt_step = fixed["T"] / n_steps
     t = (jnp.arange(1, n_steps + 1, dtype=dt_)) * dt_step
     c = fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2

@@ -95,46 +95,55 @@ def sobol_uniforms(n: int, d: int, key, *, m_bits: int = 21,
 def brownian_bridge_order(d: int):
     """Construction schedule for a d-step Brownian bridge.
 
-    Returns ``(m, l, r)`` int arrays of length d−1: dimension j+1 of the
-    point set fills step index ``m[j]`` (1-based time grid, 1..d) given
-    already-built neighbours ``l[j]`` (may be 0 = origin) and ``r[j]``.
-    Dimension 0 always maps to the terminal step d.
+    Returns ``(m, l, r, depth)`` int arrays of length d−1: dimension j+1
+    of the point set fills step index ``m[j]`` (1-based time grid, 1..d)
+    given already-built neighbours ``l[j]`` (may be 0 = origin) and
+    ``r[j]``; ``depth[j]`` is the BFS generation — every node at one
+    depth only depends on strictly earlier depths, so a whole depth fills
+    as ONE gather/scatter (the unrolled node-at-a-time form compiled in
+    minutes on TPU; this compiles in seconds).  Dimension 0 always maps
+    to the terminal step d.
     """
     import collections
 
-    ms, ls, rs = [], [], []
-    todo = collections.deque([(0, d)])
+    ms, ls, rs, ds = [], [], [], []
+    todo = collections.deque([(0, d, 0)])
     while todo:
-        lo, hi = todo.popleft()
+        lo, hi, lev = todo.popleft()
         if hi - lo < 2:
             continue
         mid = (lo + hi) // 2
         ms.append(mid)
         ls.append(lo)
         rs.append(hi)
-        todo.append((lo, mid))
-        todo.append((mid, hi))
+        ds.append(lev)
+        todo.append((lo, mid, lev + 1))
+        todo.append((mid, hi, lev + 1))
     return (np.array(ms, np.int32), np.array(ls, np.int32),
-            np.array(rs, np.int32))
+            np.array(rs, np.int32), np.array(ds, np.int32))
 
 
 def bridge_paths(z, T):
     """Brownian paths (n, d) at times (1..d)·T/d from quasi-normals z (n, d).
 
-    z[:, 0] builds W_T; z[:, j] fills the j-th bridge midpoint.  The
-    construction is an unrolled sequence of d−1 conditional-Gaussian
-    fills — O(d) vector ops on (n,) slices.
+    z[:, 0] builds W_T; z[:, j] fills the j-th bridge midpoint.  Nodes of
+    one bridge depth are mutually independent, so each of the ~log2(d)
+    depths is one batched gather → conditional-Gaussian fill → scatter.
     """
     n, d = z.shape
     dt = T / d
-    ms, ls, rs = brownian_bridge_order(d)
-    W = [None] * (d + 1)
-    W[0] = jnp.zeros((n,), z.dtype)
-    W[d] = jnp.sqrt(jnp.asarray(T, z.dtype)) * z[:, 0]
-    for j, (m, l, r) in enumerate(zip(ms, ls, rs)):
-        wl, wr = W[l], W[r]
-        frac = (m - l) / (r - l)
-        var = (m - l) * (r - m) / (r - l) * dt
-        W[int(m)] = wl + frac * (wr - wl) \
-            + jnp.sqrt(jnp.asarray(var, z.dtype)) * z[:, j + 1]
-    return jnp.stack(W[1:], axis=1)  # (n, d), excludes the t=0 origin
+    ms, ls, rs, depth = brownian_bridge_order(d)
+    W = jnp.zeros((n, d + 1), z.dtype)
+    W = W.at[:, d].set(jnp.sqrt(jnp.asarray(T, z.dtype)) * z[:, 0])
+    for lev in range(int(depth.max()) + 1 if len(depth) else 0):
+        sel = np.nonzero(depth == lev)[0]
+        m, l, r = ms[sel], ls[sel], rs[sel]
+        wl = W[:, l]
+        wr = W[:, r]
+        frac = jnp.asarray(((m - l) / (r - l)), z.dtype)
+        sd = jnp.sqrt(jnp.asarray(
+            (m - l) * (r - m) / (r - l), z.dtype) * dt)
+        vals = wl + frac[None, :] * (wr - wl) \
+            + sd[None, :] * z[:, 1 + sel]
+        W = W.at[:, m].set(vals)
+    return W[:, 1:]  # (n, d), excludes the t=0 origin

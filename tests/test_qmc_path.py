@@ -54,9 +54,14 @@ class TestSobol:
 class TestBrownianBridge:
     def test_order_covers_all_steps(self):
         for d in (4, 64, 252):
-            ms, ls, rs = brownian_bridge_order(d)
+            ms, ls, rs, depth = brownian_bridge_order(d)
             assert sorted(ms) == list(range(1, d)) and len(ms) == d - 1
             assert np.all(ls < ms) and np.all(ms < rs)
+            # a node's neighbours must be built at strictly earlier depths
+            built_depth = {0: -1, d: -1}
+            for m, l, r, dep in zip(ms, ls, rs, depth):
+                assert built_depth[int(l)] < dep and built_depth[int(r)] < dep
+                built_depth[int(m)] = dep
 
     def test_covariance_structure(self):
         d, n = 16, 200_000
