@@ -256,6 +256,26 @@ def bench_qmc_path() -> None:
         log("[qmc-path] skipped: compile service stalled past 420 s")
 
 
+def bench_basket() -> None:
+    """Diagnostic: 100-asset correlated basket MC (Cholesky on the MXU)."""
+    from optpricer_tpu import basket_price_mc
+
+    a = 100
+    rng = np.random.default_rng(0)
+    corr = 0.3 * np.ones((a, a)) + 0.7 * np.eye(a)
+    S0s = rng.uniform(50, 150, a)
+    sig = rng.uniform(0.15, 0.4, a)
+    kw = dict(sigmas=sig, corr=corr, n_paths=1 << 19)
+    run = lambda seed: basket_price_mc(
+        S0s, np.ones(a) / a, float(S0s.mean()), 1.0, 0.03, seed=seed, **kw)
+    run(0)
+    t0 = time.perf_counter()
+    px, se = run(1)
+    dt = time.perf_counter() - t0
+    log(f"[basket] 100-asset basket, 2^20 antithetic scenarios "
+        f"(geo-basket CV): {dt*1e3:.0f} ms, price={px:.4f} ± {se:.1e}")
+
+
 def bench_heston_cos() -> None:
     """Diagnostic: Heston COS strike-batch throughput (one complex matvec)."""
     import jax.numpy as jnp
@@ -302,6 +322,7 @@ def main():
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
                      ("qmc", bench_qmc), ("qmc-path", bench_qmc_path),
+                     ("basket", bench_basket),
                      ("heston-cos", bench_heston_cos)):
         try:  # secondary metrics must not break the bench line
             fn()

@@ -1,0 +1,203 @@
+"""Multi-asset pricing: correlated GBM baskets, spreads, rainbows.
+
+A model family with no reference counterpart (the reference is strictly
+single-asset — full audit in SURVEY.md §2). TPU-first design:
+
+* Correlation is applied as ONE matmul ``Z @ L.T`` (Cholesky factor on
+  the host) — the MXU does the heavy lifting, so 100 assets cost barely
+  more than 2.
+* Terminal European payoffs use the exact GBM terminal map — no time
+  stepping, so a million correlated scenarios are a single fused program.
+* The arithmetic basket ships with a geometric-basket control variate
+  whose mean is exact (:func:`geometric_basket_price` — the weighted
+  geometric average of lognormals is lognormal), the same design as the
+  single-asset Asian CV.
+* :func:`margrabe_price` (exact exchange-option closed form) provides a
+  true oracle for the spread payoff.
+* The jitted core is pure, so ``jax.grad`` delivers basket Greeks, and a
+  ``mesh`` argument shards scenarios across chips with one psum of the
+  CV sufficient statistics.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import canonical
+from ..ops import stats as stats_ops
+from .monte_carlo import resolve_seed
+
+__all__ = ["basket_price_mc", "geometric_basket_price", "margrabe_price"]
+
+_PAYOFFS = ("basket", "spread", "rainbow_max", "rainbow_min")
+
+
+def _norm_cdf(x):
+    return jax.scipy.stats.norm.cdf(x)
+
+
+def geometric_basket_price(S0s, weights, K, T, r, qs, sigmas, corr, *,
+                           kind="call"):
+    """Exact price of a European option on the geometric basket
+    ``G = Π S_i^{w_i}`` (weights on the simplex).
+
+    ln G is Gaussian with mean Σw_i(ln S0_i + (r−q_i−σ_i²/2)T) and
+    variance T·wᵀΣw (Σ_ij = σ_iσ_jρ_ij), so the price is one
+    Black-Scholes evaluation. Control-variate mean for
+    :func:`basket_price_mc` and an exact oracle for its sampler.
+    """
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    w = jnp.asarray(weights, dt_)
+    S0s, qs, sigmas = (jnp.asarray(v, dt_) for v in (S0s, qs, sigmas))
+    K, T, r = (jnp.asarray(v, dt_) for v in (K, T, r))
+    corr = jnp.asarray(corr, dt_)
+    mu = jnp.sum(w * (jnp.log(S0s) + (r - qs - 0.5 * sigmas ** 2) * T))
+    cov = (sigmas[:, None] * corr * sigmas[None, :])
+    var = T * w @ cov @ w
+    sig = jnp.sqrt(var)
+    df = jnp.exp(-r * T)
+    F = jnp.exp(mu + 0.5 * var)
+    d2 = (mu - jnp.log(K)) / sig
+    d1 = d2 + sig
+    call = df * (F * _norm_cdf(d1) - K * _norm_cdf(d2))
+    put = df * (K * _norm_cdf(-d2) - F * _norm_cdf(-d1))
+    return call if kind == "call" else put
+
+
+def margrabe_price(S1, S2, T, q1=0.0, q2=0.0, *, sigma1, sigma2, rho):
+    """Margrabe (1978) exchange option E[e^{−rT}·max(S1_T − S2_T, 0)] —
+    rate-free closed form; exact oracle for the 2-asset ``spread``
+    payoff at K = 0."""
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    S1, S2, T, q1, q2 = (jnp.asarray(v, dt_) for v in (S1, S2, T, q1, q2))
+    sig = jnp.sqrt(sigma1 ** 2 + sigma2 ** 2 - 2.0 * rho * sigma1 * sigma2)
+    st = sig * jnp.sqrt(T)
+    d1 = (jnp.log(S1 / S2) + (q2 - q1) * T) / st + 0.5 * st
+    d2 = d1 - st
+    return S1 * jnp.exp(-q1 * T) * _norm_cdf(d1) \
+        - S2 * jnp.exp(-q2 * T) * _norm_cdf(d2)
+
+
+@partial(jax.jit, static_argnames=("payoff", "is_call", "n_paths",
+                                   "antithetic", "n_assets", "dtype"))
+def _basket_stats(key, S0s, w, K, T, r, qs, sigmas, chol, *, payoff,
+                  is_call, n_paths, antithetic, n_assets, dtype):
+    """(6,) CV sufficient statistics for one scenario batch.
+
+    X = discounted payoff, Y = discounted geometric-basket payoff (the
+    control; zero column when the payoff has no geometric twin).
+    """
+    dt_ = dtype
+    z = jax.random.normal(key, (n_paths, n_assets), dt_)
+    if antithetic:
+        z = jnp.concatenate([z, -z], axis=0)
+    x = z @ chol.T                                    # MXU: correlate
+    drift = (r - qs - 0.5 * sigmas ** 2) * T
+    logS = jnp.log(S0s)[None, :] + drift[None, :] \
+        + (sigmas * jnp.sqrt(T))[None, :] * x
+    S = jnp.exp(logS)                                 # (n_eff, a)
+    sign = 1.0 if is_call else -1.0
+    if payoff in ("basket", "spread"):
+        A = S @ w
+        pay = jnp.maximum(sign * (A - K), 0.0)
+    elif payoff == "rainbow_max":
+        pay = jnp.maximum(sign * (jnp.max(S, axis=1) - K), 0.0)
+    else:                                             # rainbow_min
+        pay = jnp.maximum(sign * (jnp.min(S, axis=1) - K), 0.0)
+    df = jnp.exp(-r * T)
+    X = df * pay
+    if payoff == "basket":
+        G = jnp.exp(logS @ w)                         # geometric basket
+        Y = df * jnp.maximum(sign * (G - K), 0.0)
+    else:
+        Y = jnp.zeros_like(X)
+    n = jnp.asarray(X.size, dt_)
+    return jnp.stack([n, jnp.sum(X), jnp.sum(X * X),
+                      jnp.sum(Y), jnp.sum(Y * Y), jnp.sum(X * Y)])
+
+
+def basket_price_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
+                    payoff: str = "basket", kind: str = "call",
+                    n_paths: int = 262_144, antithetic: bool = True,
+                    control_variate: bool = True, seed=None, dtype=None,
+                    mesh=None):
+    """European multi-asset option by correlated-GBM Monte Carlo.
+
+    ``payoff``:
+      * ``"basket"`` — max(sign·(Σw_i S_i(T) − K), 0), weights on the
+        simplex; prices with the exact geometric-basket control variate
+        unless ``control_variate=False``.
+      * ``"spread"`` — same form with signed weights (e.g. (1, −1) and
+        K=0 is Margrabe's exchange option).
+      * ``"rainbow_max"`` / ``"rainbow_min"`` — best-of / worst-of.
+
+    Returns ``(price, stderr)``. With ``mesh``, scenarios shard across
+    devices and the 6-stat vector rides one psum — estimator semantics
+    identical to single-chip.
+    """
+    if payoff not in _PAYOFFS:
+        raise ValueError(f"payoff must be one of {_PAYOFFS}")
+    dt_ = canonical(dtype)
+    S0s = np.atleast_1d(np.asarray(S0s, np.float64))
+    a = S0s.size
+    w = np.atleast_1d(np.asarray(weights, np.float64))
+    qs = np.zeros(a) if qs is None else np.atleast_1d(
+        np.asarray(qs, np.float64))
+    sig = np.atleast_1d(np.asarray(sigmas, np.float64))
+    corr = np.asarray(corr, np.float64)
+    if not (w.shape == qs.shape == sig.shape == (a,)) \
+            or corr.shape != (a, a):
+        raise ValueError("S0s, weights, qs, sigmas must be length-a "
+                         "vectors and corr an (a, a) matrix")
+    if payoff == "basket" and (np.any(w < 0.0)
+                               or abs(w.sum() - 1.0) > 1e-9):
+        raise ValueError("basket weights must be non-negative and sum to "
+                         "1 (use payoff='spread' for signed weights)")
+    chol = np.linalg.cholesky(corr)  # raises on non-PSD input
+    use_cv = bool(control_variate) and payoff == "basket"
+    geo_ey = None
+    if use_cv:
+        geo_ey = float(geometric_basket_price(
+            S0s, w, K, T, r, qs, sig, corr, kind=kind))
+
+    args = (jnp.asarray(S0s, dt_), jnp.asarray(w, dt_),
+            jnp.asarray(K, dt_), jnp.asarray(T, dt_), jnp.asarray(r, dt_),
+            jnp.asarray(qs, dt_), jnp.asarray(sig, dt_),
+            jnp.asarray(chol, dt_))
+    static = dict(payoff=payoff, is_call=kind == "call",
+                  antithetic=bool(antithetic), n_assets=a, dtype=dt_)
+    key = jax.random.key(resolve_seed(seed))
+
+    if mesh is None:
+        s = _basket_stats(key, *args, n_paths=int(n_paths), **static)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import mesh_axes
+
+        axis = mesh_axes(mesh)
+        n_dev = int(mesh.devices.size)
+        n_local = -(-int(n_paths) // n_dev)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+        def shard_fn(ids):
+            local = _basket_stats(jax.random.fold_in(key, ids[0]), *args,
+                                  n_paths=n_local, **static)
+            return jax.lax.psum(local, axis)
+
+        s = shard_fn(jnp.arange(n_dev))
+
+    import numpy as _np
+
+    s = _np.asarray(jax.device_get(s), _np.float64)
+    if use_cv:
+        mean, se = stats_ops.cv_mean_se_np(s, geo_ey)
+        return mean, max(se, 2e-6 * (1.0 + abs(mean)))
+    n, mX = s[0], s[1] / s[0]
+    vX = max(0.0, s[2] / s[0] - mX * mX)
+    return float(mX), float(_np.sqrt(vX / n))

