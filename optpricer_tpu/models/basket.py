@@ -30,7 +30,8 @@ from ..dtypes import canonical
 from ..ops import stats as stats_ops
 from .monte_carlo import resolve_seed
 
-__all__ = ["basket_price_mc", "geometric_basket_price", "margrabe_price"]
+__all__ = ["basket_price_mc", "basket_greeks_mc",
+           "geometric_basket_price", "margrabe_price"]
 
 _PAYOFFS = ("basket", "spread", "rainbow_max", "rainbow_min")
 
@@ -201,3 +202,102 @@ def basket_price_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
     n, mX = s[0], s[1] / s[0]
     vX = max(0.0, s[2] / s[0] - mX * mX)
     return float(mX), float(_np.sqrt(vX / n))
+
+
+@partial(jax.jit, static_argnames=("payoff", "is_call", "n_paths",
+                                   "antithetic", "n_assets", "dtype"))
+def _basket_greek_moments(key, S0s, w, K, T, r, qs, sigmas, chol, *,
+                          payoff, is_call, n_paths, antithetic, n_assets,
+                          dtype):
+    """Per-scenario pathwise observables: X plus per-asset delta/vega.
+
+    For basket/spread, pay = max(sign·(Σw_j S_j − K), 0) so
+    ∂pay/∂S0_i = sign·1{ITM}·w_i·S_i/S0_i (S_i is linear in its own spot)
+    and ∂pay/∂σ_i = sign·1{ITM}·w_i·S_i·(√T x_i − σ_i T).  For rainbows
+    the active asset is the arg-extremum; ties have measure zero.
+    Returns stacked sums: (1 + 2 + 4a,) = [n, ΣX, ΣX²,
+    ΣD_1..ΣD_a, ΣD²_1.., ΣV_1.., ΣV²_1..].
+    """
+    dt_ = dtype
+    z = jax.random.normal(key, (n_paths, n_assets), dt_)
+    if antithetic:
+        z = jnp.concatenate([z, -z], axis=0)
+    x = z @ chol.T
+    drift = (r - qs - 0.5 * sigmas ** 2) * T
+    logS = jnp.log(S0s)[None, :] + drift[None, :] \
+        + (sigmas * jnp.sqrt(T))[None, :] * x
+    S = jnp.exp(logS)
+    sign = 1.0 if is_call else -1.0
+    if payoff in ("basket", "spread"):
+        A = S @ w
+        itm = (sign * (A - K) > 0.0).astype(dt_)
+        pay = jnp.maximum(sign * (A - K), 0.0)
+        dpay_dS = sign * itm[:, None] * w[None, :]        # ∂pay/∂S_i
+    elif payoff == "rainbow_max":
+        A = jnp.max(S, axis=1)
+        itm = (sign * (A - K) > 0.0).astype(dt_)
+        pay = jnp.maximum(sign * (A - K), 0.0)
+        active = (S == A[:, None]).astype(dt_)
+        dpay_dS = sign * itm[:, None] * active
+    else:
+        A = jnp.min(S, axis=1)
+        itm = (sign * (A - K) > 0.0).astype(dt_)
+        pay = jnp.maximum(sign * (A - K), 0.0)
+        active = (S == A[:, None]).astype(dt_)
+        dpay_dS = sign * itm[:, None] * active
+    df = jnp.exp(-r * T)
+    X = df * pay
+    D = df * dpay_dS * S / S0s[None, :]                   # (n, a) deltas
+    V = df * dpay_dS * S * (jnp.sqrt(T) * x
+                            - (sigmas * T)[None, :])      # (n, a) vegas
+    return jnp.concatenate([
+        jnp.asarray([X.size, jnp.sum(X), jnp.sum(X * X)], dt_),
+        jnp.sum(D, axis=0), jnp.sum(D * D, axis=0),
+        jnp.sum(V, axis=0), jnp.sum(V * V, axis=0)])
+
+
+def basket_greeks_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
+                     payoff: str = "basket", kind: str = "call",
+                     n_paths: int = 262_144, antithetic: bool = True,
+                     seed=None, dtype=None):
+    """Price plus per-asset pathwise delta and vega vectors from ONE run.
+
+    Returns ``{"price", "stderr", "delta", "delta_stderr", "vega",
+    "vega_stderr"}`` with the Greek entries length-a numpy arrays.  The
+    estimators are pathwise (payoffs are a.e. differentiable in every
+    spot/vol), validated against central differences and, in the
+    1-asset limit, analytic BS.
+    """
+    if payoff not in _PAYOFFS:
+        raise ValueError(f"payoff must be one of {_PAYOFFS}")
+    dt_ = canonical(dtype)
+    S0s = np.atleast_1d(np.asarray(S0s, np.float64))
+    a = S0s.size
+    w = np.atleast_1d(np.asarray(weights, np.float64))
+    qs = np.zeros(a) if qs is None else np.atleast_1d(
+        np.asarray(qs, np.float64))
+    sig = np.atleast_1d(np.asarray(sigmas, np.float64))
+    corr = np.asarray(corr, np.float64)
+    chol = np.linalg.cholesky(corr)
+    key = jax.random.key(resolve_seed(seed))
+    s = np.asarray(jax.device_get(_basket_greek_moments(
+        key, jnp.asarray(S0s, dt_), jnp.asarray(w, dt_),
+        jnp.asarray(K, dt_), jnp.asarray(T, dt_), jnp.asarray(r, dt_),
+        jnp.asarray(qs, dt_), jnp.asarray(sig, dt_),
+        jnp.asarray(chol, dt_), payoff=payoff, is_call=kind == "call",
+        n_paths=int(n_paths), antithetic=bool(antithetic), n_assets=a,
+        dtype=dt_)), np.float64)
+    n = s[0]
+    mX = s[1] / n
+    seX = np.sqrt(max(0.0, s[2] / n - mX * mX) / n)
+
+    def _vec(lo):
+        m = s[lo:lo + a] / n
+        v = np.maximum(0.0, s[lo + a:lo + 2 * a] / n - m * m)
+        return m, np.sqrt(v / n)
+
+    delta, delta_se = _vec(3)
+    vega, vega_se = _vec(3 + 2 * a)
+    return {"price": float(mX), "stderr": float(seX),
+            "delta": delta, "delta_stderr": delta_se,
+            "vega": vega, "vega_stderr": vega_se}

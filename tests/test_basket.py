@@ -137,3 +137,63 @@ class TestBasketMC:
             bad = np.array([[1.0, 2.0], [2.0, 1.0]])  # not PSD
             basket_price_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0, 0.03,
                             sigmas=[0.2, 0.3], corr=bad)
+
+
+class TestBasketGreeks:
+    def test_one_asset_limit_matches_bs(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu import basket_greeks_mc
+        from optpricer_tpu.ops.black_scholes import greeks_core
+
+        g = basket_greeks_mc([100.0], [1.0], 105.0, 1.0, 0.05,
+                             sigmas=[0.2], corr=np.eye(1), seed=0,
+                             n_paths=1 << 19, dtype="float64")
+        ref = greeks_core(*(jnp.float64(v)
+                            for v in (100.0, 105.0, 1.0, 0.05, 0.0, 0.2)),
+                          jnp.asarray(True))
+        assert abs(g["delta"][0] - float(ref["delta"])) \
+            < 4.0 * g["delta_stderr"][0] + 1e-5
+        assert abs(g["vega"][0] - float(ref["vega"])) \
+            < 4.0 * g["vega_stderr"][0] + 1e-4
+
+    @pytest.mark.parametrize("payoff", ["basket", "rainbow_max"])
+    def test_matches_crn_bump(self, payoff):
+        from optpricer_tpu import basket_greeks_mc
+
+        kw = dict(sigmas=[0.2, 0.3], corr=CORR2, seed=4,
+                  n_paths=1 << 18, dtype="float64", payoff=payoff,
+                  control_variate=False)
+        gkw = {k: v for k, v in kw.items() if k != "control_variate"}
+        g = basket_greeks_mc([100.0, 95.0], [0.6, 0.4], 100.0, 1.0, 0.03,
+                             **gkw)
+        h = 0.5
+        for i in range(2):
+            s_up = [100.0, 95.0]
+            s_dn = [100.0, 95.0]
+            s_up[i] += h
+            s_dn[i] -= h
+            up, _ = basket_price_mc(s_up, [0.6, 0.4], 100.0, 1.0, 0.03,
+                                    **kw)
+            dn, _ = basket_price_mc(s_dn, [0.6, 0.4], 100.0, 1.0, 0.03,
+                                    **kw)
+            fd = (up - dn) / (2.0 * h)
+            assert abs(g["delta"][i] - fd) < 3e-3, (payoff, i)
+
+    def test_spread_deltas_have_opposite_signs(self):
+        from optpricer_tpu import basket_greeks_mc
+
+        g = basket_greeks_mc([100.0, 95.0], [1.0, -1.0], 0.0, 1.0, 0.03,
+                             sigmas=[0.2, 0.3], corr=CORR2,
+                             payoff="spread", seed=5, dtype="float64")
+        assert g["delta"][0] > 0.0 > g["delta"][1]
+
+    def test_rainbow_deltas_sum_near_max_delta(self):
+        from optpricer_tpu import basket_greeks_mc
+
+        # best-of on identical assets: symmetry ⇒ equal per-asset deltas
+        g = basket_greeks_mc([100.0, 100.0], [0.5, 0.5], 100.0, 1.0, 0.03,
+                             sigmas=[0.2, 0.2], corr=CORR2,
+                             payoff="rainbow_max", seed=6, dtype="float64")
+        assert abs(g["delta"][0] - g["delta"][1]) \
+            < 6.0 * (g["delta_stderr"][0] + g["delta_stderr"][1])
