@@ -71,6 +71,16 @@ def _run_fd(ns) -> str:
     return f"{value:.10f}"
 
 
+def _run_heston(ns) -> str:
+    from .models.analytic import heston_price_cos
+
+    value = float(heston_price_cos(
+        ns.S0, ns.K, ns.T, ns.r, ns.q, v0=ns.v0, kappa=ns.kappa,
+        theta=ns.theta, xi=ns.xi, rho=ns.rho,
+        kind="call" if ns.kind == CALL else "put"))
+    return f"{value:.10f}"
+
+
 def _run_greeks(ns) -> str:
     from .models.monte_carlo import euro_greeks_mc
 
@@ -99,6 +109,13 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--N-t", dict(dest="N_t", type=int, default=200)),
         ("--american", dict(action="store_true")),
     ), _run_fd),
+    "heston": ("Heston price via the COS transform", (
+        ("--v0", dict(type=float, default=0.04)),
+        ("--kappa", dict(type=float, default=1.5)),
+        ("--theta", dict(type=float, default=0.04)),
+        ("--xi", dict(type=float, default=0.4)),
+        ("--rho", dict(type=float, default=-0.6)),
+    ), _run_heston),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),
         ("--seed", dict(type=int, default=None)),

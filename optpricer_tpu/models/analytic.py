@@ -140,32 +140,72 @@ def merton_price(S0, K, T, r, q=0.0, sigma=0.2, *, lam=0.0, mJ=0.0,
 # Heston — COS method
 # --------------------------------------------------------------------------
 
+def _log1p_c(z):
+    """Complex log1p: series for small |z| (f32 log(1+z) loses the small-z
+    information that the 1/ξ² prefactor in the Heston cf then amplifies)."""
+    small = jnp.abs(z) < 1e-3
+    zs = jnp.where(small, z, 0.0)
+    series = zs * (1.0 - zs * (0.5 - zs / 3.0))
+    return jnp.where(small, series, jnp.log(jnp.where(small, 1.0, 1.0 + z)))
+
+
 def _heston_cf(u, T, r, q, v0, kappa, theta, xi, rho):
     """φ(u) = E[e^{iu·ln(S_T/S_0)}] — Heston characteristic function.
 
-    Albrecher et al.'s "little Heston trap" branch (take ``-d``) so the
-    complex log never crosses a branch cut for long maturities.
+    Albrecher et al.'s "little Heston trap" branch (take ``-d``), with the
+    ξ→0 limit made f32-stable: α−d is formed as −ξ²(iu+u²)/(α+d)
+    (cancellation-free), so (α−d)/ξ² never divides a rounding residual by
+    ξ², and the C log uses a complex log1p so κθ/ξ²·log(1+O(ξ²)) keeps
+    its significant digits. Degenerate parameters (ξ ~ 1e-4) now reduce
+    to Black-Scholes in f32 too.
     """
     iu = 1j * u
     alpha = kappa - rho * xi * iu
     d = jnp.sqrt(alpha * alpha + xi * xi * (iu + u * u))
-    g = (alpha - d) / (alpha + d)
+    amd_over_xi2 = -(iu + u * u) / (alpha + d)       # (α−d)/ξ², exact
+    g = amd_over_xi2 * xi * xi / (alpha + d)         # (α−d)/(α+d)
     edt = jnp.exp(-d * T)
-    C = (r - q) * iu * T + kappa * theta / (xi * xi) * (
-        (alpha - d) * T - 2.0 * jnp.log((1.0 - g * edt) / (1.0 - g)))
-    D = (alpha - d) / (xi * xi) * (1.0 - edt) / (1.0 - g * edt)
+    # log((1−g·edt)/(1−g)) = log1p(−g·edt) − log1p(−g)
+    log_ratio = _log1p_c(-g * edt) - _log1p_c(-g)
+    C = (r - q) * iu * T + kappa * theta * (
+        amd_over_xi2 * T - 2.0 * log_ratio / (xi * xi))
+    D = amd_over_xi2 * (1.0 - edt) / (1.0 - g * edt)
     return jnp.exp(C + D * v0)
 
 
-def _cos_chi_psi(k, a, b, c, d):
+def _trig_kpi(k, frac, dt_):
+    """(cos, sin) of kπ·frac for integer k and frac ∈ [0, 1].
+
+    In f32 the raw argument reaches N·π ≈ 800 radians, where single-
+    precision trig loses ~all significant digits (the TPU CLI priced a
+    degenerate Heston 12% off before this).  k·frac is reduced mod 2
+    EXACTLY instead: frac quantises to 23 bits, the uint32 product wraps
+    at 2^24 (= mod 2 in fixed point), and the reduced angle is < 2π where
+    f32 trig is accurate.  The quantisation is a coherent ~2^-24 shift of
+    frac — equivalent to a sub-ppm strike shift, not an oscillatory
+    error.  f64 keeps the direct computation.
+    """
+    if dt_ == jnp.float64:
+        th = k.astype(dt_) * jnp.pi * frac
+        return jnp.cos(th), jnp.sin(th)
+    nf = jnp.round(jnp.asarray(frac, jnp.float32)
+                   * (1 << 23)).astype(jnp.uint32)
+    m = (k.astype(jnp.uint32) * nf) & jnp.uint32((1 << 24) - 1)
+    import math
+
+    th = m.astype(jnp.float32) * jnp.float32(math.pi / (1 << 23))
+    return jnp.cos(th), jnp.sin(th)
+
+
+def _cos_chi_psi(k, a, b, c, d, dt_):
     """∫_c^d e^y cos(kπ(y−a)/(b−a)) dy and ∫_c^d cos(·) dy (COS paper eq. 22-23)."""
     w = k * jnp.pi / (b - a)
-    chi = (jnp.cos(w * (d - a)) * jnp.exp(d) - jnp.cos(w * (c - a)) * jnp.exp(c)
-           + w * (jnp.sin(w * (d - a)) * jnp.exp(d)
-                  - jnp.sin(w * (c - a)) * jnp.exp(c))) / (1.0 + w * w)
+    cos_d, sin_d = _trig_kpi(k, (d - a) / (b - a), dt_)
+    cos_c, sin_c = _trig_kpi(k, (c - a) / (b - a), dt_)
+    chi = (cos_d * jnp.exp(d) - cos_c * jnp.exp(c)
+           + w * (sin_d * jnp.exp(d) - sin_c * jnp.exp(c))) / (1.0 + w * w)
     psi0 = d - c
-    psik = (jnp.sin(w * (d - a)) - jnp.sin(w * (c - a))) / jnp.where(
-        k == 0, 1.0, w)
+    psik = (sin_d - sin_c) / jnp.where(k == 0, 1.0, w)
     psi = jnp.where(k == 0, psi0, psik)
     return chi, psi
 
@@ -200,14 +240,17 @@ def _heston_cos_core(S0, K, T, r, q, v0, kappa, theta, xi, rho, is_call,
     phi = _heston_cf(u.astype(cdt), T, r, q, v0, kappa, theta, xi, rho)
 
     # put payoff cosine coefficients on [a, 0]
-    chi, psi = _cos_chi_psi(ks, a, b, a, jnp.minimum(b, 0.0))
+    chi, psi = _cos_chi_psi(ks, a, b, a, jnp.minimum(b, 0.0), dt_)
     Uk = 2.0 / (b - a) * (psi - chi)     # put: K(1 − e^y)⁺ / K
 
     x = jnp.log(S0 / K)                   # (n_K,)
-    # Σ' Re[φ(u_k) e^{iu_k(x−a)}]·U_k — one complex matvec over k
+    # Σ' Re[φ(u_k) e^{iu_k(x−a)}]·U_k — one complex matvec over k; the
+    # phase angle kπ(x−a)/(b−a) is range-reduced exactly (see _trig_kpi)
     w = jnp.ones((N,), dt_).at[0].set(0.5)
     coef = (phi * (w * Uk).astype(cdt))   # (N,)
-    phase = jnp.exp(1j * jnp.outer(x - a, u).astype(cdt))   # (n_K, N)
+    frac = ((x - a) / (b - a))[:, None]   # (n_K, 1) ∈ [0, 1]
+    cos_p, sin_p = _trig_kpi(ks[None, :], frac, dt_)
+    phase = (cos_p + 1j * sin_p).astype(cdt)                # (n_K, N)
     put = jnp.exp(-r * T) * K * jnp.real(phase @ coef)
     put = jnp.maximum(put, 0.0)
     call = put + S0 * jnp.exp(-q * T) - K * jnp.exp(-r * T)
