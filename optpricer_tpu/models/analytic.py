@@ -248,9 +248,18 @@ def _heston_cos_core(S0, K, T, r, q, v0, kappa, theta, xi, rho, is_call,
     # phase angle kπ(x−a)/(b−a) is range-reduced exactly (see _trig_kpi)
     w = jnp.ones((N,), dt_).at[0].set(0.5)
     coef = (phi * (w * Uk).astype(cdt))   # (N,)
-    frac = ((x - a) / (b - a))[:, None]   # (n_K, 1) ∈ [0, 1]
-    cos_p, sin_p = _trig_kpi(ks[None, :], frac, dt_)
-    phase = (cos_p + 1j * sin_p).astype(cdt)                # (n_K, N)
+    # phase matrix e^{iπk(x−a)/(b−a)} by binary doubling of the unit
+    # base phasor: one trig per strike, N complex multiplies per strike,
+    # error ≤ ~log2(N) ulps per entry. (Direct f32 trig of kπ·frac is
+    # meaningless at k ~ 256 without range reduction, and uint32 fixed-
+    # point reduction costs 20× in emulated integer multiplies.)
+    theta1 = (jnp.pi * (x - a) / (b - a)).astype(dt_)       # (n_K,)
+    cur = (jnp.cos(theta1) + 1j * jnp.sin(theta1)).astype(cdt)[:, None]
+    pows = jnp.ones((x.shape[0], 1), cdt)
+    while pows.shape[1] < N:
+        pows = jnp.concatenate([pows, pows * cur], axis=1)
+        cur = cur * cur
+    phase = pows[:, :N]                                     # (n_K, N)
     put = jnp.exp(-r * T) * K * jnp.real(phase @ coef)
     put = jnp.maximum(put, 0.0)
     call = put + S0 * jnp.exp(-q * T) - K * jnp.exp(-r * T)
