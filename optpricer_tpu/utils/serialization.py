@@ -18,6 +18,8 @@ __all__ = [
     "svi_to_dict", "svi_from_dict",
     "surface_to_json", "surface_from_json",
     "save_surface", "load_surface",
+    "heston_to_dict", "heston_from_dict", "save_heston", "load_heston",
+    "basket_to_dict", "basket_from_dict", "save_basket", "load_basket",
 ]
 
 
@@ -58,3 +60,70 @@ def save_surface(surface: VolSurface, path: Union[str, Path]) -> None:
 
 def load_surface(path: Union[str, Path]) -> VolSurface:
     return surface_from_json(Path(path).read_text())
+
+
+# ---------------------------------------------------------------------------
+# Model-parameter round trips (Heston fits, multi-asset specs)
+# ---------------------------------------------------------------------------
+
+_HESTON_KEYS = ("v0", "kappa", "theta", "xi", "rho")
+
+
+def heston_to_dict(fit: dict) -> dict:
+    """Normalise a ``fit_heston`` result (or raw param dict) for JSON."""
+    out = {k: float(fit[k]) for k in _HESTON_KEYS}
+    for extra in ("rmse", "S0", "r", "q"):
+        if extra in fit:
+            out[extra] = float(fit[extra])
+    return out
+
+
+def heston_from_dict(d: dict) -> dict:
+    """The kwargs dict ``heston_price_cos`` / ``exotic_price_mc(heston=)``
+    accept; missing keys raise early rather than price garbage."""
+    missing = [k for k in _HESTON_KEYS if k not in d]
+    if missing:
+        raise KeyError(f"heston params missing {missing}")
+    return {k: float(d[k]) for k in _HESTON_KEYS}
+
+
+def save_heston(fit: dict, path: Union[str, Path]) -> None:
+    Path(path).write_text(json.dumps(heston_to_dict(fit), indent=2,
+                                     sort_keys=True))
+
+
+def load_heston(path: Union[str, Path]) -> dict:
+    return heston_from_dict(json.loads(Path(path).read_text()))
+
+
+def basket_to_dict(*, S0s, weights, sigmas, corr, qs=None) -> dict:
+    """JSON payload for a multi-asset spec (``models.basket`` inputs)."""
+    import numpy as np
+
+    a = len(list(S0s))
+    qs = [0.0] * a if qs is None else list(map(float, qs))
+    return {"S0s": list(map(float, S0s)),
+            "weights": list(map(float, weights)),
+            "sigmas": list(map(float, sigmas)), "qs": qs,
+            "corr": np.asarray(corr, float).tolist()}
+
+
+def basket_from_dict(d: dict) -> dict:
+    import numpy as np
+
+    out = {k: list(map(float, d[k]))
+           for k in ("S0s", "weights", "sigmas", "qs")}
+    out["corr"] = np.asarray(d["corr"], float)
+    a = len(out["S0s"])
+    if out["corr"].shape != (a, a):
+        raise ValueError(f"corr must be ({a}, {a})")
+    return out
+
+
+def save_basket(path: Union[str, Path], **spec) -> None:
+    Path(path).write_text(json.dumps(basket_to_dict(**spec), indent=2,
+                                     sort_keys=True))
+
+
+def load_basket(path: Union[str, Path]) -> dict:
+    return basket_from_dict(json.loads(Path(path).read_text()))
