@@ -164,6 +164,14 @@ class TestCLIExtensions:
         out = capsys.readouterr().out.strip()
         assert abs(float(out) - 10.4506) < 5e-2
 
+    def test_heston(self, capsys):
+        # degenerate Heston (xi→0, v0=theta) must reduce to BS — also a
+        # regression guard for the f32 COS phase range reduction
+        _run_cli("heston", *self.COMMON, "--v0", "0.04", "--kappa", "1.5",
+                 "--theta", "0.04", "--xi", "0.0001", "--rho", "0.0")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 10.4506) < 5e-3
+
     def test_greeks(self, capsys):
         _run_cli("greeks", *self.COMMON, "--n-paths", "50000", "--seed", "3")
         out = capsys.readouterr().out
