@@ -139,4 +139,7 @@ def fem_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
         jnp.asarray(opt.sigma, dt_), jnp.asarray(is_call_mask(kind)),
         jnp.asarray(theta, dt_), N_t=int(N_t), solver=solver,
     )
-    return float(jnp.interp(jnp.log(jnp.asarray(opt.S0, dt_)), x_grid, V))
+    # Host-side f64 read-out — the TPU VPU's biased f32 log makes a
+    # device-side jnp.log(S0) query point ~3.5e-5 off (see pde._readout).
+    from .pde import _readout
+    return float(_readout(x_np, V, opt.S0))

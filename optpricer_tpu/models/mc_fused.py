@@ -594,11 +594,28 @@ def exotic_price_mc(
             raise ValueError("backend='qmc' supports GBM dynamics (sigma=)")
         import numpy as np
 
+        R = 8
+        if jax.default_backend() == "tpu" and dt_ == jnp.float32:
+            # One Pallas kernel: Sobol XOR ladder + Φ⁻¹ + bridge-as-matmul
+            # + payoff, nothing staged through HBM (ops/pallas_qmc_path).
+            from ..ops.pallas_qmc_path import (path_qmc_sumstats_pallas,
+                                               qmc_path_estimate)
+
+            stats = path_qmc_sumstats_pallas(
+                seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,
+                sigma, kind == "call", payoff=payoff, n_replicates=R,
+                barrier=barrier, barrier_type=barrier_type, rebate=rebate,
+                average_type=average_type, strike_type=strike_type,
+                payout=payout)
+            return qmc_path_estimate(stats, S0, q, T,
+                                     control_variate=bool(control_variate))
+        # CPU fallback: the staged XLA pipeline (4 fenced programs — the
+        # fused XLA graph sends XLA:TPU into a pathological compile, and
+        # the Mosaic interpreter is far slower than XLA:CPU here).
         fixed_q = {k: jnp.asarray(v, dt_) for k, v in (
             ("S0", S0), ("K", K), ("T", T), ("r", r), ("q", q),
             ("sigma", sigma), ("barrier", barrier), ("rebate", rebate),
             ("payout", payout))}
-        R = 8
         key0 = jax.random.key(seed_val)
         est = [float(_qmc_replicate(
             jax.random.fold_in(key0, i), fixed_q, payoff=payoff, kind=kind,

@@ -58,6 +58,23 @@ def _payoff(S, K, is_call):
     return jnp.where(is_call, jnp.maximum(S - K, 0.0), jnp.maximum(K - S, 0.0))
 
 
+def _readout(x_np, V, S0):
+    """Interpolate the solved ladder at ln(S0), on host in f64.
+
+    The read-out must NOT be jnp.interp(jnp.log(S0), ...) on device: the
+    TPU VPU's f32 log is ~74 ulps off at spot-scale arguments (3.5e-5 at
+    S0=100), which shifts the query point by enough to move the price by
+    Δ·S0·3.5e-5 ≈ 2.5e-3 on an ATM grid — an order of magnitude above the
+    solver's own error. Host-side f64 interpolation on the exact f64 grid
+    is bias-free and costs nothing (V is already being materialised).
+    """
+    V_np = np.asarray(V)
+    x0 = np.log(S0)
+    j = int(np.clip(np.searchsorted(x_np, x0) - 1, 0, len(x_np) - 2))
+    w = (x0 - x_np[j]) / (x_np[j + 1] - x_np[j])
+    return (1.0 - w) * V_np[..., j] + w * V_np[..., j + 1]
+
+
 def _operator_tridiag(sig_int, dx, r, q):
     """Interior-operator tridiagonals (a_L, b_L, c_L):
     L V_j = α(V_{j−1} − 2V_j + V_{j+1}) + β(V_{j+1} − V_{j−1}) − rV_j
@@ -299,8 +316,7 @@ def fd_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                      N_t=int(N_t), american=bool(american), two_layers=False,
                      solver=solver, american_method=american_method,
                      psor_sweeps=int(psor_sweeps))
-    return float(jnp.interp(jnp.log(jnp.asarray(opt.S0, x_grid.dtype)),
-                            x_grid, V))
+    return float(_readout(x_np, V, opt.S0))
 
 
 def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
@@ -334,8 +350,7 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
                      barrier_value=jnp.asarray(rebate, x_grid.dtype),
                      N_t=int(N_t), american=False, two_layers=False,
                      solver=solver)
-    return float(jnp.interp(jnp.log(jnp.asarray(opt.S0, x_grid.dtype)),
-                            x_grid, V))
+    return float(_readout(x_np, V, opt.S0))
 
 
 def fd_greeks(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
@@ -392,7 +407,7 @@ def fd_price_local_vol(S0: float, K: float, T: float, r: float, q: float,
     V, _ = _fd_solve(**args, barrier_mask=None, barrier_value=0.0,
                      N_t=int(N_t), american=False, two_layers=False,
                      sigma_func=sigma_func, solver=solver)
-    return float(jnp.interp(jnp.log(jnp.asarray(S0, x_grid.dtype)), x_grid, V))
+    return float(_readout(x_np, V, S0))
 
 
 # ---------------------------------------------------------------------------
@@ -422,9 +437,7 @@ def fd_price_batch(S0, K, T, r, q, sigma, kind, *, N_S: int = 200,
         theta=jnp.asarray(theta, dt_), barrier_mask=None,
         barrier_value=0.0, N_t=int(N_t), american=bool(american),
         two_layers=False)
-    x0 = jnp.log(jnp.asarray(S0, dt_))
-    prices = jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
-    return prices.reshape(np.shape(K_arr))
+    return jnp.asarray(_readout(x_np, V, S0).reshape(np.shape(K_arr)), dt_)
 
 
 def fd_price_local_vol_batch(S0, K, T, r, q, sigma_func, kind, *,
@@ -469,6 +482,4 @@ def fd_price_local_vol_batch(S0, K, T, r, q, sigma_func, kind, *,
         theta=jnp.asarray(theta, dt_), barrier_mask=None, barrier_value=0.0,
         N_t=int(N_t), american=False, two_layers=False,
         sigma_func=sigma_func, solver=solver)
-    x0 = jnp.log(jnp.asarray(S0, dt_))
-    prices = jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
-    return prices.reshape(np.shape(K_arr))
+    return jnp.asarray(_readout(x_np, V, S0).reshape(np.shape(K_arr)), dt_)

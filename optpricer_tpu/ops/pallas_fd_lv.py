@@ -22,8 +22,17 @@ variants agree with the per-step solvers to f32 round-off (tested in
 interpret mode).
 
 Per time step, in registers/VMEM:
-  1. σ(S, t) from the traced ``sigma_func`` closure on the (rows, lanes)
-     spot grid (strikes live on lanes, grid nodes on sublane rows);
+  1. σ(S, t) read from a precomputed (grid-node, time-step) table — the
+     table is evaluated OUTSIDE the kernel with XLA on the exact same
+     (S_grid, t) values the per-step solver sees, so the fused march and
+     the per-step march consume bit-identical coefficients.  (Evaluating
+     ``sigma_func`` inside Mosaic routed its ``jnp.log``/``jnp.exp``
+     through the VPU's lower-precision transcendentals — ~74 ulps off at
+     spot-scale arguments — which shifted 512-step marches by ~2e-4
+     relative on hardware; the table kills that entire error class and
+     drops per-kernel-call retracing of the closure.)  σ is shared across
+     the strike lanes, so the table costs m_pad × n_t floats of VMEM and
+     each step's column is selected by an exact one-hot lane reduction;
   2. operator diagonals aL = α−β, cL = α+β (bL derived as −(aL+cL)−r, so
      only two coefficient buffers live in VMEM);
   3. rhs = (I + (1−θ)dt·L)V + boundary transfer via two sublane rolls;
@@ -51,10 +60,10 @@ GROUP = 8      # sublane granularity of the elimination walk
 LANE = 128
 
 
-def _fd_lv_kernel(par_ref, K_ref, sign_ref, out_ref,
+def _fd_lv_kernel(par_ref, K_ref, sign_ref, sig_ref, out_ref,
                   V, CP, DP, AL, CL, S, *,
                   n_t: int, m: int, m_pad: int, b_tile: int,
-                  theta: float, american: bool, sigma_func,
+                  theta: float, american: bool,
                   method: str):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -98,13 +107,18 @@ def _fd_lv_kernel(par_ref, K_ref, sign_ref, out_ref,
     V[:] = intrinsic()
     bc0 = bc_pair(jnp.float32(0.0))
 
+    n_t_pad = -(-n_t // LANE) * LANE
+    sig_lane = jax.lax.broadcasted_iota(jnp.int32, (m_pad, n_t_pad), 1)
+
     def time_step(i, carry):
         bc_l_old, bc_r_old = carry
+        n_i = (n_t - 1) - i
         n = jnp.float32(n_t - 1) - i.astype(jnp.float32)
         tau = (jnp.float32(n_t) - n) * dt
-        t_now = n * dt
 
-        sig = jnp.asarray(sigma_func(S[:], t_now), jnp.float32)
+        # exact one-hot column select: σ(·, t_n) as an (m_pad, 1) vector
+        onehot = (sig_lane == n_i).astype(jnp.float32)
+        sig = jnp.sum(sig_ref[:, :] * onehot, axis=1, keepdims=True)
         alpha = 0.5 * sig * sig / (dx * dx)
         beta = (r - q - 0.5 * sig * sig) / (2.0 * dx)
         AL[:] = (alpha - beta) * interior
@@ -223,16 +237,16 @@ def _fd_lv_kernel(par_ref, K_ref, sign_ref, out_ref,
 
 
 @partial(jax.jit, static_argnames=("n_t", "m", "m_pad", "b_tile", "n_prog",
-                                   "theta", "american", "sigma_func",
+                                   "theta", "american",
                                    "interpret", "method"))
-def _run_fd_lv(params, K_pad, sign_pad, *, n_t, m, m_pad, b_tile, n_prog,
-               theta, american, sigma_func, interpret, method):
+def _run_fd_lv(params, K_pad, sign_pad, sig_tab, *, n_t, m, m_pad, b_tile,
+               n_prog, theta, american, interpret, method):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = partial(_fd_lv_kernel, n_t=n_t, m=m, m_pad=m_pad,
                      b_tile=b_tile, theta=theta, american=american,
-                     sigma_func=sigma_func, method=method)
+                     method=method)
     lane_spec = pl.BlockSpec((1, b_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -244,6 +258,8 @@ def _run_fd_lv(params, K_pad, sign_pad, *, n_t, m, m_pad, b_tile, n_prog,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             lane_spec,
             lane_spec,
+            pl.BlockSpec(sig_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_pad, b_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -252,7 +268,7 @@ def _run_fd_lv(params, K_pad, sign_pad, *, n_t, m, m_pad, b_tile, n_prog,
         interpret=pltpu.InterpretParams() if interpret else False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(params, K_pad, sign_pad)
+    )(params, K_pad, sign_pad, sig_tab)
 
 
 def fd_lv_ladder_pallas(S0, K, T, r, q, sigma_func, kind, *,
@@ -296,12 +312,25 @@ def fd_lv_ladder_pallas(S0, K, T, r, q, sigma_func, kind, *,
                         1.0, -1.0).astype(np.float32)[None, :]
     params = jnp.asarray([x_np[0], dx, dt, r, q, T], jnp.float32)
 
+    # σ table evaluated by XLA on the exact (S_grid, t_n) the per-step
+    # solver uses (models/pde.py:195): full-grid exp then interior slice,
+    # t_n = n·dt in f32 — coefficient parity with solver="pallas" is exact.
+    n_t_pad = -(-int(N_t) // LANE) * LANE
+    S_grid32 = jnp.exp(jnp.asarray(x_np, jnp.float32))
+    t_vals = (jnp.arange(int(N_t), dtype=jnp.float32)
+              * jnp.asarray(dt, jnp.float32))
+    sig_rows = jax.vmap(
+        lambda t: jnp.broadcast_to(
+            jnp.asarray(sigma_func(S_grid32, t), jnp.float32),
+            S_grid32.shape)[1:N_S])(t_vals)          # (n_t, m)
+    sig_tab = jnp.zeros((m_pad, n_t_pad), jnp.float32)
+    sig_tab = sig_tab.at[:m, :int(N_t)].set(sig_rows.T)
+
     V_int = _run_fd_lv(
-        params, jnp.asarray(K_pad), jnp.asarray(sign_pad),
+        params, jnp.asarray(K_pad), jnp.asarray(sign_pad), sig_tab,
         n_t=int(N_t), m=m, m_pad=int(m_pad), b_tile=int(b_tile),
         n_prog=int(n_prog), theta=float(theta), american=bool(american),
-        sigma_func=sigma_func, interpret=bool(interpret),
-        method=str(method))
+        interpret=bool(interpret), method=str(method))
 
     # assemble the full grid: analytic Dirichlet rows at tau = T
     V_int = np.asarray(V_int)[:m, :B]           # (m, B)

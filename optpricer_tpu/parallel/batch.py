@@ -128,7 +128,9 @@ def fd_batch_sharded(mesh: Mesh, S0, K, T, r, q, sigma, kind, *,
             theta=jnp.asarray(theta, dt_), barrier_mask=None,
             barrier_value=0.0, N_t=int(N_t), american=bool(american),
             two_layers=False)
-        x0 = jnp.log(jnp.asarray(S0, dt_))
+        # x0 from host f64 log — the TPU VPU f32 log is ~74 ulps biased at
+        # spot scale, which would shift every read-out (see pde._readout).
+        x0 = jnp.asarray(np.log(S0), dt_)
         return jax.vmap(lambda v: jnp.interp(x0, x_grid, v))(V)
 
     out = shard_fn(jnp.asarray(K_pad, dt_), jnp.asarray(mask_pad))

@@ -1,16 +1,24 @@
 """Pallas kernels under shard_map: the multi-chip fast path.
 
-On the CPU test platform the kernels run in the Mosaic interpreter (the
-interpreter's hardware PRNG is degenerate — all-zero bits — so prices are
-meaningless here). What these tests pin down is the *plumbing* the TPU run
-relies on: the global program-grid split across devices, per-device stream
-offsets, ragged tail masking, the ICI psum of the 10-stat vector, and that
-the sharded estimator is numerically the same as single-chip. Stream-level
-equality on real hardware is covered by the TPU-gated suite
-(tests/test_pallas_tpu.py).
+CPU-ONLY (skipped on TPU): these tests target the Mosaic *interpreter* on
+the 8-device virtual CPU platform (the interpreter's hardware PRNG is
+degenerate — all-zero bits — so prices are meaningless here). What they pin
+down is the *plumbing* the TPU run relies on: the global program-grid split
+across devices, per-device stream offsets, ragged tail masking, the ICI
+psum of the 10-stat vector, and that the sharded estimator is numerically
+the same as single-chip. Interpret-mode kernels do not terminate in
+reasonable time on the TPU platform, and real-kernel single-vs-mesh
+equality on hardware is covered by the TPU-gated suite
+(tests/test_pallas_tpu.py::TestMeshOnHardware).
 """
+import jax
 import numpy as np
 import pytest
+
+if jax.default_backend() == "tpu":
+    pytest.skip("interpreter-targeted mesh tests run on the CPU harness; "
+                "hardware mesh coverage lives in test_pallas_tpu.py",
+                allow_module_level=True)
 
 from optpricer_tpu.ops.pallas_mc import (
     _plan_grid, mc_sumstats_pallas, mc_sumstats_pallas_sharded,

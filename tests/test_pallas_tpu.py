@@ -255,3 +255,85 @@ class TestQmcTPU:
         np.testing.assert_allclose(
             hw[7, :3], [65536.0, 346859.96875, 9687252.5], rtol=1e-6)
         assert abs(float(hw[:, 1].sum()) / 5550500.515625 - 1) < 1e-6
+
+
+class TestMeshOnHardware:
+    """Real-kernel shard_map coverage on hardware (1-chip mesh here; the
+    same code paths scale the program grid over N chips). Replaces the
+    interpreter-mode plumbing checks of tests/test_pallas_mesh.py, which
+    are CPU-only."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from optpricer_tpu.parallel import get_mesh
+
+        return get_mesh(1)
+
+    def test_terminal_sharded_matches_single(self, mesh):
+        from optpricer_tpu.ops.pallas_mc import (
+            mc_sumstats_pallas, mc_sumstats_pallas_sharded)
+
+        args = (100.0, 110.0, 1.0, 0.03, 0.0, 0.2, True)
+        n_paths = 3_100_000  # ragged: exercises the tail mask
+        ref = np.asarray(mc_sumstats_pallas(
+            7, n_paths, *args, antithetic=True))
+        out = np.asarray(mc_sumstats_pallas_sharded(
+            mesh, 7, n_paths, *args, antithetic=True))
+        assert ref[0] == n_paths
+        np.testing.assert_allclose(out, ref, rtol=3e-6)
+
+    def test_path_sharded_matches_single(self, mesh):
+        from optpricer_tpu.ops.pallas_path_mc import (
+            path_mc_sumstats_pallas, path_mc_sumstats_pallas_sharded)
+
+        args = (100.0, 110.0, 1.0, 0.03, 0.0, 0.2, True)
+        ref = np.asarray(path_mc_sumstats_pallas(
+            11, 200_000, 16, *args, payoff="asian", antithetic=True))
+        out = np.asarray(path_mc_sumstats_pallas_sharded(
+            mesh, 11, 200_000, 16, *args, payoff="asian", antithetic=True))
+        np.testing.assert_allclose(out, ref, rtol=3e-6)
+
+    def test_euro_price_mc_mesh_backend(self, mesh):
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.03, sigma=0.2)
+        p, se = euro_price_mc(opt, CALL, n_paths=200_000, seed=0, mesh=mesh,
+                              backend="pallas")
+        assert np.isfinite(p) and np.isfinite(se)
+
+    def test_exotic_price_mc_mesh_heston(self, mesh):
+        heston = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.4, rho=-0.6)
+        p, se = exotic_price_mc(
+            "barrier", 100.0, 100.0, 1.0, 0.03, heston=heston, n_steps=8,
+            n_paths=100_000, seed=5, mesh=mesh, backend="pallas",
+            barrier=130.0, barrier_type="up-and-out")
+        assert np.isfinite(p) and np.isfinite(se) and p > 0
+
+
+class TestFusedQmcPathTPU:
+    def test_large_budget_vanilla_vs_bs(self):
+        # 2^22 points per replicate — above the staged pipeline's former
+        # 2^21 Sobol-table cap — priced by the one-kernel pipeline.
+        from math import erfc, exp, log, sqrt
+
+        from optpricer_tpu.ops.pallas_qmc_path import (
+            path_qmc_sumstats_pallas, qmc_path_estimate)
+
+        stats = path_qmc_sumstats_pallas(
+            0, 1 << 22, 64, 100.0, 110.0, 1.0, 0.03, 0.0, 0.2, True,
+            payoff="vanilla", n_replicates=8)
+        assert float(stats[0, 0]) == float(1 << 22)
+        px, se = qmc_path_estimate(stats, 100.0, 0.0, 1.0)
+        d1 = (log(100 / 110) + 0.03 + 0.02) / 0.2
+        P = lambda x: 0.5 * erfc(-x / sqrt(2))
+        ref = 100 * P(d1) - 110 * exp(-0.03) * P(d1 - 0.2)
+        assert abs(px - ref) < max(5 * se, 5e-5)
+
+    def test_geo_asian_closed_form_on_hardware(self):
+        from optpricer_tpu.models.analytic import geometric_asian_price_f64
+
+        ref = geometric_asian_price_f64(100.0, 100.0, 1.0, 0.05, 0.0, 0.2,
+                                        kind="call", n_steps=64)
+        p, se = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.05,
+                                sigma=0.2, kind="call",
+                                average_type="geometric", n_steps=64,
+                                n_paths=1 << 16, seed=0, backend="qmc")
+        assert abs(p - ref) < max(5 * se, 2e-4)

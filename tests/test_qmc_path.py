@@ -12,6 +12,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+if jax.default_backend() == "tpu":
+    pytest.skip(
+        "CPU-harness module: the staged pipeline is the CPU fallback and "
+        "the kernel parity tests run the Mosaic interpreter (which does "
+        "not terminate in reasonable time on the TPU platform); hardware "
+        "QMC coverage lives in test_pallas_tpu.py::TestFusedQmcPathTPU",
+        allow_module_level=True)
+
 from optpricer_tpu import exotic_price_mc, geometric_asian_price
 from optpricer_tpu.ops.sobol import (bridge_paths, brownian_bridge_order,
                                      direction_numbers, sobol_uniforms)
@@ -123,3 +131,104 @@ class TestPathQMC:
                             heston=dict(v0=0.04, kappa=1.0, theta=0.04,
                                         xi=0.3, rho=-0.5),
                             backend="qmc")
+
+
+class TestFusedQmcKernel:
+    """The one-kernel Pallas pipeline (ops/pallas_qmc_path): Sobol XOR
+    ladder + Φ⁻¹ + bridge-as-matmul + payoff. Interpret mode here; the
+    hardware run and perf live in the TPU-gated suite."""
+
+    def test_bridge_matrix_equals_recursive_bridge(self):
+        from optpricer_tpu.ops.pallas_qmc_path import bridge_matrix
+
+        for d, T in ((8, 1.0), (64, 1.7), (100, 0.25)):
+            z = np.asarray(jax.random.normal(jax.random.key(d), (50, d)))
+            W_rec = np.asarray(bridge_paths(jnp.asarray(z, jnp.float64), T))
+            W_mat = z @ bridge_matrix(d, T)
+            np.testing.assert_allclose(W_rec, W_mat, atol=1e-8)
+
+    def test_matches_staged_pipeline(self):
+        # same direction numbers, same threefry shifts → same point set:
+        # the two implementations must agree to f32 round-off, not just
+        # statistically.
+        from optpricer_tpu.ops.pallas_qmc_path import (
+            path_qmc_sumstats_pallas, qmc_path_estimate)
+
+        args = (100.0, 100.0, 1.0, 0.04, 0.01, 0.2)
+        stats = path_qmc_sumstats_pallas(
+            3, 1 << 13, 64, *args, True, payoff="asian",
+            average_type="geometric", n_replicates=4, interpret=True)
+        px, se = qmc_path_estimate(stats, 100.0, 0.01, 1.0,
+                                   control_variate=False)
+        p_staged, _ = exotic_price_mc(
+            "asian", *args[:4], q=args[4], sigma=args[5], n_steps=64,
+            n_paths=1 << 13, seed=3, backend="qmc",
+            average_type="geometric")
+        # staged runs 8 replicates vs our 4 — compare against a direct
+        # 4-replicate staged estimate instead: recompute via its stages
+        from optpricer_tpu.models.mc_fused import _qmc_replicate
+
+        fixed = {k: jnp.asarray(v, jnp.float32) for k, v in zip(
+            ("S0", "K", "T", "r", "q", "sigma"), args)}
+        fixed.update(barrier=jnp.float32(0), rebate=jnp.float32(0),
+                     payout=jnp.float32(1))
+        key0 = jax.random.key(3)
+        est = [float(_qmc_replicate(
+            jax.random.fold_in(key0, i), fixed, payoff="asian",
+            kind="call", n_steps=64, n_points=1 << 13,
+            barrier_type="up-and-out", average_type="geometric",
+            strike_type="fixed", dtype=jnp.float32)) for i in range(4)]
+        assert abs(px - np.mean(est)) < 5e-5
+        assert abs(px - p_staged) < 6 * se + 1e-4
+
+    def test_ragged_budget_tail_mask(self):
+        # a non-tile-multiple budget must be masked exactly (n = budget)
+        from optpricer_tpu.ops.pallas_qmc_path import path_qmc_sumstats_pallas
+
+        stats = path_qmc_sumstats_pallas(
+            0, 3000, 8, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
+            payoff="vanilla", n_replicates=2, interpret=True)
+        assert float(stats[0, 0]) == 3000.0
+        assert float(stats[1, 0]) == 3000.0
+
+    def test_budget_guard(self):
+        from optpricer_tpu.ops.pallas_qmc_path import path_qmc_sumstats_pallas
+
+        with pytest.raises(ValueError, match="exceeds"):
+            path_qmc_sumstats_pallas(0, 1 << 27, 8, 100.0, 100.0, 1.0,
+                                     0.03, 0.0, 0.2, True)
+
+    @pytest.mark.parametrize("payoff,extra", [
+        ("barrier", {"barrier": 130.0}),
+        ("barrier", {"barrier": 80.0, "barrier_type": "down-and-in"}),
+        ("lookback", {"strike_type": "floating"}),
+        ("digital", {"payout": 10.0}),
+        ("asian", {"strike_type": "floating"}),
+    ])
+    def test_payoffs_agree_with_staged(self, payoff, extra):
+        from optpricer_tpu.ops.pallas_qmc_path import (
+            path_qmc_sumstats_pallas, qmc_path_estimate)
+        from optpricer_tpu.models.mc_fused import _qmc_replicate
+
+        args = (100.0, 100.0, 1.0, 0.04, 0.01, 0.2)
+        kw = dict(barrier=extra.get("barrier", 0.0),
+                  barrier_type=extra.get("barrier_type", "up-and-out"),
+                  average_type=extra.get("average_type", "arithmetic"),
+                  strike_type=extra.get("strike_type", "fixed"),
+                  payout=extra.get("payout", 1.0))
+        stats = path_qmc_sumstats_pallas(
+            7, 1 << 12, 32, *args, True, payoff=payoff, n_replicates=2,
+            rebate=0.0, interpret=True, **kw)
+        px, _ = qmc_path_estimate(stats, 100.0, 0.01, 1.0,
+                                  control_variate=False)
+        fixed = {k: jnp.asarray(v, jnp.float32) for k, v in zip(
+            ("S0", "K", "T", "r", "q", "sigma"), args)}
+        fixed.update(barrier=jnp.float32(kw["barrier"]),
+                     rebate=jnp.float32(0), payout=jnp.float32(kw["payout"]))
+        key0 = jax.random.key(7)
+        est = [float(_qmc_replicate(
+            jax.random.fold_in(key0, i), fixed, payoff=payoff, kind="call",
+            n_steps=32, n_points=1 << 12, barrier_type=kw["barrier_type"],
+            average_type=kw["average_type"], strike_type=kw["strike_type"],
+            dtype=jnp.float32)) for i in range(2)]
+        assert abs(px - np.mean(est)) < 2e-4, (px, np.mean(est))
