@@ -10,7 +10,10 @@ with an accuracy gate |price − BS_analytic| ≤ 1e-4 checked on the same run.
 paths/sec/chip (BASELINE.md — the reference publishes no perf numbers;
 its largest exercised workload is 200k×500 Milstein steps on CPU).
 
-Extra diagnostics (accuracy, secondary PDE/lattice throughput) go to stderr.
+Extra diagnostics (accuracy, secondary PDE/lattice throughput) go to
+stderr. EVERY diagnostic is best-of-N with the rep spread printed — a
+single-rep timing after ten preceding benches eats re-compile/allocator
+noise and has mis-stated results by >10× in past rounds.
 """
 from __future__ import annotations
 
@@ -27,6 +30,25 @@ NORTH_STAR = 1.0e9  # paths/sec/chip (driver-set)
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def best_of(run, iters: int = 5) -> tuple[float, list[float]]:
+    """Best-of-N wall-clock of ``run()`` (which must block on its result).
+
+    Returns (best_seconds, all_times). The first call outside this helper
+    is the warmup/compile; the spread across reps is printed by callers so
+    a polluted rep is visible in the log rather than silently recorded.
+    """
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
+def _spread(times) -> str:
+    return "[" + " ".join(f"{t*1e3:.1f}" for t in times) + "] ms"
 
 
 def _bs_call_f64(S0, K, T, r, q, sigma) -> float:
@@ -65,15 +87,9 @@ def bench_mc() -> tuple[float, float, float]:
     log(f"[mc] warmup+compile {time.perf_counter()-t0:.1f}s "
         f"price={price:.6f} se={se:.2e} |err|={abs(price-ref):.2e}")
 
-    iters = 5
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        price, se = euro_price_mc(opt, CALL, **kw)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best, times = best_of(lambda: euro_price_mc(opt, CALL, **kw), 5)
     pps = eff / best
-    log(f"[mc] times={['%.3f' % t for t in times]} best={best:.3f}s "
+    log(f"[mc] times={_spread(times)} best={best:.3f}s "
         f"eff_paths={eff:.3e} → {pps:.3e} paths/s")
     return pps, price, ref
 
@@ -81,53 +97,37 @@ def bench_mc() -> tuple[float, float, float]:
 def bench_pde() -> float:
     """Secondary: θ-scheme option-solves/sec, 1024-strike American-put
     ladder on a 512×512 grid sharing one propagator and one scan."""
-    import numpy as np
-
     from optpricer_tpu import CALL, OptionSpec, fd_price
     from optpricer_tpu.models.pde import fd_price_batch
 
     Ks = np.linspace(50.0, 150.0, 1024)
     kw = dict(N_S=512, N_t=512, american=True)
-    run = lambda: fd_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", **kw)
+    run = lambda: jax.block_until_ready(
+        fd_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", **kw))
     run()  # compile
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    import jax as _jax
-
-    _jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    log(f"[pde] 1024-ladder 512x512 American: {dt*1e3:.1f} ms "
-        f"→ {1024/dt:.0f} option-solves/s")
+    best, times = best_of(run, 5)
+    log(f"[pde] 1024-ladder 512x512 American: {_spread(times)} best="
+        f"{best*1e3:.1f} ms → {1024/best:.0f} option-solves/s")
 
     opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
     single = fd_price(opt, CALL, N_S=512, N_t=512)
     log(f"[pde] single CN 512² call = {single:.4f}")
-    return 1024 / dt
+    return 1024 / best
 
 
 def bench_crr() -> None:
     """Diagnostic: CRR American put, N=500, 1024-strike batch (BASELINE
     config 2)."""
-    import numpy as np
-
     from optpricer_tpu import crr_vec
 
     Ks = np.linspace(50.0, 150.0, 1024)
-    run = lambda: crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", N=500,
-                          american=True)
+    run = lambda: jax.block_until_ready(
+        crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", N=500,
+                american=True))
     run()
-    import jax as _jax
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    _jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    log(f"[crr] 1024-strike American, N=500: {dt*1e3:.1f} ms "
-        f"→ {1024/dt:.0f} options/s")
+    best, times = best_of(run, 5)
+    log(f"[crr] 1024-strike American, N=500: {_spread(times)} best="
+        f"{best*1e3:.1f} ms → {1024/best:.0f} options/s")
 
 
 def bench_asian() -> None:
@@ -138,23 +138,18 @@ def bench_asian() -> None:
         "asian", 100.0, 100.0, 1.0, 0.03, sigma=0.2, n_steps=252,
         n_paths=1_000_000, seed=7, control_variate=cv)
     px, se = run(False)
-    t0 = time.perf_counter()
-    px, se = run(False)
-    dt = time.perf_counter() - t0
+    best, times = best_of(lambda: run(False), 5)
     px_cv, se_cv = run(True)
-    t0 = time.perf_counter()
-    px_cv, se_cv = run(True)
-    dt_cv = time.perf_counter() - t0
-    log(f"[asian] 1M paths × 252 steps fused: {dt*1e3:.0f} ms, "
-        f"price={px:.4f} ± {se:.1e}; geo-CV {dt_cv*1e3:.0f} ms, "
+    best_cv, times_cv = best_of(lambda: run(True), 5)
+    log(f"[asian] 1M paths × 252 steps fused: {_spread(times)} best="
+        f"{best*1e3:.0f} ms, price={px:.4f} ± {se:.1e}; geo-CV "
+        f"{_spread(times_cv)} best={best_cv*1e3:.0f} ms, "
         f"{px_cv:.4f} ± {se_cv:.1e} ({se/max(se_cv,1e-12):.0f}× tighter)")
 
 
 def bench_localvol() -> None:
     """Diagnostic: Dupire local-vol Milstein barrier, 200k×500 (BASELINE
     config 5's hot step), surface evaluated in-kernel."""
-    import numpy as np
-
     from optpricer_tpu import SVIParams, VolSurface
     from optpricer_tpu.models.mc_fused import exotic_price_mc_dupire
 
@@ -166,94 +161,84 @@ def bench_localvol() -> None:
         "barrier", surf, 100.0, 100.0, 1.0, 0.05, 0.02, scheme="milstein",
         barrier=130.0, barrier_type="up-and-out", n_steps=500,
         n_paths=200_000, seed=42)
-    run()
-    t0 = time.perf_counter()
     px, se = run()
+    best, times = best_of(run, 5)
     log(f"[localvol] 200k×500 Milstein barrier, Dupire in-kernel: "
-        f"{(time.perf_counter()-t0)*1e3:.0f} ms, price={px:.4f}±{se:.4f}")
+        f"{_spread(times)} best={best*1e3:.0f} ms, price={px:.4f}±{se:.4f}")
 
 
 def bench_lv_ladder() -> None:
     """Diagnostic: 1024-strike LOCAL-VOL ladder, 512×512 grid — per-step
     tridiagonal systems solved in the lane-batched Pallas Thomas kernel
     (reference pde.py:385-426 prices one local-vol option per call)."""
-    import numpy as np
-
     from optpricer_tpu.models.pde import fd_price_local_vol_batch
 
     def sigma_func(S, t):
         return 0.2 + 0.1 * jnp.exp(-(jnp.log(S / 100.0)) ** 2) + 0.05 * t
 
     Ks = np.linspace(60.0, 140.0, 1024)
-    run = lambda: fd_price_local_vol_batch(
-        100.0, Ks, 1.0, 0.04, 0.01, sigma_func, "call", N_S=512, N_t=512)
+    run = lambda: jax.block_until_ready(fd_price_local_vol_batch(
+        100.0, Ks, 1.0, 0.04, 0.01, sigma_func, "call", N_S=512, N_t=512))
     run()
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    best, times = best_of(run, 5)
     log(f"[lv-ladder] 1024-strike local-vol 512x512 (pallas tridiag): "
-        f"{dt*1e3:.1f} ms → {1024/dt:.0f} option-solves/s")
+        f"{_spread(times)} best={best*1e3:.1f} ms → "
+        f"{1024/best:.0f} option-solves/s")
 
 
 def bench_lsmc() -> None:
     """Diagnostic: 512-strike American LSMC ladder, 200k paths × 50 dates —
     one shared path matrix, per-date ladder regressions as two MXU matmuls
     (models/american_mc.py; engine beyond the reference's scope)."""
-    import numpy as np
-
     from optpricer_tpu import lsmc_price_batch
 
     Ks = np.linspace(70.0, 130.0, 512)
-    run = lambda: lsmc_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.25, "put",
-                                   n_paths=200_000, n_steps=50, seed=1)
-    jax.block_until_ready(run())
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    log(f"[lsmc] 512-strike American ladder 200k×50: {dt*1e3:.0f} ms "
-        f"→ {512/dt:.0f} options/s")
+    run = lambda: jax.block_until_ready(
+        lsmc_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.25, "put",
+                         n_paths=200_000, n_steps=50, seed=1))
+    run()
+    best, times = best_of(run, 5)
+    log(f"[lsmc] 512-strike American ladder 200k×50: {_spread(times)} "
+        f"best={best*1e3:.0f} ms → {512/best:.0f} options/s")
 
 
 def bench_qmc_path() -> None:
-    """Diagnostic: Sobol+Brownian-bridge QMC Asian vs its exact oracle.
+    """Diagnostic: one-kernel Sobol+bridge QMC Asian vs its exact oracle.
 
-    Runs in a time-bounded subprocess: the axon compile service is
-    erratic on this 5-program pipeline (10 s to minutes for identical
-    fresh compiles), and one stalled diagnostic must not hold the bench.
-    """
-    import subprocess
+    The whole pipeline (Sobol XOR ladder → Φ⁻¹ → bridge-as-matmul →
+    payoff) is a single Pallas kernel (ops/pallas_qmc_path) — no staged
+    programs, no compile-service subprocess guard needed any more."""
+    from optpricer_tpu import exotic_price_mc
+    from optpricer_tpu.models.analytic import geometric_asian_price_f64
 
-    script = (
-        "import time\n"
-        "from optpricer_tpu import exotic_price_mc\n"
-        "from optpricer_tpu.models.analytic import geometric_asian_price_f64\n"
-        "ref = geometric_asian_price_f64(100.0, 100.0, 1.0, 0.03, 0.0, 0.2,"
-        " kind='call', n_steps=64)\n"
-        "kw = dict(sigma=0.2, n_steps=64, n_paths=1 << 16, backend='qmc',"
-        " average_type='geometric')\n"
-        "exotic_price_mc('asian', 100.0, 100.0, 1.0, 0.03, seed=7, **kw)\n"
-        "t0 = time.perf_counter()\n"
-        "px, se = exotic_price_mc('asian', 100.0, 100.0, 1.0, 0.03, seed=8,"
-        " **kw)\n"
-        "print('%.0f %.3e %.3e' % (1e3*(time.perf_counter()-t0),"
-        " abs(px-ref), se))\n")
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", script], capture_output=True, text=True,
-            timeout=420, cwd=str(__import__("pathlib").Path(
-                __file__).resolve().parent)).stdout.split()
-        ms, err, se = out[-3], out[-2], out[-1]
-        log(f"[qmc-path] geometric Asian 2^16 Sobol×64-step bridge "
-            f"×8 shifts: {ms} ms warm, |err vs closed form|={err} "
-            f"(se {se})")
-    except subprocess.TimeoutExpired:
-        log("[qmc-path] skipped: compile service stalled past 420 s")
+    ref = geometric_asian_price_f64(100.0, 100.0, 1.0, 0.03, 0.0, 0.2,
+                                    kind="call", n_steps=64)
+    kw = dict(sigma=0.2, n_steps=64, n_paths=1 << 16, backend="qmc",
+              average_type="geometric")
+    px, se = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.03, seed=8, **kw)
+    best, times = best_of(lambda: exotic_price_mc(
+        "asian", 100.0, 100.0, 1.0, 0.03, seed=8, **kw), 5)
+    log(f"[qmc-path] geometric Asian 2^16 Sobol×64-step bridge ×8 shifts "
+        f"(one kernel): {_spread(times)} best={best*1e3:.1f} ms, "
+        f"|err vs closed form|={abs(px-ref):.1e} (se {se:.1e})")
+
+
+def bench_qmc_path_large() -> None:
+    """Diagnostic: the same kernel at a 2^22-point budget (per replicate,
+    ×8 shifts = 2^25 path evaluations of 64 steps each)."""
+    from optpricer_tpu import exotic_price_mc
+
+    ref = _bs_call_f64(100.0, 110.0, 1.0, 0.03, 0.0, 0.2)
+    kw = dict(sigma=0.2, n_steps=64, n_paths=1 << 22, backend="qmc")
+    px, se = exotic_price_mc("vanilla", 100.0, 110.0, 1.0, 0.03, seed=3,
+                             **kw)
+    best, times = best_of(lambda: exotic_price_mc(
+        "vanilla", 100.0, 110.0, 1.0, 0.03, seed=3, **kw), 3)
+    n_eval = (1 << 22) * 8 * 64
+    log(f"[qmc-path-2^22] vanilla 2^22 pts ×8 shifts ×64 steps: "
+        f"{_spread(times)} best={best*1e3:.0f} ms "
+        f"({n_eval/best:.2e} step-evals/s), |err vs BS64|={abs(px-ref):.1e}"
+        f" (se {se:.1e})")
 
 
 def bench_basket() -> None:
@@ -266,20 +251,17 @@ def bench_basket() -> None:
     S0s = rng.uniform(50, 150, a)
     sig = rng.uniform(0.15, 0.4, a)
     kw = dict(sigmas=sig, corr=corr, n_paths=1 << 19)
-    run = lambda seed: basket_price_mc(
-        S0s, np.ones(a) / a, float(S0s.mean()), 1.0, 0.03, seed=seed, **kw)
-    run(0)
-    t0 = time.perf_counter()
-    px, se = run(1)
-    dt = time.perf_counter() - t0
+    run = lambda: basket_price_mc(
+        S0s, np.ones(a) / a, float(S0s.mean()), 1.0, 0.03, seed=1, **kw)
+    px, se = run()
+    best, times = best_of(run, 5)
     log(f"[basket] 100-asset basket, 2^20 antithetic scenarios "
-        f"(geo-basket CV): {dt*1e3:.0f} ms, price={px:.4f} ± {se:.1e}")
+        f"(geo-basket CV): {_spread(times)} best={best*1e3:.0f} ms, "
+        f"price={px:.4f} ± {se:.1e}")
 
 
 def bench_heston_cos() -> None:
     """Diagnostic: Heston COS strike-batch throughput (one complex matvec)."""
-    import jax.numpy as jnp
-
     from optpricer_tpu import heston_price_cos
 
     Ks = jnp.linspace(50.0, 200.0, 65_536)
@@ -287,11 +269,10 @@ def bench_heston_cos() -> None:
         100.0, Ks, 1.0, 0.03, v0=0.04, kappa=2.0, theta=0.05, xi=0.4,
         rho=-0.6, N=256).block_until_ready()
     run()
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
+    best, times = best_of(run, 7)
     log(f"[heston-cos] 65,536-strike surface slice (N=256): "
-        f"{dt*1e3:.1f} ms → {65_536/dt:,.0f} options/s")
+        f"{_spread(times)} best={best*1e3:.1f} ms → "
+        f"{65_536/best:,.0f} options/s")
 
 
 def bench_qmc() -> None:
@@ -304,21 +285,14 @@ def bench_qmc() -> None:
     ref = _bs_call_f64(100.0, 110.0, 1.0, 0.03, 0.0, 0.2)
     n = 1 << 30
     run = lambda: euro_price_mc(opt, CALL, n_paths=n, seed=7, backend="qmc")
-    run()
-    t0 = time.perf_counter()
     px, se = run()
-    dt = time.perf_counter() - t0
-    log(f"[qmc] 2^30 scrambled-vdc points: {dt*1e3:.0f} ms "
-        f"({n/dt:.2e} pts/s), |err vs BS64|={abs(px-ref):.1e} se={se:.1e}")
+    best, times = best_of(run, 5)
+    log(f"[qmc] 2^30 scrambled-vdc points: {_spread(times)} best="
+        f"{best*1e3:.0f} ms ({n/best:.2e} pts/s), "
+        f"|err vs BS64|={abs(px-ref):.1e} se={se:.1e}")
 
 
 def main():
-    # qmc-path runs FIRST: it prices in a subprocess (bounded compile),
-    # which can only acquire the chip before this process does.
-    try:
-        bench_qmc_path()
-    except Exception as e:
-        log(f"[qmc-path] skipped: {e}")
     pps, price, ref = bench_mc()
     err = abs(price - ref)
     gate = 1e-4
@@ -327,7 +301,9 @@ def main():
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
-                     ("qmc", bench_qmc), ("basket", bench_basket),
+                     ("qmc", bench_qmc), ("qmc-path", bench_qmc_path),
+                     ("qmc-path-2^22", bench_qmc_path_large),
+                     ("basket", bench_basket),
                      ("heston-cos", bench_heston_cos)):
         try:  # secondary metrics must not break the bench line
             fn()

@@ -62,6 +62,164 @@ _PATHWISE_OK = ("vanilla", "asian", "lookback")
 _LR_OK = ("barrier", "digital")
 
 
+@jax.custom_jvp
+def _sqrt0(x):
+    """sqrt with subgradient 0 at x == 0.
+
+    Full-truncation Heston parks variance exactly at 0 with positive
+    probability, and Merton draws zero jump counts; there the chain rule
+    meets sqrt'(0) = ∞ against a zero tangent and pathwise AD returns
+    NaN. The one-sided derivative from the truncated region is 0 — the
+    standard subgradient choice (bias is second-order in dt)."""
+    return jnp.sqrt(x)
+
+
+@_sqrt0.defjvp
+def _sqrt0_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, jnp.where(x > 0, 0.5 / jnp.where(y > 0, y, 1.0), 0.0) * t
+
+
+_AD_PARAMS = {
+    # model_kind → ((output name, fixed-dict key), ...); the first three
+    # are common to every dynamics. Output names: "delta"=d/dS0,
+    # "rho"=d/dr (through drift AND discount), "theta"=−d/dT; model
+    # parameters keep their own names ("vega" where the parameter IS a
+    # diffusion vol: GBM σ for Merton, α₀ for SABR).
+    "heston": (("d_v0", "h_v0"), ("d_kappa", "h_kappa"),
+               ("d_theta", "h_theta"), ("d_xi", "h_xi"),
+               ("d_rho", "h_rho")),
+    "sabr_ln": (("vega", "s_alpha0"), ("d_nu", "s_nu"), ("d_rho", "s_rho")),
+    "sabr_cev": (("vega", "s_alpha0"), ("d_nu", "s_nu"),
+                 ("d_rho", "s_rho")),
+    "merton": (("vega", "sigma"), ("d_mJ", "m_mJ"), ("d_sJ", "m_sJ")),
+    "lv_euler": (), "lv_milstein": (),
+    "gbm": (("vega", "sigma"),),
+}
+
+
+def _ad_exotic_greeks(payoff, S0, K, T, r, q, *, kind, strike_type,
+                      heston=None, sabr=None, merton=None, sigma_loc=None,
+                      sigma=None, scheme="milstein", n_paths=100_000,
+                      n_steps=252, antithetic=True, seed=None,
+                      average_type="arithmetic", barrier_type="up-and-out",
+                      mesh=None, dtype=None, **_ignored) -> dict:
+    """Pathwise-AD Greeks for CONTINUOUS payoffs under non-GBM dynamics.
+
+    One forward-mode Jacobian (``jax.jacfwd``) through the fused scan
+    engine gives per-path derivatives of the discounted payoff w.r.t.
+    (S0, r, T) plus every differentiable model parameter — Heston
+    (v0, κ, θ, ξ, ρ), SABR (α₀, ν, ρ), Merton (σ, m_J, s_J; NOT λ — the
+    Poisson counts' law depends on it, so pathwise differentiation is
+    invalid there) and Dupire local vol (spot/rate/maturity only). The
+    per-path derivative columns yield honest stderrs, and with ``mesh=``
+    the [n, ΣX, ΣX², ΣJ, ΣJ²] sums ride one psum so sharded Greek runs
+    equal the single-device estimator design.
+
+    Pathwise differentiation needs a.e.-differentiable payoffs: barrier
+    and digital raise here (their GBM LR estimators live in
+    :func:`exotic_greeks_mc`; elsewhere use CRN bump-and-reprice).
+    """
+    if payoff not in _PATHWISE_OK:
+        raise ValueError(
+            f"pathwise AD Greeks need a continuous payoff (one of "
+            f"{_PATHWISE_OK}); {payoff!r} under non-GBM dynamics requires "
+            "bump-and-reprice with common random numbers")
+    import numpy as np
+
+    dt_ = canonical(dtype)
+    seed_val = resolve_seed(seed)
+    key = jax.random.key(seed_val)
+
+    if heston is not None:
+        model_kind = "heston"
+    elif sabr is not None:
+        model_kind = "sabr_ln" if float(sabr["beta"]) == 1.0 else "sabr_cev"
+    elif merton is not None:
+        model_kind = "merton"
+        if sigma is None:
+            sigma = merton["sigma"]
+    elif sigma_loc is not None:
+        model_kind = "lv_milstein" if scheme == "milstein" else "lv_euler"
+    else:
+        model_kind = "gbm"   # mesh'd XLA Greek runs route here too
+
+    fixed = dict(
+        S0=jnp.asarray(S0, dt_), K=jnp.asarray(K, dt_),
+        T=jnp.asarray(T, dt_), r=jnp.asarray(r, dt_),
+        q=jnp.asarray(q, dt_),
+        sigma=jnp.asarray(0.0 if sigma is None else sigma, dt_),
+        barrier=jnp.asarray(0.0, dt_), rebate=jnp.asarray(0.0, dt_),
+        payout=jnp.asarray(1.0, dt_), bump=jnp.asarray(0.01, dt_),
+        h_v0=jnp.asarray(heston["v0"] if heston else 0.0, dt_),
+        h_kappa=jnp.asarray(heston["kappa"] if heston else 0.0, dt_),
+        h_theta=jnp.asarray(heston["theta"] if heston else 0.0, dt_),
+        h_xi=jnp.asarray(heston["xi"] if heston else 0.0, dt_),
+        h_rho=jnp.asarray(heston["rho"] if heston else 0.0, dt_),
+        m_lam=jnp.asarray(merton["lam"] if merton else 0.0, dt_),
+        m_mJ=jnp.asarray(merton["mJ"] if merton else 0.0, dt_),
+        m_sJ=jnp.asarray(merton["sJ"] if merton else 0.0, dt_),
+        s_alpha0=jnp.asarray(sabr["alpha0"] if sabr else 0.0, dt_),
+        s_beta=jnp.asarray(sabr["beta"] if sabr else 1.0, dt_),
+        s_nu=jnp.asarray(sabr["nu"] if sabr else 0.0, dt_),
+        s_rho=jnp.asarray(sabr["rho"] if sabr else 0.0, dt_),
+    )
+    names = (("delta", "S0"), ("rho", "r"), ("theta", "T")) \
+        + _AD_PARAMS[model_kind]
+    keys_ = [k for _, k in names]
+    theta0 = jnp.stack([fixed[k] for k in keys_])
+    static = dict(payoff=payoff, kind=kind, n_steps=int(n_steps),
+                  antithetic=bool(antithetic), barrier_type=barrier_type,
+                  average_type=average_type, strike_type=strike_type,
+                  model_kind=model_kind, sigma_loc=sigma_loc, dtype=dt_)
+    exp_ = _exp_for(dt_)
+
+    def _path_X(th, local_key, n_local):
+        f2 = dict(fixed)
+        for i, k in enumerate(keys_):
+            f2[k] = th[i]
+        pay, _ = _fused_paths(local_key, f2, n_paths=n_local, **static)
+        return exp_(-f2["r"] * f2["T"]) * pay
+
+    def _local_sums(local_key, n_local):
+        X = _path_X(theta0, local_key, n_local)
+        J = jax.jacfwd(lambda th: _path_X(th, local_key, n_local))(theta0)
+        cols = jnp.concatenate([X[:, None], J], axis=1)   # (n, 1+k)
+        return jnp.concatenate([
+            jnp.asarray(X.shape[0], dt_)[None],
+            jnp.sum(cols, axis=0), jnp.sum(cols * cols, axis=0)])
+
+    if mesh is None:
+        sums = _local_sums(key, int(n_paths))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import mesh_axes
+
+        axis = mesh_axes(mesh)
+        n_dev = int(mesh.devices.size)
+        n_local = -(-int(n_paths) // n_dev)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+        def shard_fn(dev_ids):
+            local_key = jax.random.fold_in(key, dev_ids[0])
+            return jax.lax.psum(_local_sums(local_key, n_local), axis)
+
+        sums = shard_fn(jnp.arange(n_dev))
+
+    s = np.asarray(jax.device_get(sums), np.float64)
+    k = len(names)
+    n, mean, sq = s[0], s[1:2 + k] / s[0], s[2 + k:] / s[0]
+    se = np.sqrt(np.maximum(0.0, sq - mean * mean) / n)
+    out = {"price": float(mean[0]), "stderr": float(se[0])}
+    for i, (nm, _) in enumerate(names):
+        sgn = -1.0 if nm == "theta" else 1.0     # theta = −dV/dT
+        out[nm] = float(sgn * mean[1 + i])
+        out[f"{nm}_stderr"] = float(se[1 + i])
+    return out
+
+
 def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
                      strike_type: str = "fixed", **kwargs) -> dict:
     """Price + pathwise delta, vega, rho AND theta from ONE run.
@@ -110,9 +268,18 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     if payoff not in _PATHWISE_OK + _LR_OK:
         raise ValueError(f"unknown payoff {payoff!r}; expected one of "
                          f"{_PATHWISE_OK + _LR_OK}")
+    if any(kwargs.get(m) is not None
+           for m in ("heston", "sabr", "merton", "sigma_loc")):
+        # Non-GBM dynamics: pathwise-AD Jacobian through the fused scan
+        # (delta/rho/theta + every differentiable model parameter).
+        return _ad_exotic_greeks(payoff, S0, K, T, r, q, kind=kind,
+                                 strike_type=strike_type, **kwargs)
     if kwargs.get("sigma") is None:
-        raise ValueError("exotic_greeks_mc supports GBM dynamics (sigma=)")
-    from ..ops.pallas_path_mc import path_mc_sumstats_pallas
+        raise ValueError(
+            "exotic_greeks_mc needs dynamics: sigma= (GBM) or one of "
+            "heston=/sabr=/merton=/sigma_loc=")
+    from ..ops.pallas_path_mc import (path_mc_sumstats_pallas,
+                                      path_mc_sumstats_pallas_sharded)
 
     import numpy as np
 
@@ -140,11 +307,20 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
         m = s[i] / n
         return float(m), float(np.sqrt(max(0.0, s[i + 1] / n - m * m) / n))
 
+    mesh = kwargs.get("mesh")
     if use_pallas:
-        s = np.asarray(jax.device_get(path_mc_sumstats_pallas(
-            seed_val, int(kwargs.get("n_paths", 100_000)), n_steps,
-            S0, K, T, r, q, sigma, kind == "call", greek_stats=True,
-            **pk)), np.float64)
+        if mesh is not None:
+            pk_sh = {k: v for k, v in pk.items() if k != "interpret"}
+            raw = path_mc_sumstats_pallas_sharded(
+                mesh, seed_val, int(kwargs.get("n_paths", 100_000)),
+                n_steps, S0, K, T, r, q, sigma, kind == "call",
+                greek_stats=True, **pk_sh)
+        else:
+            raw = path_mc_sumstats_pallas(
+                seed_val, int(kwargs.get("n_paths", 100_000)), n_steps,
+                S0, K, T, r, q, sigma, kind == "call", greek_stats=True,
+                **pk)
+        s = np.asarray(jax.device_get(raw), np.float64)
         n, mX, mY3 = s[0], s[1] / s[0], s[10] / s[0]
         price, se = _estimate_from_stats(s, S0, K, T, r, q, sigma,
                                          kind == "call", "gbm",
@@ -154,6 +330,16 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
         theta, theta_se = _mom(s, 15, n)
         lr_delta, lr_delta_se = _mom(s, 17, n)
         gamma, gamma_se = _mom(s, 19, n)
+    elif mesh is not None:
+        # Mesh without the Pallas kernel (e.g. the CPU harness): the AD
+        # Jacobian path shards with a psum of its moment sums. LR payoffs
+        # have no pathwise derivative, so they need the kernel backend.
+        if use_lr:
+            raise ValueError(
+                "mesh Greek runs for discontinuous payoffs need the "
+                "Pallas backend (TPU); continuous payoffs shard anywhere")
+        return _ad_exotic_greeks(payoff, S0, K, T, r, q, kind=kind,
+                                 strike_type=strike_type, **kwargs)
     else:
         # XLA engine: the same moments from the fused payoff vector
         key = jax.random.key(seed_val)
@@ -840,10 +1026,10 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
     def heston_step(S, v, z1, z2):
         v_eff = jnp.maximum(v, 0.0)  # full truncation
         S_new = S * exp_((fixed["r"] - fixed["q"] - 0.5 * v_eff) * dt
-                         + jnp.sqrt(v_eff) * sqrt_dt * z1)
+                         + _sqrt0(v_eff) * sqrt_dt * z1)
         v_new = jnp.maximum(
             v + fixed["h_kappa"] * (fixed["h_theta"] - v_eff) * dt
-            + fixed["h_xi"] * jnp.sqrt(v_eff) * sqrt_dt * z2, 0.0)
+            + fixed["h_xi"] * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
         return S_new, v_new
 
     def sabr_step(S, sig, z1, z2):
@@ -870,7 +1056,7 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
         drift = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2
                  - fixed["m_lam"] * kappa_j) * dt
         y_sum = fixed["m_mJ"] * kp_counts \
-            + fixed["m_sJ"] * jnp.sqrt(kp_counts) * zj
+            + fixed["m_sJ"] * _sqrt0(kp_counts) * zj
         return S * exp_(drift + fixed["sigma"] * sqrt_dt * z + y_sum)
 
     sv_model = model_kind in ("heston", "sabr_ln", "sabr_cev")

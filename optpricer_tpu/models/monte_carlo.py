@@ -257,17 +257,20 @@ def euro_price_mc(
 def euro_greeks_mc(opt: OptionSpec, kind: str = CALL, *,
                    n_paths: int = 1_000_000, seed: Optional[int] = None,
                    chunk_size: int = 100_000, antithetic: bool = True,
-                   dtype=None, backend: str = "auto") -> dict:
+                   dtype=None, backend: str = "auto", mesh=None) -> dict:
     """All five Greeks + digital price from ONE kernel run.
 
     Under GBM every pathwise/likelihood-ratio Greek is a linear combination
     of the 13 moments the sufficient-statistics kernels accumulate (see
     ``ops.pallas_mc.pallas_greeks`` for the estimators), so the full risk
     ladder costs nothing beyond the pricing run — versus 5 bump re-pricings
-    in the reference (``risk.py``). Returns ``{"price", "delta", "gamma",
+    in the reference (``risk.py``). With ``mesh=`` the 13-moment vector
+    rides one psum over the path-sharded mesh, so Greek runs scale out
+    exactly like pricing runs. Returns ``{"price", "delta", "gamma",
     "vega", "theta", "rho", "digital"}``.
     """
-    from ..ops.pallas_mc import mc_sumstats_pallas, pallas_greeks
+    from ..ops.pallas_mc import (mc_sumstats_pallas,
+                                 mc_sumstats_pallas_sharded, pallas_greeks)
 
     dt = canonical(dtype)
     S0, K, T, r, sigma = opt.S0, opt.K, opt.T, opt.r, opt.sigma
@@ -277,7 +280,11 @@ def euro_greeks_mc(opt: OptionSpec, kind: str = CALL, *,
 
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu")
-    if use_pallas:
+    if mesh is not None:
+        stats_vec = mc_sumstats_pallas_sharded(
+            mesh, seed, n_paths, S0, K, T, r, q, sigma, is_call,
+            antithetic=antithetic)
+    elif use_pallas:
         stats_vec = mc_sumstats_pallas(
             seed, n_paths, S0, K, T, r, q, sigma, is_call,
             antithetic=antithetic, dtype=dt)

@@ -647,13 +647,16 @@ def path_mc_sumstats_pallas_sharded(
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
     heston=None, sabr=None, interpret=None, geo_cv: bool = False,
+    greek_stats: bool = False,
 ):
     """Mesh data-parallel fused path MC: per-device Pallas grids + psum.
 
     Same global-grid split as ``pallas_mc.mc_sumstats_pallas_sharded`` — the
     per-device kernels cover contiguous slices of the global program grid and
     the 10-stat vectors ride one ICI ``psum``, so the multi-chip estimator is
-    the same dual-CV design as single-chip.
+    the same dual-CV design as single-chip. ``greek_stats=True`` (GBM only)
+    psums the full 21-moment layout, so the sharded Greek run is the same
+    estimator as single-chip — Greek ladders scale out like pricing runs.
     """
     from functools import partial as _partial
 
@@ -665,6 +668,8 @@ def path_mc_sumstats_pallas_sharded(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
         svi_slices, scheme, dS_bump, heston, sabr, geo_cv)
+    if greek_stats and static["dynamics"] != "gbm":
+        raise ValueError("greek_stats requires GBM dynamics")
     from ..parallel.mesh import mesh_axes
 
     axis = mesh_axes(mesh)
@@ -682,7 +687,8 @@ def path_mc_sumstats_pallas_sharded(
         seed_arr = jnp.stack([seed_val, offs[0]])
         local = _run_path_kernel(
             seed_arr, params, svi, n_programs=progs_per_dev, reps=reps,
-            interpret=bool(interpret), **static)
+            interpret=bool(interpret), with_greeks=bool(greek_stats),
+            **static)
         return jax.lax.psum(local, axis)
 
     return shard_fn(offsets)
