@@ -202,6 +202,25 @@ def bench_lsmc() -> None:
         f"best={best*1e3:.0f} ms → {512/best:.0f} options/s")
 
 
+def bench_lsmc_bracket() -> None:
+    """Diagnostic: LSMC bias bracket at the headline 200k×50 config —
+    two-pass lower bound + Andersen-Broadie dual upper bound (nested
+    policy rollouts, European-CV + antithetic inner sims)."""
+    from optpricer_tpu import OptionSpec, lsmc_price
+
+    opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.25)
+    run = lambda: lsmc_price(opt, "put", n_paths=200_000, n_steps=50,
+                             seed=1, bound="both")
+    br = run()
+    best, times = best_of(run, 3)
+    lo, lo_se = br["lower"]
+    up, up_se = br["upper"]
+    log(f"[lsmc-bracket] 200k×50 put bracket: {_spread(times)} best="
+        f"{best*1e3:.0f} ms, lower={lo:.4f}±{lo_se:.4f} "
+        f"upper={up:.4f}±{up_se:.4f} gap={br['gap']:.4f} "
+        f"({100*br['gap']/lo:.2f}%)")
+
+
 def bench_qmc_path() -> None:
     """Diagnostic: one-kernel Sobol+bridge QMC Asian vs its exact oracle.
 
@@ -301,6 +320,7 @@ def main():
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
+                     ("lsmc-bracket", bench_lsmc_bracket),
                      ("qmc", bench_qmc), ("qmc-path", bench_qmc_path),
                      ("qmc-path-2^22", bench_qmc_path_large),
                      ("basket", bench_basket),

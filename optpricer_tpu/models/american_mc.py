@@ -87,27 +87,277 @@ def _lsmc_backward(paths, K, r, dt, is_call, *, basis_dim: int):
     return jnp.maximum(mean, intrinsic(paths[0, 0])), se
 
 
+@partial(jax.jit, static_argnames=("basis_dim",))
+def _lsmc_backward_betas(paths, K, r, dt, is_call, *, basis_dim: int):
+    """Backward induction that also RETURNS the per-date regression
+    coefficients — the exercise policy — so a second, independent path set
+    can be priced under a FIXED policy (two-pass LSMC) and the
+    Andersen-Broadie martingale can be built from the same value-function
+    approximation. ``betas[j]`` belongs to exercise date t_{j+1}
+    (j = 0 … n_steps−2)."""
+    dtype = paths.dtype
+    disc = jnp.exp(-jnp.asarray(r, dtype) * dt)
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    ridge = jnp.asarray(1e-7, dtype)
+    eye = jnp.eye(basis_dim, dtype=dtype)
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def date(cashflow, S_t):
+        cont = disc * cashflow
+        ex = intrinsic(S_t)
+        w = (ex > 0.0).astype(dtype)
+        n_itm = jnp.maximum(jnp.sum(w), 1.0)
+        x = S_t / K - 1.0
+        X = jnp.stack([x**p for p in range(basis_dim)], axis=-1)
+        Xw = X * w[:, None]
+        hi = jax.lax.Precision.HIGHEST
+        A = jnp.matmul(Xw.T, X, precision=hi) / n_itm
+        b = jnp.matmul(Xw.T, cont, precision=hi) / n_itm
+        beta = jnp.linalg.solve(A + ridge * eye, b)
+        fitted = jnp.matmul(X, beta, precision=hi)
+        return jnp.where((w > 0.0) & (ex > fitted), ex, cont), beta
+
+    cashflow, betas_rev = jax.lax.scan(date, intrinsic(paths[-1]),
+                                       paths[1:-1][::-1])
+    return betas_rev[::-1]          # date order t_1 … t_{n_steps−1}
+
+
+@partial(jax.jit, static_argnames=("basis_dim",))
+def _lsmc_forward_fixed_policy(paths, betas, K, r, dt, is_call, *,
+                               basis_dim: int):
+    """Price a path set under a FIXED policy (stop when intrinsic exceeds
+    the β-fitted continuation). On a path set independent of the fit this
+    is a genuine LOW-biased estimator — any implementable policy is
+    sub-optimal — with an honest stderr (two-pass LSMC)."""
+    dtype = paths.dtype
+    n_paths = paths.shape[1]
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    r_ = jnp.asarray(r, dtype)
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def date(carry, inp):
+        alive, value = carry
+        S_t, beta, k = inp
+        ex = intrinsic(S_t)
+        x = S_t / K - 1.0
+        X = jnp.stack([x**p for p in range(basis_dim)], axis=-1)
+        fitted = jnp.matmul(X, beta, precision=jax.lax.Precision.HIGHEST)
+        stop = alive & (ex > 0.0) & (ex > fitted)
+        df = jnp.exp(-r_ * dt * k.astype(dtype))
+        value = value + jnp.where(stop, df * ex, 0.0)
+        return (alive & ~stop, value), None
+
+    n_dates = betas.shape[0]
+    ks = jnp.arange(1, n_dates + 1)
+    alive0 = jnp.ones((n_paths,), bool)
+    (alive, value), _ = jax.lax.scan(
+        date, (alive0, jnp.zeros((n_paths,), dtype)),
+        (paths[1:-1], betas, ks))
+    df_T = jnp.exp(-r_ * dt * (n_dates + 1.0))
+    value = value + jnp.where(alive, df_T * intrinsic(paths[-1]), 0.0)
+    mean = jnp.mean(value)
+    se = jnp.sqrt(jnp.maximum(
+        jnp.sum((value - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    return jnp.maximum(mean, intrinsic(paths[0, 0])), se
+
+
+@partial(jax.jit, static_argnames=("basis_dim", "n_inner", "n_steps",
+                                   "n_paths"))
+def _lsmc_dual_upper(key, betas, S0, K, T, r, q, sigma, is_call, *,
+                     basis_dim: int, n_inner: int, n_steps: int,
+                     n_paths: int = 20_000):
+    """Andersen-Broadie (2004) dual UPPER bound, stopping-rule martingale.
+
+    For ANY martingale M, V_0 ≤ E[max_k (Z_k − M_k)] (Rogers / Haugh-
+    Kogan duality; Z_k = time-0-discounted intrinsic). The near-optimal
+    martingale compensates the LOWER-BOUND value process of the fitted
+    policy: L_k = Z_k where the policy stops, else Ĉ_k — the policy's
+    continuation value estimated by ``n_inner`` nested sub-simulations
+    that FOLLOW the policy forward from (k, S_k). (The cheap alternative
+    — a value-function martingale from the regression polynomials — is
+    NOT usable here: β is fitted on ITM paths only, and evaluating the
+    polynomial out-of-region explodes the martingale increments; measured
+    gaps were ~100× worse.) Martingale increments along the outer path:
+
+        M_k − M_{k−1} = L_k − (Ĉ_{k−1} if the policy stopped at k−1
+                               else L_{k−1})
+
+    — exactly E[L_k | F_{k−1}] under the policy, so M is a martingale
+    regardless of policy quality, and sub-simulation noise only ever
+    RAISES E[max]: the estimate stays a valid upper bound in expectation.
+
+    Nested cost is O(n_steps² · n_paths · n_inner) GBM steps, fully
+    vectorised: the inner policy-rollout is a masked full-length scan, so
+    the whole dual is a scan-of-scans — TPU-shaped, no Python loops.
+    """
+    dtype = betas.dtype
+    dt = jnp.asarray(T / n_steps, dtype)
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    r_ = jnp.asarray(r, dtype)
+    c = (r_ - jnp.asarray(q, dtype) - 0.5 * sigma * sigma) * dt
+    sdt = sigma * jnp.sqrt(dt)
+    hi = jax.lax.Precision.HIGHEST
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def policy_stop(S, beta):
+        """Exercise decision of the fitted policy at an interior date."""
+        ex = intrinsic(S)
+        x = S / K - 1.0
+        X = jnp.stack([x**p for p in range(basis_dim)], axis=-1)
+        fitted = jnp.matmul(X, beta, precision=hi)
+        return (ex > 0.0) & (ex > fitted), ex
+
+    # interior-date betas padded with a terminal row (switched on j == N)
+    betas_pad = jnp.concatenate([betas, jnp.zeros((1, basis_dim), dtype)])
+    js = jnp.arange(1, n_steps + 1)
+
+    def euro_value(S, tau):
+        """Time-0-UNdiscounted European value at (S, τ), closed form —
+        the inner control variate's exactly-known mean."""
+        from jax.scipy.stats import norm
+
+        tau_s = jnp.maximum(tau, jnp.asarray(1e-12, dtype))
+        vol = sigma * jnp.sqrt(tau_s)
+        d1 = (jnp.log(S / K) + (r_ - q + 0.5 * sigma * sigma) * tau_s) / vol
+        d2 = d1 - vol
+        fwd = S * jnp.exp(-jnp.asarray(q, dtype) * tau_s)
+        kd = K * jnp.exp(-r_ * tau_s)
+        call = fwd * norm.cdf(d1) - kd * norm.cdf(d2)
+        euro = jnp.where(sign > 0, call, call - fwd + kd)
+        return jnp.where(tau > 0, euro, intrinsic(S))
+
+    half = max(n_inner // 2, 1)
+
+    def continuation(key_k, S_k, k):
+        """Ĉ_k: E[Z_τ | S_k], τ > k under the policy — antithetic policy
+        rollouts per outer path (masked to dates j > k), variance-reduced
+        by the European terminal payoff along the SAME sub-paths, whose
+        conditional mean is the closed form above. Per-estimate noise
+        drops ~20×, which is what keeps the E[max] of the duality
+        functional from inflating the bound (inner noise at stop dates
+        is the dominant gap term otherwise)."""
+        def inner_date(carry, inp):
+            S, alive, val = carry
+            beta_j, j = inp
+            active = j > k
+            zi = jax.random.normal(
+                jax.random.fold_in(key_k, j), (half, S.shape[1]), dtype)
+            zi = jnp.concatenate([zi, -zi], axis=0)
+            S_new = jnp.where(active, S * jnp.exp(c + sdt * zi), S)
+            stop_j, ex = policy_stop(S_new, beta_j)
+            stop = active & alive & (stop_j | (j == n_steps))
+            df = jnp.exp(-r_ * dt * j.astype(dtype))
+            val = val + jnp.where(stop, df * ex, 0.0)
+            return (S_new, alive & ~stop, val), None
+
+        S_in = jnp.broadcast_to(S_k[None, :], (2 * half, S_k.shape[0]))
+        (S_end, _, val), _ = jax.lax.scan(
+            inner_date,
+            (S_in, jnp.ones(S_in.shape, bool), jnp.zeros(S_in.shape, dtype)),
+            (betas_pad, js))
+        tau = dt * jnp.asarray(n_steps - k, dtype)
+        df_k = jnp.exp(-r_ * dt * jnp.asarray(k, dtype))
+        df_N = jnp.exp(-r_ * dt * n_steps)
+        cv = df_N * intrinsic(S_end) - df_k * euro_value(S_k, tau)[None, :]
+        return jnp.mean(val - cv, axis=0)
+
+    key_paths, key_inner = jax.random.split(key)
+    z = jax.random.normal(key_paths, (n_steps, n_paths), dtype)
+    S0v = jnp.full((n_paths,), S0, dtype)
+
+    # L_0 = Ĉ_0 (the policy never exercises at t=0; see lsmc_price)
+    L0 = continuation(jax.random.fold_in(key_inner, 0), S0v, 0)
+    U0 = jnp.full((n_paths,), intrinsic(jnp.asarray(S0, dtype)), dtype)
+
+    def outer_date(carry, inp):
+        S_prev, L_prev, C_prev, stop_prev, M, U = carry
+        z_k, beta, k = inp
+        S_k = S_prev * jnp.exp(c + sdt * z_k)
+        df = jnp.exp(-r_ * dt * k.astype(dtype))
+        stop_k, ex = policy_stop(S_k, beta)
+        stop_k = stop_k | (k == n_steps)
+        Z_k = df * ex
+        C_k = continuation(jax.random.fold_in(key_inner, k), S_k, k)
+        L_k = jnp.where(stop_k, Z_k, C_k)
+        E_L = jnp.where(stop_prev, C_prev, L_prev)
+        M = M + L_k - E_L
+        U = jnp.maximum(U, Z_k - M)
+        return (S_k, L_k, C_k, stop_k, M, U), None
+
+    zerosb = jnp.zeros((n_paths,), bool)
+    (_, _, _, _, _, U), _ = jax.lax.scan(
+        outer_date,
+        (S0v, L0, L0, zerosb, jnp.zeros((n_paths,), dtype), U0),
+        (z, betas_pad, js))
+    mean = jnp.mean(U)
+    se = jnp.sqrt(jnp.maximum(
+        jnp.sum((U - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    return mean, se
+
+
 def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                n_paths: int = 100_000, n_steps: int = 50,
                basis_dim: int = 4, antithetic: bool = True,
                seed: Optional[int] = None, dtype=None,
-               return_stderr: bool = True):
+               return_stderr: bool = True, bound: Optional[str] = None,
+               n_inner: int = 256, n_upper_paths: int = 8_192):
     """American vanilla price via Longstaff-Schwartz.
 
-    Returns ``(price, stderr)`` (reference MC convention). The stderr is the
-    plain cashflow stderr — it does not account for the in-sample regression
-    bias (standard LSMC caveat; the low bias is covered by the CRR/PSOR
-    agreement tests).
+    Default (``bound=None``): single-pass LSMC, returns ``(price,
+    stderr)`` (reference MC convention). The stderr is the plain cashflow
+    stderr — it does not account for the in-sample regression bias.
+
+    ``bound="lower"``: TWO-PASS LSMC — the policy is fitted on one path
+    set and priced on an independent one, making the estimate genuinely
+    low-biased with an honest confidence interval. Returns ``(price,
+    stderr)``.
+
+    ``bound="both"``: additionally computes the Andersen-Broadie dual
+    UPPER bound from the same fitted policy (``n_inner`` one-step inner
+    simulations per path/date over ``n_upper_paths`` fresh paths) and
+    returns ``{"lower": (price, se), "upper": (price, se),
+    "gap": upper − lower}`` — a true bias bracket: the American price
+    lies in [lower − 2se, upper + 2se] with high confidence.
     """
+    if bound not in (None, "lower", "both"):
+        raise ValueError("bound must be None, 'lower' or 'both'")
     dt_ = canonical(dtype)
+    seed_val = resolve_seed(seed)
+    args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
+            jnp.asarray(opt.T / n_steps, dt_),
+            jnp.asarray(is_call_mask(kind)))
     paths = gbm_paths(opt.S0, opt.r, opt.q, opt.sigma, opt.T,
                       n_steps, n_paths, antithetic=antithetic,
-                      seed=resolve_seed(seed), dtype=dt_)
-    price, se = _lsmc_backward(
-        paths, jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
-        jnp.asarray(opt.T / n_steps, dt_), jnp.asarray(is_call_mask(kind)),
-        basis_dim=int(basis_dim))
-    return (float(price), float(se)) if return_stderr else float(price)
+                      seed=seed_val, dtype=dt_)
+    if bound is None:
+        price, se = _lsmc_backward(paths, *args, basis_dim=int(basis_dim))
+        return (float(price), float(se)) if return_stderr else float(price)
+
+    betas = _lsmc_backward_betas(paths, *args, basis_dim=int(basis_dim))
+    # pass 2: an INDEPENDENT path set priced under the frozen policy
+    paths2 = gbm_paths(opt.S0, opt.r, opt.q, opt.sigma, opt.T,
+                       n_steps, n_paths, antithetic=antithetic,
+                       seed=seed_val + 0x5EED, dtype=dt_)
+    lo, lo_se = _lsmc_forward_fixed_policy(paths2, betas, *args,
+                                           basis_dim=int(basis_dim))
+    if bound == "lower":
+        return float(lo), float(lo_se)
+    key_up = jax.random.fold_in(jax.random.key(seed_val), 0xAB)
+    up, up_se = _lsmc_dual_upper(
+        key_up, betas, jnp.asarray(opt.S0, dt_), jnp.asarray(opt.K, dt_),
+        jnp.asarray(opt.T, dt_), jnp.asarray(opt.r, dt_),
+        jnp.asarray(opt.q, dt_), jnp.asarray(opt.sigma, dt_), args[3],
+        basis_dim=int(basis_dim), n_inner=int(n_inner),
+        n_steps=int(n_steps), n_paths=int(n_upper_paths))
+    return {"lower": (float(lo), float(lo_se)),
+            "upper": (float(up), float(up_se)),
+            "gap": float(up) - float(lo)}
 
 
 @partial(jax.jit, static_argnames=("basis_dim",))

@@ -110,3 +110,40 @@ class TestLsmcSharded:
         a = lsmc_price_sharded(mesh, opt, "put", **kw)
         b = lsmc_price_sharded(mesh, opt, "put", **kw)
         assert a == b and np.isfinite(a[0])
+
+
+class TestBiasBracket:
+    """Two-pass lower bound + Andersen-Broadie dual upper bound
+    (lsmc_price(bound=...)): the converged lattice price must sit inside
+    the bracket, and the bracket must be ordered and reasonably tight."""
+
+    OPT = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.25)
+
+    def test_lattice_inside_bracket(self):
+        ref = crr(self.OPT, "put", N=4000, american=True)
+        br = lsmc_price(self.OPT, "put", n_paths=50_000, n_steps=16,
+                        seed=0, bound="both", n_inner=128,
+                        n_upper_paths=2_000, dtype="float64")
+        lo, lo_se = br["lower"]
+        up, up_se = br["upper"]
+        assert lo - 3 * lo_se < ref < up + 3 * up_se
+        assert up > lo
+        assert br["gap"] < 0.02 * ref          # tightness sanity
+
+    def test_two_pass_is_low_biased_estimator(self):
+        # the fixed-policy second pass must agree with single-pass LSMC
+        # within noise and sit at/below the lattice price
+        ref = crr(self.OPT, "put", N=4000, american=True)
+        lo, lo_se = lsmc_price(self.OPT, "put", n_paths=100_000,
+                               n_steps=16, seed=1, bound="lower",
+                               dtype="float64")
+        single, s_se = lsmc_price(self.OPT, "put", n_paths=100_000,
+                                  n_steps=16, seed=1, dtype="float64")
+        assert abs(lo - single) < 5 * np.hypot(lo_se, s_se)
+        assert lo < ref + 3 * lo_se
+
+    def test_invalid_bound_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="bound"):
+            lsmc_price(self.OPT, "put", bound="upper")
