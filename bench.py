@@ -279,6 +279,28 @@ def bench_basket() -> None:
         f"price={px:.4f} ± {se:.1e}")
 
 
+def bench_basket_path() -> None:
+    """Diagnostic: path-dependent multi-asset — 10-asset Asian basket,
+    per-step correlation as an MXU matmul inside one scan."""
+    from optpricer_tpu import basket_exotic_mc
+
+    a = 10
+    rng = np.random.default_rng(2)
+    corr = 0.35 * np.ones((a, a)) + 0.65 * np.eye(a)
+    S0s = rng.uniform(60, 140, a)
+    sig = rng.uniform(0.15, 0.4, a)
+    w = np.ones(a) / a
+    kw = dict(sigmas=sig, corr=corr, payoff="asian_basket", n_steps=64,
+              n_paths=1 << 18, seed=3)
+    run = lambda: basket_exotic_mc(S0s, w, float(S0s.mean()), 1.0, 0.03,
+                                   **kw)
+    px, se = run()
+    best, times = best_of(run, 5)
+    log(f"[basket-path] 10-asset Asian basket 2^19×64 steps: "
+        f"{_spread(times)} best={best*1e3:.0f} ms, "
+        f"price={px:.4f} ± {se:.1e}")
+
+
 def bench_heston_cos() -> None:
     """Diagnostic: Heston COS strike-batch throughput (one complex matvec)."""
     from optpricer_tpu import heston_price_cos
@@ -324,6 +346,7 @@ def main():
                      ("qmc", bench_qmc), ("qmc-path", bench_qmc_path),
                      ("qmc-path-2^22", bench_qmc_path_large),
                      ("basket", bench_basket),
+                     ("basket-path", bench_basket_path),
                      ("heston-cos", bench_heston_cos)):
         try:  # secondary metrics must not break the bench line
             fn()

@@ -97,7 +97,8 @@ from .models.analytic import (merton_price, heston_price_cos,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos)
 from .models.basket import (basket_price_mc, basket_greeks_mc,
-                            geometric_basket_price, margrabe_price)
+                            basket_exotic_mc, geometric_basket_price,
+                            margrabe_price)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -134,7 +135,8 @@ __all__ = [
     "merton_price", "heston_price_cos", "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",
-    "basket_price_mc", "basket_greeks_mc", "geometric_basket_price",
+    "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
+    "geometric_basket_price",
     "margrabe_price",
     "ad_greeks", "portfolio_risk_fast",
 ]

@@ -30,10 +30,11 @@ from ..dtypes import canonical
 from ..ops import stats as stats_ops
 from .monte_carlo import resolve_seed
 
-__all__ = ["basket_price_mc", "basket_greeks_mc",
+__all__ = ["basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
            "geometric_basket_price", "margrabe_price"]
 
 _PAYOFFS = ("basket", "spread", "rainbow_max", "rainbow_min")
+_PATH_PAYOFFS = ("asian_basket", "worstof_barrier", "basket_barrier")
 
 
 def _norm_cdf(x):
@@ -202,6 +203,164 @@ def basket_price_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
     n, mX = s[0], s[1] / s[0]
     vX = max(0.0, s[2] / s[0] - mX * mX)
     return float(mX), float(_np.sqrt(vX / n))
+
+
+@partial(jax.jit, static_argnames=("payoff", "is_call", "n_paths", "n_steps",
+                                   "antithetic", "n_assets", "barrier_up",
+                                   "knock_in", "dtype"))
+def _basket_path_stats(key, S0s, w, K, T, r, qs, sigmas, chol, barrier,
+                       rebate, *, payoff, is_call, n_paths, n_steps,
+                       antithetic, n_assets, barrier_up, knock_in, dtype):
+    """(6,) CV sufficient statistics for a PATH-DEPENDENT multi-asset
+    payoff: one ``lax.scan`` over time, correlation applied per step as a
+    ``z @ Lᵀ`` MXU matmul, O(n_paths · n_assets) carry (log-spots +
+    payoff aggregates — no (steps, paths, assets) tensor ever exists).
+    Y = discounted terminal basket value, the model-free control with
+    E[Y] = Σw_i·S0_i·e^{−q_i T}."""
+    dt_ = dtype
+    dt = T / n_steps
+    sqdt = jnp.sqrt(dt)
+    n_eff = 2 * n_paths if antithetic else n_paths
+    drift = (r - qs - 0.5 * sigmas ** 2) * dt
+    voldt = sigmas * sqdt
+    sign = 1.0 if is_call else -1.0
+
+    logS0 = jnp.log(S0s)
+    B0 = S0s @ w
+    m0 = jnp.min(S0s)
+    lvl0 = B0 if payoff == "basket_barrier" else m0
+    crossed0 = (lvl0 >= barrier) if barrier_up else (lvl0 <= barrier)
+
+    carry0 = (
+        jnp.broadcast_to(logS0, (n_eff, n_assets)),
+        jnp.zeros((n_eff,), dt_),                  # running basket sum
+        jnp.full((n_eff,), crossed0),              # crossed flag
+    )
+
+    def step(carry, t):
+        logS, run_sum, crossed = carry
+        z = jax.random.normal(jax.random.fold_in(key, t),
+                              (n_paths, n_assets), dt_)
+        if antithetic:
+            z = jnp.concatenate([z, -z], axis=0)
+        x = jnp.matmul(z, chol.T,
+                       precision=jax.lax.Precision.HIGHEST)
+        logS = logS + drift[None, :] + voldt[None, :] * x
+        S = jnp.exp(logS)
+        B = S @ w
+        run_sum = run_sum + B
+        lvl = B if payoff == "basket_barrier" else jnp.min(S, axis=1)
+        hit = (lvl >= barrier) if barrier_up else (lvl <= barrier)
+        crossed = crossed | hit
+        return (logS, run_sum, crossed), None
+
+    (logS, run_sum, crossed), _ = jax.lax.scan(
+        step, carry0, jnp.arange(n_steps))
+    S_T = jnp.exp(logS)
+    B_T = S_T @ w
+
+    def vanilla(x):
+        return jnp.maximum(sign * (x - K), 0.0)
+
+    if payoff == "asian_basket":
+        pay = vanilla(run_sum / n_steps)           # t=0 excluded, as in
+    else:                                          # the single-asset asian
+        live = vanilla(jnp.min(S_T, axis=1)
+                       if payoff == "worstof_barrier" else B_T)
+        pay = jnp.where(crossed, live if knock_in else rebate,
+                        rebate if knock_in else live)
+    df = jnp.exp(-r * T)
+    X = df * pay
+    Y = df * B_T
+    return jnp.stack([jnp.asarray(X.size, dt_), jnp.sum(X), jnp.sum(X * X),
+                      jnp.sum(Y), jnp.sum(Y * Y), jnp.sum(X * Y)])
+
+
+def basket_exotic_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
+                     payoff: str = "asian_basket", kind: str = "call",
+                     barrier: float = 0.0,
+                     barrier_type: str = "down-and-in",
+                     rebate: float = 0.0, n_steps: int = 64,
+                     n_paths: int = 131_072, antithetic: bool = True,
+                     control_variate: bool = True, seed=None, dtype=None,
+                     mesh=None):
+    """PATH-DEPENDENT multi-asset pricing: correlated-GBM time stepping.
+
+    ``payoff``:
+      * ``"asian_basket"`` — max(sign·(mean_t Σw_i S_i(t) − K), 0), the
+        arithmetic average over the ``n_steps`` monitoring dates
+        (t=0 excluded, single-asset asian convention).
+      * ``"worstof_barrier"`` — barrier monitored on the worst asset
+        min_i S_i(t) (t=0 included); terminal vanilla on the worst
+        terminal spot. ``barrier_type`` in up/down × in/out. The
+        1-asset limit reduces EXACTLY to the single-asset barrier
+        semantics of :func:`~optpricer_tpu.models.mc_fused.exotic_price_mc`.
+      * ``"basket_barrier"`` — barrier monitored on the basket value
+        Σw_i S_i(t); terminal vanilla on the basket.
+
+    One ``lax.scan`` over time; per-step correlation is a ``z @ Lᵀ``
+    matmul on the MXU, so 100 assets step almost as fast as 2. Carry is
+    O(n_paths·n_assets) — no path tensor. ``mesh=`` shards paths with
+    one 6-stat psum (identical estimator to single-chip). The terminal
+    basket spot is the control variate (E[Y] model-free); disable with
+    ``control_variate=False``. Returns ``(price, stderr)``.
+    """
+    if payoff not in _PATH_PAYOFFS:
+        raise ValueError(f"payoff must be one of {_PATH_PAYOFFS}")
+    dt_ = canonical(dtype)
+    S0s = np.atleast_1d(np.asarray(S0s, np.float64))
+    a = S0s.size
+    w = np.atleast_1d(np.asarray(weights, np.float64))
+    qs = np.zeros(a) if qs is None else np.atleast_1d(
+        np.asarray(qs, np.float64))
+    sig = np.atleast_1d(np.asarray(sigmas, np.float64))
+    corr = np.asarray(corr, np.float64)
+    if not (w.shape == qs.shape == sig.shape == (a,)) \
+            or corr.shape != (a, a):
+        raise ValueError("S0s, weights, qs, sigmas must be length-a "
+                         "vectors and corr an (a, a) matrix")
+    chol = np.linalg.cholesky(corr)
+    args = (jnp.asarray(S0s, dt_), jnp.asarray(w, dt_),
+            jnp.asarray(K, dt_), jnp.asarray(T, dt_), jnp.asarray(r, dt_),
+            jnp.asarray(qs, dt_), jnp.asarray(sig, dt_),
+            jnp.asarray(chol, dt_), jnp.asarray(barrier, dt_),
+            jnp.asarray(rebate, dt_))
+    static = dict(payoff=payoff, is_call=kind == "call",
+                  n_steps=int(n_steps), antithetic=bool(antithetic),
+                  n_assets=a, barrier_up=barrier_type.startswith("up"),
+                  knock_in=barrier_type.endswith("in"), dtype=dt_)
+    key = jax.random.key(resolve_seed(seed))
+
+    if mesh is None:
+        s = _basket_path_stats(key, *args, n_paths=int(n_paths), **static)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import mesh_axes
+
+        axis = mesh_axes(mesh)
+        n_dev = int(mesh.devices.size)
+        n_local = -(-int(n_paths) // n_dev)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
+                 check_vma=False)
+        def shard_fn(ids):
+            local = _basket_path_stats(
+                jax.random.fold_in(key, 0x8A5E + ids[0]), *args,
+                n_paths=n_local, **static)
+            return jax.lax.psum(local, axis)
+
+        s = shard_fn(jnp.arange(n_dev))
+
+    s = np.asarray(jax.device_get(s), np.float64)
+    if control_variate:
+        # Y = e^{−rT}·B_T and E[B_T] = Σw_i·S0_i·e^{(r−q_i)T}, so
+        # E[Y] = Σw_i·S0_i·e^{−q_i T} — model-free under any Q drift.
+        ey = float(np.sum(w * S0s * np.exp(-qs * float(T))))
+        return stats_ops.cv_mean_se_np(s, ey)
+    n, mX = s[0], s[1] / s[0]
+    vX = max(0.0, s[2] / s[0] - mX * mX)
+    return float(mX), float(np.sqrt(vX / n))
 
 
 @partial(jax.jit, static_argnames=("payoff", "is_call", "n_paths",

@@ -197,3 +197,129 @@ class TestBasketGreeks:
                              payoff="rainbow_max", seed=6, dtype="float64")
         assert abs(g["delta"][0] - g["delta"][1]) \
             < 6.0 * (g["delta_stderr"][0] + g["delta_stderr"][1])
+
+
+class TestBasketExotic:
+    """Path-dependent multi-asset engine (basket_exotic_mc): 1-asset
+    limits reduce exactly to the single-asset engine's semantics, the
+    multi-asset case matches an independent path-matrix oracle, and the
+    mesh run agrees statistically."""
+
+    CORR = np.array([[1.0, 0.5, 0.3], [0.5, 1.0, 0.4], [0.3, 0.4, 1.0]])
+    SIG = np.array([0.2, 0.3, 0.25])
+    S0 = np.array([100.0, 95.0, 105.0])
+    W = np.array([0.4, 0.3, 0.3])
+
+    def test_one_asset_limit_asian(self):
+        from optpricer_tpu import basket_exotic_mc, exotic_price_mc
+
+        kw = dict(n_steps=16, n_paths=200_000, seed=5)
+        p_b, se_b = basket_exotic_mc([100.0], [1.0], 100.0, 1.0, 0.04,
+                                     sigmas=[0.2], corr=[[1.0]],
+                                     payoff="asian_basket", **kw)
+        p_s, se_s = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.04,
+                                    sigma=0.2, backend="xla",
+                                    dtype="float64", **kw)
+        assert abs(p_b - p_s) < 5 * np.hypot(se_b, se_s)
+
+    @pytest.mark.parametrize("btype", ["up-and-out", "down-and-in"])
+    def test_one_asset_limit_barrier(self, btype):
+        from optpricer_tpu import basket_exotic_mc, exotic_price_mc
+
+        barrier = 130.0 if btype.startswith("up") else 80.0
+        kw = dict(n_steps=16, n_paths=200_000, seed=5)
+        p_b, se_b = basket_exotic_mc([100.0], [1.0], 100.0, 1.0, 0.04,
+                                     sigmas=[0.2], corr=[[1.0]],
+                                     payoff="worstof_barrier",
+                                     barrier=barrier, barrier_type=btype,
+                                     **kw)
+        p_s, se_s = exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.04,
+                                    sigma=0.2, barrier=barrier,
+                                    barrier_type=btype, backend="xla",
+                                    dtype="float64", **kw)
+        assert abs(p_b - p_s) < 5 * np.hypot(se_b, se_s) + 1e-3
+
+    def test_asian_basket_vs_path_matrix_oracle(self):
+        from optpricer_tpu import basket_exotic_mc
+
+        rng = np.random.default_rng(0)
+        n, m, r, T = 200_000, 16, 0.03, 1.0
+        L = np.linalg.cholesky(self.CORR)
+        dt = T / m
+        z = rng.standard_normal((m, n, 3)) @ L.T
+        logS = np.log(self.S0) + np.cumsum(
+            (r - 0.5 * self.SIG**2) * dt
+            + self.SIG * np.sqrt(dt) * z, axis=0)
+        B = np.exp(logS) @ self.W
+        pay = np.maximum(B.mean(axis=0) - 100.0, 0.0)
+        oracle = np.exp(-r * T) * pay.mean()
+        ose = np.exp(-r * T) * pay.std() / np.sqrt(n)
+        p, se = basket_exotic_mc(self.S0, self.W, 100.0, T, r,
+                                 sigmas=self.SIG, corr=self.CORR,
+                                 payoff="asian_basket", n_steps=m,
+                                 n_paths=n, seed=9)
+        assert abs(p - oracle) < 5 * np.hypot(se, ose)
+
+    def test_worstof_knockin_knockout_parity(self):
+        # in + out = unconditional terminal worst-of vanilla
+        from optpricer_tpu import basket_exotic_mc
+
+        kw = dict(sigmas=self.SIG, corr=self.CORR, n_steps=16,
+                  n_paths=100_000, control_variate=False)
+        p_in, se_i = basket_exotic_mc(self.S0, self.W, 90.0, 1.0, 0.03,
+                                      payoff="worstof_barrier", kind="put",
+                                      barrier=80.0,
+                                      barrier_type="down-and-in", seed=3,
+                                      **kw)
+        p_out, se_o = basket_exotic_mc(self.S0, self.W, 90.0, 1.0, 0.03,
+                                       payoff="worstof_barrier",
+                                       kind="put", barrier=80.0,
+                                       barrier_type="down-and-out", seed=3,
+                                       **kw)
+        # same seed → same paths → parity is EXACT up to f32 roundoff
+        rng = np.random.default_rng(1)
+        # unconditional worst-of put oracle via fresh matrix
+        n, m, r, T = 200_000, 16, 0.03, 1.0
+        L = np.linalg.cholesky(self.CORR)
+        dt = T / m
+        z = rng.standard_normal((m, n, 3)) @ L.T
+        logS = np.log(self.S0) + np.cumsum(
+            (r - 0.5 * self.SIG**2) * dt
+            + self.SIG * np.sqrt(dt) * z, axis=0)
+        worst = np.exp(logS[-1]).min(axis=1)
+        pay = np.maximum(90.0 - worst, 0.0)
+        oracle = np.exp(-r * T) * pay.mean()
+        ose = np.exp(-r * T) * pay.std() / np.sqrt(n)
+        assert abs((p_in + p_out) - oracle) < 5 * np.hypot(
+            np.hypot(se_i, se_o), ose)
+
+    def test_cv_tightens_asian_basket(self):
+        from optpricer_tpu import basket_exotic_mc
+
+        kw = dict(sigmas=self.SIG, corr=self.CORR, n_steps=8,
+                  n_paths=50_000, seed=7)
+        _, se_cv = basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
+                                    payoff="asian_basket", **kw)
+        _, se_raw = basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
+                                     payoff="asian_basket",
+                                     control_variate=False, **kw)
+        assert se_cv < se_raw
+
+    def test_mesh_statistical_agreement(self):
+        from optpricer_tpu import basket_exotic_mc
+        from optpricer_tpu.parallel import get_mesh
+
+        kw = dict(sigmas=self.SIG, corr=self.CORR, n_steps=16,
+                  n_paths=200_000, seed=9, payoff="asian_basket")
+        p1, se1 = basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03, **kw)
+        p8, se8 = basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
+                                   mesh=get_mesh(8), **kw)
+        assert abs(p8 - p1) < 5 * np.hypot(se1, se8)
+
+    def test_unknown_payoff_raises(self):
+        from optpricer_tpu import basket_exotic_mc
+
+        with pytest.raises(ValueError, match="payoff"):
+            basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
+                             sigmas=self.SIG, corr=self.CORR,
+                             payoff="nope")
