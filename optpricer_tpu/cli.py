@@ -90,6 +90,60 @@ def _run_greeks(ns) -> str:
     return "\n".join(f"{name:<6} {g[name]: .10f}" for name in order)
 
 
+def _run_lsmc(ns) -> str:
+    from .models.american_mc import lsmc_price
+
+    kw = dict(n_paths=ns.n_paths, n_steps=ns.n_steps, seed=ns.seed)
+    if ns.bound:
+        br = lsmc_price(_spec_of(ns), ns.kind, bound="both", **kw)
+        lo, lo_se = br["lower"]
+        up, up_se = br["upper"]
+        return (f"lower  {lo:.10f}  (stderr {lo_se:.10f})\n"
+                f"upper  {up:.10f}  (stderr {up_se:.10f})\n"
+                f"gap    {br['gap']:.10f}")
+    value, stderr = lsmc_price(_spec_of(ns), ns.kind, **kw)
+    return f"{value:.10f}  (stderr {stderr:.10f})"
+
+
+def _run_qmc(ns) -> str:
+    from .models.mc_fused import exotic_price_mc
+
+    value, stderr = exotic_price_mc(
+        ns.payoff, ns.S0, ns.K, ns.T, ns.r, ns.q, sigma=ns.sigma,
+        kind=ns.kind, backend="qmc", n_paths=ns.n_paths,
+        n_steps=ns.n_steps, seed=ns.seed, barrier=ns.barrier,
+        barrier_type=ns.barrier_type, average_type=ns.average_type,
+        strike_type=ns.strike_type, payout=ns.payout)
+    return f"{value:.10f}  (stderr {stderr:.10f})"
+
+
+def _csv_floats(text: str):
+    return [float(x) for x in text.split(",") if x.strip()]
+
+
+def _run_basket(ns) -> str:
+    import numpy as np
+
+    from .models.basket import basket_exotic_mc, basket_price_mc
+
+    S0s = _csv_floats(ns.S0s)
+    a = len(S0s)
+    sigmas = _csv_floats(ns.sigmas)
+    weights = _csv_floats(ns.weights) if ns.weights else [1.0 / a] * a
+    corr = ns.rho * np.ones((a, a)) + (1.0 - ns.rho) * np.eye(a)
+    common = dict(sigmas=sigmas, corr=corr, kind=ns.kind,
+                  n_paths=ns.n_paths, seed=ns.seed)
+    if ns.payoff in ("asian_basket", "worstof_barrier", "basket_barrier"):
+        value, stderr = basket_exotic_mc(
+            S0s, weights, ns.K, ns.T, ns.r, payoff=ns.payoff,
+            barrier=ns.barrier, barrier_type=ns.barrier_type,
+            n_steps=ns.n_steps, **common)
+    else:
+        value, stderr = basket_price_mc(S0s, weights, ns.K, ns.T, ns.r,
+                                        payoff=ns.payoff, **common)
+    return f"{value:.10f}  (stderr {stderr:.10f})"
+
+
 # engine name -> (help text, extra flags, runner)
 _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
     "bs": ("Black-Scholes price", (), _run_bs),
@@ -120,7 +174,52 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),
         ("--seed", dict(type=int, default=None)),
     ), _run_greeks),
+    "lsmc": ("American price via Longstaff-Schwartz MC", (
+        ("--n-paths", dict(dest="n_paths", type=int, default=100_000)),
+        ("--n-steps", dict(dest="n_steps", type=int, default=50)),
+        ("--seed", dict(type=int, default=None)),
+        ("--bound", dict(action="store_true",
+                         help="two-pass lower + Andersen-Broadie upper "
+                              "bound bracket")),
+    ), _run_lsmc),
+    "qmc": ("Randomised-QMC path pricer (Sobol + Brownian bridge)", (
+        ("--payoff", dict(default="vanilla",
+                          choices=("vanilla", "asian", "barrier",
+                                   "digital", "lookback"))),
+        ("--n-paths", dict(dest="n_paths", type=int, default=65_536,
+                           help="points per replicate (x8 shifts)")),
+        ("--n-steps", dict(dest="n_steps", type=int, default=64)),
+        ("--seed", dict(type=int, default=0)),
+        ("--barrier", dict(type=float, default=0.0)),
+        ("--barrier-type", dict(dest="barrier_type",
+                                default="up-and-out")),
+        ("--average-type", dict(dest="average_type",
+                                default="arithmetic")),
+        ("--strike-type", dict(dest="strike_type", default="fixed")),
+        ("--payout", dict(type=float, default=1.0)),
+    ), _run_qmc),
 }
+
+# multi-asset subcommand: its own market block (vector-valued flags)
+_BASKET_FLAGS = (
+    ("--S0s", dict(required=True, help="comma-separated spots")),
+    ("--sigmas", dict(required=True, help="comma-separated vols")),
+    ("--weights", dict(default="", help="comma-separated (default equal)")),
+    ("--rho", dict(type=float, default=0.3,
+                   help="constant pairwise correlation")),
+    ("--K", dict(type=float, required=True)),
+    ("--T", dict(type=float, required=True)),
+    ("--r", dict(type=float, required=True)),
+    ("--payoff", dict(default="basket",
+                      choices=("basket", "spread", "rainbow_max",
+                               "rainbow_min", "asian_basket",
+                               "worstof_barrier", "basket_barrier"))),
+    ("--barrier", dict(type=float, default=0.0)),
+    ("--barrier-type", dict(dest="barrier_type", default="down-and-in")),
+    ("--n-steps", dict(dest="n_steps", type=int, default=64)),
+    ("--n-paths", dict(dest="n_paths", type=int, default=262_144)),
+    ("--seed", dict(type=int, default=None)),
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -134,6 +233,13 @@ def build_parser() -> argparse.ArgumentParser:
         sub.add_argument("--kind", type=_parse_kind, default=CALL,
                          help="call|put")
         sub.set_defaults(runner=runner)
+    sub = subs.add_parser("basket", help="multi-asset MC "
+                          "(terminal + path-dependent payoffs)")
+    for flag, kw in _BASKET_FLAGS:
+        sub.add_argument(flag, **kw)
+    sub.add_argument("--kind", type=_parse_kind, default=CALL,
+                     help="call|put")
+    sub.set_defaults(runner=_run_basket)
     return root
 
 

@@ -8,6 +8,12 @@ batch. The TPU difference: all vanilla BS rows are priced in ONE fused
 vectorised kernel call (the reference loops rows), and Greeks for the whole
 book are one batched call.
 
+Methods beyond the reference's (bs/binomial/mc/exotic): ``lsmc``
+(American via Longstaff-Schwartz), ``qmc`` (randomised-QMC path pricer,
+reuses the exotic columns), and ``basket`` (multi-asset — the S0/sigma
+cells hold ';'-separated per-asset values, with optional ``weights``,
+``rho`` and ``basket_payoff`` columns).
+
 Usage:
     python scripts/price_book.py --input portfolio.csv --output prices.csv
     python scripts/price_book.py --input portfolio.csv --output prices.json --greeks
@@ -40,12 +46,14 @@ GREEK_KEYS = ("delta", "gamma", "vega", "theta", "rho")
 
 def _price_row(row: dict, compute_greeks: bool) -> dict:
     rid = row.get("id", "")
-    S0, K, T = float(row["S0"]), float(row["K"]), float(row["T"])
-    r, sigma = float(row["r"]), float(row["sigma"])
-    q = float(row.get("q", 0.0) or 0.0)
-    kind = row["kind"].strip().lower()
     method = row["method"].strip().lower()
+    kind = row["kind"].strip().lower()
+    K, T, r = float(row["K"]), float(row["T"]), float(row["r"])
+    q = float(row.get("q", 0.0) or 0.0)
     result = {"id": rid, "price": None, "stderr": None}
+    if method != "basket":
+        # basket rows carry ';'-separated per-asset values in these cells
+        S0, sigma = float(row["S0"]), float(row["sigma"])
 
     if method == "bs":
         result["price"] = float(bs_price_vec(S0, K, T, r, q, sigma, kind))
@@ -82,6 +90,61 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
                 strike_type=row.get("strike_type", "floating").strip().lower())
         else:
             raise ValueError(f"Unknown exotic_type: {exotic_type!r}")
+        result["price"], result["stderr"] = px, se
+    elif method == "lsmc":
+        from optpricer_tpu import lsmc_price
+
+        opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
+        px, se = lsmc_price(
+            opt, kind, n_paths=int(row.get("n_paths", 100_000) or 100_000),
+            n_steps=int(row.get("n_steps", 50) or 50), seed=1)
+        result["price"], result["stderr"] = px, se
+    elif method == "qmc":
+        from optpricer_tpu import exotic_price_mc
+
+        px, se = exotic_price_mc(
+            row.get("exotic_type", "vanilla").strip().lower() or "vanilla",
+            S0, K, T, r, q, sigma=sigma, kind=kind, backend="qmc",
+            n_paths=int(row.get("n_paths", 65_536) or 65_536),
+            n_steps=int(row.get("n_steps", 64) or 64), seed=1,
+            barrier=float(row.get("barrier", 0.0) or 0.0),
+            barrier_type=(row.get("barrier_type", "up-and-out")
+                          or "up-and-out").strip().lower(),
+            average_type=(row.get("average_type", "arithmetic")
+                          or "arithmetic").strip().lower(),
+            strike_type=(row.get("strike_type", "fixed")
+                         or "fixed").strip().lower(),
+            payout=float(row.get("payout", 1.0) or 1.0))
+        result["price"], result["stderr"] = px, se
+    elif method == "basket":
+        # multi-asset rows: S0/sigma cells hold ';'-separated per-asset
+        # values; optional 'weights' (';'-separated, default equal) and
+        # 'rho' (constant pairwise correlation) columns
+        import numpy as _np
+
+        from optpricer_tpu import basket_exotic_mc, basket_price_mc
+
+        S0s = [float(x) for x in str(row["S0"]).split(";")]
+        sigs = [float(x) for x in str(row["sigma"]).split(";")]
+        a = len(S0s)
+        wcell = str(row.get("weights", "") or "").strip()
+        w = ([float(x) for x in wcell.split(";")] if wcell
+             else [1.0 / a] * a)
+        rho = float(row.get("rho", 0.3) or 0.3)
+        corr = rho * _np.ones((a, a)) + (1.0 - rho) * _np.eye(a)
+        bp = (row.get("basket_payoff", "basket") or "basket").strip().lower()
+        common = dict(sigmas=sigs, corr=corr, kind=kind,
+                      n_paths=int(row.get("n_paths", 262_144) or 262_144),
+                      seed=1)
+        if bp in ("asian_basket", "worstof_barrier", "basket_barrier"):
+            px, se = basket_exotic_mc(
+                S0s, w, K, T, r, payoff=bp,
+                barrier=float(row.get("barrier", 0.0) or 0.0),
+                barrier_type=(row.get("barrier_type", "down-and-in")
+                              or "down-and-in").strip().lower(),
+                n_steps=int(row.get("n_steps", 64) or 64), **common)
+        else:
+            px, se = basket_price_mc(S0s, w, K, T, r, payoff=bp, **common)
         result["price"], result["stderr"] = px, se
     else:
         raise ValueError(f"Unknown method: {method!r}")

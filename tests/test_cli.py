@@ -94,6 +94,47 @@ class TestPriceBookScript:
         # bad method captured per-row, doesn't abort the batch
         assert results[4]["price"] is None and "error" in results[4]
 
+    def test_new_methods(self, tmp_path):
+        """lsmc / qmc / basket rows price end-to-end through the book."""
+        book = tmp_path / "book.csv"
+        fields = ["id", "S0", "K", "T", "r", "sigma", "q", "kind",
+                  "method", "exotic_type", "barrier", "barrier_type",
+                  "n_paths", "n_steps", "weights", "rho", "basket_payoff"]
+        rows = [
+            dict(id="l1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="put", method="lsmc", n_paths=20000, n_steps=25),
+            dict(id="q1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="qmc", exotic_type="asian",
+                 n_paths=4096, n_steps=16),
+            dict(id="b1", S0="100;95;105", K=100, T=1, r=0.03,
+                 sigma="0.2;0.25;0.18", q=0, kind="call", method="basket",
+                 n_paths=32768, rho=0.3, basket_payoff="basket"),
+            dict(id="b2", S0="100;95", K=100, T=1, r=0.03,
+                 sigma="0.2;0.25", q=0, kind="call", method="basket",
+                 n_paths=16384, n_steps=16, rho=0.3,
+                 basket_payoff="asian_basket"),
+        ]
+        with open(book, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            w.writeheader()
+            for row in rows:
+                w.writerow({k: row.get(k, "") for k in fields})
+        out = tmp_path / "out.json"
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts/price_book.py"),
+             "--input", str(book), "--output", str(out)],
+            capture_output=True, text=True, cwd=REPO,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": str(REPO)},
+        )
+        assert proc.returncode == 0, proc.stderr
+        results = {r["id"]: r for r in json.loads(out.read_text())}
+        assert abs(results["l1"]["price"] - 6.09) < 0.15
+        assert abs(results["q1"]["price"] - 6.054) < 0.05
+        assert results["b1"]["price"] > results["b2"]["price"] > 0
+        for r in results.values():
+            assert r["stderr"] is not None and "error" not in r
+
 
 class TestCalibrateScript:
     def test_end_to_end(self, tmp_path):
@@ -179,3 +220,55 @@ class TestCLIExtensions:
         assert set(rows) == {"price", "delta", "gamma", "vega", "theta",
                              "rho"}
         assert abs(float(rows["delta"]) - 0.6368) < 0.02
+
+    def test_lsmc(self, capsys):
+        _run_cli("lsmc", *self.COMMON, "--kind", "put", "--n-paths",
+                 "20000", "--n-steps", "25", "--seed", "0")
+        out = capsys.readouterr().out.strip()
+        px = float(out.split()[0])
+        # CRR-converged American put ~6.09; LSMC within MC noise
+        assert abs(px - 6.09) < 0.15
+        assert "stderr" in out
+
+    def test_lsmc_bound(self, capsys):
+        _run_cli("lsmc", *self.COMMON, "--kind", "put", "--n-paths",
+                 "10000", "--n-steps", "20", "--seed", "0", "--bound")
+        out = capsys.readouterr().out.strip().splitlines()
+        rows = {line.split()[0]: line for line in out}
+        assert set(rows) == {"lower", "upper", "gap"}
+        lo = float(rows["lower"].split()[1])
+        up = float(rows["upper"].split()[1])
+        gap = float(rows["gap"].split()[1])
+        assert lo <= up and abs(gap - (up - lo)) < 1e-6
+        assert lo < 6.25 and up > 5.9  # bracket the true American put
+
+    def test_qmc(self, capsys):
+        _run_cli("qmc", *self.COMMON, "--payoff", "asian", "--n-paths",
+                 "4096", "--n-steps", "16")
+        out = capsys.readouterr().out.strip()
+        px = float(out.split()[0])
+        # 16-step discrete arithmetic Asian call (QMC, tiny stderr)
+        assert abs(px - 6.054) < 0.05
+        assert "stderr" in out
+
+    def test_basket_terminal(self, capsys):
+        _run_cli("basket", "--S0s", "100,95,105", "--sigmas",
+                 "0.2,0.25,0.18", "--K", "100", "--T", "1", "--r", "0.03",
+                 "--payoff", "basket", "--n-paths", "32768", "--seed", "0")
+        out = capsys.readouterr().out.strip()
+        px = float(out.split()[0])
+        assert 5.0 < px < 10.0
+
+    def test_basket_path_dependent(self, capsys):
+        _run_cli("basket", "--S0s", "100,95", "--sigmas", "0.2,0.25",
+                 "--K", "100", "--T", "1", "--r", "0.03", "--payoff",
+                 "asian_basket", "--n-paths", "16384", "--n-steps", "16",
+                 "--seed", "0")
+        out = capsys.readouterr().out.strip()
+        px_asian = float(out.split()[0])
+        _run_cli("basket", "--S0s", "100,95", "--sigmas", "0.2,0.25",
+                 "--K", "100", "--T", "1", "--r", "0.03", "--payoff",
+                 "basket", "--n-paths", "16384", "--seed", "0")
+        px_term = float(capsys.readouterr().out.strip().split()[0])
+        # averaging dampens vol: Asian basket below terminal basket
+        assert 0.0 < px_asian < px_term
