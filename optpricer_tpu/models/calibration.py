@@ -146,7 +146,15 @@ class VolSurface:
                 "pass log-moneyness directly to iv_from_logm().")
         if self._fwd_T.shape[0] == 1:
             return self._fwd_F[0]
-        return jnp.interp(T, self._fwd_T, self._fwd_F)
+        # log-linear in T with end-slope extrapolation: forwards follow
+        # F(T) = S0·e^{∫(r−q)}, so ln F is the natural interpolation
+        # variable and clamping (jnp.interp's default) would mis-state
+        # the forward — and hence Dupire's moneyness — below the first
+        # and beyond the last quoted expiry
+        Ts, logF = self._fwd_T, jnp.log(self._fwd_F)
+        i = jnp.clip(jnp.searchsorted(Ts, T), 1, Ts.shape[0] - 1)
+        slope = (logF[i] - logF[i - 1]) / (Ts[i] - Ts[i - 1])
+        return jnp.exp(logF[i - 1] + slope * (T - Ts[i - 1]))
 
     def total_var_from_logm(self, k, T):
         """Total variance at (k, T); linear in T between slices, end-slice
@@ -335,16 +343,39 @@ def dupire_local_vol(surface: VolSurface, S, t, r: float, q: float, *,
         F = jnp.mean(S_arr)
     k = jnp.log(S_arr / F)
 
-    # Nearest slice for analytic spatial derivatives
+    # Spatial quantities (w, ∂w/∂k, ∂²w/∂k²) from the INTERPOLATED
+    # surface at t — the same linear-in-total-variance weights as
+    # total_var_from_logm, applied to the analytic slice derivatives
+    # (interpolation is linear at fixed k, so derivatives interpolate
+    # with identical weights; flat-vol extrapolation scales all three
+    # by t/T_end). Using the nearest slice instead mixes a slice-level
+    # denominator with an interpolated-surface numerator and biases
+    # σ_loc between/outside expiries (worst at t ≪ T_0, where the slice
+    # w overstates the true w ∝ t and the d²w/2 term is ~T_0/t too big).
     Ts = surface._T_arr
-    idx = jnp.clip(jnp.searchsorted(Ts, t), 0, Ts.shape[0] - 1)
-    P = surface._P_arr[idx]
-    a, b, rho, m, sig = (P[i] for i in range(5))
-    km = k - m
+    n_sl = Ts.shape[0]
+    P = surface._P_arr
+    a, b, rho, m, sig = (P[:, i][:, None] for i in range(5))
+    km = k[None, :] - m
     root = jnp.sqrt(km * km + sig * sig)
-    w = jnp.maximum(a + b * (rho * km + root), 1e-12)
-    dw = b * (rho + km / root)
-    d2w = b * sig**2 / root**3
+    w_all = a + b * (rho * km + root)            # (n_slices, n_k)
+    dw_all = b * (rho + km / root)
+    d2w_all = b * sig**2 / root**3
+
+    def _blend(q_all):
+        if n_sl == 1:
+            return q_all[0] * (t / Ts[0])
+        i = jnp.clip(jnp.searchsorted(Ts, t), 1, n_sl - 1)
+        alpha = (t - Ts[i - 1]) / (Ts[i] - Ts[i - 1])
+        mid = (1.0 - alpha) * q_all[i - 1] + alpha * q_all[i]
+        short = q_all[0] * (t / Ts[0])
+        long = q_all[-1] * (t / Ts[-1])
+        return jnp.where(t <= Ts[0], short,
+                         jnp.where(t >= Ts[-1], long, mid))
+
+    w = jnp.maximum(_blend(w_all), 1e-12)
+    dw = _blend(dw_all)
+    d2w = _blend(d2w_all)
 
     # ∂w/∂T via centered FD on the interpolated surface
     t_up = t + dT
