@@ -301,6 +301,44 @@ def bench_basket_path() -> None:
         f"price={px:.4f} ± {se:.1e}")
 
 
+def bench_lsv() -> None:
+    """Diagnostic: LSV (Heston × Dupire leverage) — one-scan particle
+    calibration at hardware scale, then exotic pricing under the frozen
+    leverage table; ATM repricing error vs the input surface is the
+    Gyongy-consistency check (models/lsv.py; beyond the reference's
+    scope — its richest dynamics are Heston and local vol separately)."""
+    from optpricer_tpu import SVIParams, VolSurface, lsv_calibrate, \
+        lsv_price_mc
+    from optpricer_tpu.ops.black_scholes import bs_price_vec
+
+    sl = {T: SVIParams(a=0.03 * T, b=0.12 * T, rho=-0.4, m=0.0,
+                       sigma=0.25, expiry=T) for T in (0.25, 0.5, 1.0)}
+    surf = VolSurface(sl, forward_curve={T: 100 * np.exp(0.03 * T)
+                                         for T in sl})
+    heston = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+    cal = lambda: jax.block_until_ready(lsv_calibrate(
+        surf, heston, 100.0, 0.03, T=1.0, n_steps=96, n_paths=131_072,
+        n_bins=128, seed=0).leverage)
+    cal()
+    best_c, times_c = best_of(cal, 3)
+    model = lsv_calibrate(surf, heston, 100.0, 0.03, T=1.0, n_steps=96,
+                          n_paths=131_072, n_bins=128, seed=0)
+    iv = float(np.asarray(surf.iv_from_logm(
+        np.log(100.0 / (100.0 * np.exp(0.03))), 1.0)))
+    ref = float(np.asarray(bs_price_vec(100.0, 100.0, 1.0, 0.03, 0.0,
+                                        iv, "call")))
+    price = lambda: lsv_price_mc("barrier", model, 100.0, barrier=130.0,
+                                 barrier_type="up-and-out",
+                                 n_paths=1 << 20, seed=7)
+    price()
+    best_p, times_p = best_of(price, 5)
+    px, se = lsv_price_mc("vanilla", model, 100.0, n_paths=1 << 20, seed=7)
+    log(f"[lsv] calib 96×128bins×128k particles: {_spread(times_c)} best="
+        f"{best_c*1e3:.0f} ms; UO-barrier 2^21×96 steps: {_spread(times_p)}"
+        f" best={best_p*1e3:.0f} ms; ATM reprice |err|={abs(px-ref):.4f}"
+        f" (se {se:.4f})")
+
+
 def bench_heston_cos() -> None:
     """Diagnostic: Heston COS strike-batch throughput (one complex matvec)."""
     from optpricer_tpu import heston_price_cos
@@ -347,6 +385,7 @@ def main():
                      ("qmc-path-2^22", bench_qmc_path_large),
                      ("basket", bench_basket),
                      ("basket-path", bench_basket_path),
+                     ("lsv", bench_lsv),
                      ("heston-cos", bench_heston_cos)):
         try:  # secondary metrics must not break the bench line
             fn()

@@ -20,6 +20,7 @@ __all__ = [
     "save_surface", "load_surface",
     "heston_to_dict", "heston_from_dict", "save_heston", "load_heston",
     "basket_to_dict", "basket_from_dict", "save_basket", "load_basket",
+    "lsv_to_dict", "lsv_from_dict", "save_lsv", "load_lsv",
 ]
 
 
@@ -127,3 +128,47 @@ def save_basket(path: Union[str, Path], **spec) -> None:
 
 def load_basket(path: Union[str, Path]) -> dict:
     return basket_from_dict(json.loads(Path(path).read_text()))
+
+
+def lsv_to_dict(model) -> dict:
+    """JSON payload for a calibrated :class:`~optpricer_tpu.models.lsv.
+    LSVModel` — Heston parameters + the (n_steps, n_bins) leverage table.
+    The table is the expensive artifact (a particle calibration run);
+    persisting it makes the calibrate-once / price-everywhere workflow
+    restartable."""
+    import numpy as np
+
+    return {
+        "S0": float(model.S0), "r": float(model.r), "q": float(model.q),
+        "T": float(model.T), "v0": float(model.v0),
+        "kappa": float(model.kappa), "theta": float(model.theta),
+        "xi": float(model.xi), "rho": float(model.rho),
+        "x_bins": np.asarray(model.x_bins, float).tolist(),
+        "leverage": np.asarray(model.leverage, float).tolist(),
+    }
+
+
+def lsv_from_dict(d: dict):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.lsv import LSVModel
+
+    x_bins = jnp.asarray(np.asarray(d["x_bins"], np.float32))
+    lev = jnp.asarray(np.asarray(d["leverage"], np.float32))
+    if lev.ndim != 2 or lev.shape[1] != x_bins.shape[0]:
+        raise ValueError(f"leverage {lev.shape} inconsistent with "
+                         f"{x_bins.shape[0]} x-bins")
+    return LSVModel(S0=float(d["S0"]), r=float(d["r"]), q=float(d["q"]),
+                    T=float(d["T"]), v0=float(d["v0"]),
+                    kappa=float(d["kappa"]), theta=float(d["theta"]),
+                    xi=float(d["xi"]), rho=float(d["rho"]),
+                    x_bins=x_bins, leverage=lev)
+
+
+def save_lsv(model, path: Union[str, Path]) -> None:
+    Path(path).write_text(json.dumps(lsv_to_dict(model), sort_keys=True))
+
+
+def load_lsv(path: Union[str, Path]):
+    return lsv_from_dict(json.loads(Path(path).read_text()))

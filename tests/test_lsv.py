@@ -1,0 +1,183 @@
+"""LSV particle calibration + pricing: repricing gate, degenerate limits,
+mesh equality.
+
+The reference has no LSV model (its most advanced dynamics are Heston and
+local vol separately, ``monte_carlo.py:141-258``); the vanilla-surface
+repricing test below is the Gyongy-consistency contract that defines
+correctness for this capstone model. Sizes are CPU-harness small — the
+hardware-scale accuracy numbers live in the lsv_calibrate docstring.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optpricer_tpu import (
+    LSVModel, SVIParams, VolSurface, lsv_calibrate, lsv_price_mc,
+)
+from optpricer_tpu.ops.black_scholes import bs_price_vec
+
+S0, R, Q, T = 100.0, 0.03, 0.0, 1.0
+
+
+def _flat_surface(vol=0.2):
+    slices = {
+        Te: SVIParams(a=vol**2 * Te, b=1e-6, rho=0.0, m=0.0, sigma=0.1,
+                      expiry=Te)
+        for Te in (0.25, 0.5, 1.0)
+    }
+    return VolSurface(slices,
+                      forward_curve={Te: S0 * np.exp((R - Q) * Te)
+                                     for Te in slices})
+
+
+def _smile_surface():
+    slices = {
+        Te: SVIParams(a=0.03 * Te, b=0.12 * Te, rho=-0.4, m=0.0,
+                      sigma=0.25, expiry=Te)
+        for Te in (0.25, 0.5, 1.0)
+    }
+    return VolSurface(slices,
+                      forward_curve={Te: S0 * np.exp((R - Q) * Te)
+                                     for Te in slices})
+
+
+HESTON = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+# v ≡ 1 exactly: kappa=0, xi=0 freeze the variance at v0
+DEGENERATE = dict(v0=1.0, kappa=0.0, theta=1.0, xi=0.0, rho=0.0)
+
+CAL_KW = dict(n_steps=32, n_paths=16_384, n_bins=64, seed=0)
+
+
+def _surface_call(surface, K):
+    F = S0 * np.exp((R - Q) * T)
+    iv = float(np.asarray(surface.iv_from_logm(np.log(K / F), T)))
+    return float(np.asarray(bs_price_vec(S0, K, T, R, Q, iv, "call")))
+
+
+class TestCalibration:
+    def test_flat_degenerate_leverage_is_flat_vol(self):
+        # v ≡ 1 ⇒ L(x, t) = sigma_Dup(x, t) = flat vol on interior bins
+        model = lsv_calibrate(_flat_surface(0.2), DEGENERATE, S0, R, Q,
+                              T=T, **CAL_KW)
+        L = np.asarray(model.leverage)
+        interior = L[:, 16:48]
+        assert np.all(np.abs(interior - 0.2) < 0.02), \
+            f"max dev {np.max(np.abs(interior - 0.2))}"
+
+    def test_model_is_pytree_and_jittable(self):
+        model = lsv_calibrate(_flat_surface(0.2), HESTON, S0, R, Q,
+                              T=T, **CAL_KW)
+        leaves = jax.tree_util.tree_leaves(model)
+        assert len(leaves) == 2
+
+        @jax.jit
+        def mean_leverage(m: LSVModel):
+            return jnp.mean(m.leverage)
+
+        assert float(mean_leverage(model)) > 0.0
+
+    def test_leverage_shape_and_positivity(self):
+        model = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q,
+                              T=T, **CAL_KW)
+        assert model.leverage.shape == (32, 64)
+        assert model.n_steps == 32
+        assert np.all(np.asarray(model.leverage) > 0)
+
+    def test_regression_modes_agree(self):
+        kw = dict(CAL_KW, n_bins=96, smooth=1)
+        m_ll = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                             regression="local_linear", **kw)
+        m_nw = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                             regression="nw", **kw)
+        p_ll, _ = lsv_price_mc("vanilla", m_ll, 100.0, n_paths=65_536,
+                               seed=3)
+        p_nw, se = lsv_price_mc("vanilla", m_nw, 100.0, n_paths=65_536,
+                                seed=3)
+        assert abs(p_ll - p_nw) < 4 * se
+
+
+class TestRepricing:
+    """Gyongy consistency: the calibrated model must reprice vanillas."""
+
+    @pytest.fixture(scope="class")
+    def model(self):
+        return lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                             n_steps=48, n_paths=32_768, n_bins=96,
+                             smooth=3, seed=0)
+
+    @pytest.mark.parametrize("K", [85.0, 100.0, 115.0])
+    def test_reprices_vanilla_surface(self, model, K):
+        target = _surface_call(_smile_surface(), K)
+        px, se = lsv_price_mc("vanilla", model, K, kind="call",
+                              n_paths=131_072, seed=7)
+        # calibration MC + bin bias + pricing MC: 4 se & 25bp absolute
+        assert abs(px - target) < max(4.0 * se, 0.25), \
+            f"K={K}: lsv {px:.4f} vs surface {target:.4f} (se {se:.4f})"
+
+    def test_put_call_parity(self, model):
+        c, _ = lsv_price_mc("vanilla", model, 100.0, kind="call",
+                            n_paths=65_536, seed=11)
+        p, _ = lsv_price_mc("vanilla", model, 100.0, kind="put",
+                            n_paths=65_536, seed=11)
+        fwd_minus_k = S0 * np.exp(-Q * T) - 100.0 * np.exp(-R * T)
+        assert abs((c - p) - fwd_minus_k) < 0.05
+
+
+class TestExoticPayoffs:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                             **CAL_KW)
+
+    def test_barrier_below_vanilla(self, model):
+        van, _ = lsv_price_mc("vanilla", model, 100.0, n_paths=32_768,
+                              seed=5)
+        uo, _ = lsv_price_mc("barrier", model, 100.0, barrier=130.0,
+                             barrier_type="up-and-out", n_paths=32_768,
+                             seed=5)
+        assert 0.0 < uo < van
+
+    def test_barrier_in_out_parity(self, model):
+        kw = dict(K=100.0, barrier=130.0, n_paths=32_768, seed=5)
+        van, _ = lsv_price_mc("vanilla", model, 100.0, n_paths=32_768,
+                              seed=5)
+        uo, _ = lsv_price_mc("barrier", model, barrier_type="up-and-out",
+                             **kw)
+        ui, _ = lsv_price_mc("barrier", model, barrier_type="up-and-in",
+                             **kw)
+        assert abs((uo + ui) - van) < 1e-5
+
+    def test_asian_below_vanilla(self, model):
+        van, _ = lsv_price_mc("vanilla", model, 100.0, n_paths=32_768,
+                              seed=5)
+        asi, se = lsv_price_mc("asian", model, 100.0, n_paths=32_768,
+                               seed=5)
+        assert asi < van + 3 * se
+
+    def test_digital_in_unit_range(self, model):
+        dig, _ = lsv_price_mc("digital", model, 100.0, n_paths=32_768,
+                              seed=5)
+        assert 0.0 < dig < np.exp(-R * T)
+
+    def test_unknown_payoff_raises(self, model):
+        with pytest.raises(ValueError, match="unknown payoff"):
+            lsv_price_mc("rainbow", model, 100.0)
+        with pytest.raises(ValueError, match="kind"):
+            lsv_price_mc("vanilla", model, 100.0, kind="straddle")
+
+
+class TestMesh:
+    def test_sharded_price_matches_single_device(self):
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        model = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                              **CAL_KW)
+        mesh = get_mesh()
+        px1, se1 = lsv_price_mc("vanilla", model, 100.0,
+                                n_paths=65_536, seed=9)
+        pxm, sem = lsv_price_mc("vanilla", model, 100.0,
+                                n_paths=65_536, seed=9, mesh=mesh)
+        # different per-device fold_in streams: statistical, not bitwise
+        assert abs(px1 - pxm) < 4 * max(se1, sem)
+        assert sem < 2 * se1

@@ -51,3 +51,40 @@ class TestModelParamRoundTrips:
                                  sigmas=spec["sigmas"], corr=spec["corr"],
                                  seed=0, n_paths=1 << 14, dtype="float64")
         assert np.isfinite(px) and se > 0.0
+
+    def test_lsv_round_trip(self, tmp_path):
+        import numpy as np
+
+        from optpricer_tpu import lsv_price_mc
+        from optpricer_tpu.models.lsv import LSVModel
+        from optpricer_tpu.utils import serialization as sz
+
+        x_bins = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
+        lev = np.full((8, 32), 1.1, np.float32)
+        model = LSVModel(S0=100.0, r=0.03, q=0.0, T=1.0, v0=0.04,
+                         kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                         x_bins=x_bins, leverage=lev)
+        p = tmp_path / "lsv.json"
+        sz.save_lsv(model, p)
+        back = sz.load_lsv(p)
+        np.testing.assert_allclose(np.asarray(back.leverage), lev)
+        assert back.n_steps == 8 and back.kappa == 1.5
+        # the reloaded model prices bit-identically to the original
+        a = lsv_price_mc("vanilla", model, 100.0, n_paths=1 << 12, seed=0)
+        b = lsv_price_mc("vanilla", back, 100.0, n_paths=1 << 12, seed=0)
+        assert a == b
+
+    def test_lsv_inconsistent_table_raises(self, tmp_path):
+        import json
+
+        import pytest
+
+        from optpricer_tpu.utils import serialization as sz
+
+        d = {"S0": 100.0, "r": 0.03, "q": 0.0, "T": 1.0, "v0": 0.04,
+             "kappa": 1.5, "theta": 0.04, "xi": 0.5, "rho": -0.6,
+             "x_bins": [0.0, 0.1], "leverage": [[1.0, 1.0, 1.0]]}
+        p = tmp_path / "bad_lsv.json"
+        p.write_text(json.dumps(d))
+        with pytest.raises(ValueError, match="inconsistent"):
+            sz.load_lsv(p)
