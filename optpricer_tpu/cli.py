@@ -117,6 +117,41 @@ def _run_qmc(ns) -> str:
     return f"{value:.10f}  (stderr {stderr:.10f})"
 
 
+def _run_lsv(ns) -> str:
+    from .models.lsv import lsv_calibrate, lsv_price_mc
+    from .utils import serialization as sz
+
+    if ns.model:
+        model = sz.load_lsv(ns.model)
+    else:
+        if ns.surface:
+            surface = sz.load_surface(ns.surface)
+        else:
+            # flat surface at --sigma: LSV degenerates to pure Heston
+            # leverage-corrected to the flat smile
+            import numpy as np
+
+            from .models.calibration import SVIParams, VolSurface
+
+            expiries = sorted({ns.T * f for f in (0.25, 0.5, 1.0)})
+            surface = VolSurface(
+                {T: SVIParams(a=ns.sigma**2 * T, b=1e-6, rho=0.0, m=0.0,
+                              sigma=0.1, expiry=T) for T in expiries},
+                forward_curve={T: ns.S0 * np.exp((ns.r - ns.q) * T)
+                               for T in expiries})
+        heston = dict(v0=ns.v0, kappa=ns.kappa, theta=ns.theta, xi=ns.xi,
+                      rho=ns.rho)
+        model = lsv_calibrate(surface, heston, ns.S0, ns.r, ns.q, T=ns.T,
+                              n_steps=ns.n_steps, n_paths=ns.cal_paths,
+                              n_bins=ns.n_bins, seed=ns.seed)
+        if ns.save_model:
+            sz.save_lsv(model, ns.save_model)
+    value, stderr = lsv_price_mc(
+        ns.payoff, model, ns.K, kind=ns.kind, n_paths=ns.n_paths,
+        barrier=ns.barrier, barrier_type=ns.barrier_type, seed=ns.seed)
+    return f"{value:.10f}  (stderr {stderr:.10f})"
+
+
 def _csv_floats(text: str):
     return [float(x) for x in text.split(",") if x.strip()]
 
@@ -182,6 +217,33 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
                          help="two-pass lower + Andersen-Broadie upper "
                               "bound bracket")),
     ), _run_lsmc),
+    "lsv": ("LSV price (Heston x Dupire leverage, particle-calibrated)", (
+        ("--surface", dict(default="",
+                           help="surface JSON (save_surface/"
+                                "calibrate_surface.py); default: flat "
+                                "smile at --sigma")),
+        ("--model", dict(default="",
+                         help="calibrated LSV JSON (save_lsv) — skips "
+                              "calibration")),
+        ("--save-model", dict(dest="save_model", default="",
+                              help="persist the calibrated model here")),
+        ("--v0", dict(type=float, default=0.04)),
+        ("--kappa", dict(type=float, default=1.5)),
+        ("--theta", dict(type=float, default=0.04)),
+        ("--xi", dict(type=float, default=0.5)),
+        ("--rho", dict(type=float, default=-0.6)),
+        ("--payoff", dict(default="vanilla",
+                          choices=("vanilla", "asian", "barrier",
+                                   "digital", "lookback"))),
+        ("--barrier", dict(type=float, default=0.0)),
+        ("--barrier-type", dict(dest="barrier_type",
+                                default="up-and-out")),
+        ("--n-steps", dict(dest="n_steps", type=int, default=64)),
+        ("--cal-paths", dict(dest="cal_paths", type=int, default=65_536)),
+        ("--n-bins", dict(dest="n_bins", type=int, default=128)),
+        ("--n-paths", dict(dest="n_paths", type=int, default=262_144)),
+        ("--seed", dict(type=int, default=0)),
+    ), _run_lsv),
     "qmc": ("Randomised-QMC path pricer (Sobol + Brownian bridge)", (
         ("--payoff", dict(default="vanilla",
                           choices=("vanilla", "asian", "barrier",

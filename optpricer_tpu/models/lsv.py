@@ -343,13 +343,34 @@ def _lsv_paths(key, model, fixed, *, payoff, kind, n_steps, n_paths,
     return pay, carry[0]
 
 
+def _leverage_poly(model: LSVModel, deg: int = 12):
+    """Per-step monomial coefficients (DESCENDING, for Horner) of the
+    leverage rows on u = x/x_width ∈ [−1, 1].
+
+    Chebyshev least squares on the bin grid, converted to monomial form —
+    the Pallas kernel evaluates L as ``deg`` fused multiply-adds on lanes
+    instead of gathering from the table. Degree 12 reproduces smooth
+    particle-calibrated rows to ~1e-3 relative; the kernel-vs-XLA price
+    parity gate in tests/test_lsv.py is the end-to-end check.
+    """
+    x_bins = np.asarray(model.x_bins, np.float64)
+    x_width = float(max(abs(x_bins[0]), abs(x_bins[-1])))
+    u = x_bins / x_width
+    lev = np.asarray(model.leverage, np.float64)
+    deg = int(min(deg, len(u) - 1))
+    C = np.polynomial.chebyshev.chebfit(u, lev.T, deg)  # (deg+1, n_steps)
+    coeffs = np.stack([np.polynomial.chebyshev.cheb2poly(C[:, k])[::-1]
+                       for k in range(lev.shape[0])])
+    return coeffs.astype(np.float32), x_width
+
+
 def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
                  kind: str = "call", n_paths: int = 100_000,
                  barrier: float = 0.0, barrier_type: str = "up-and-out",
                  rebate: float = 0.0, average_type: str = "arithmetic",
                  strike_type: str = "fixed", payout: float = 1.0,
                  antithetic: bool = True, seed: Optional[int] = None,
-                 dtype=None, mesh=None):
+                 dtype=None, mesh=None, backend: str = "auto"):
     """Price a (path-dependent) option under the calibrated LSV model.
 
     ``payoff`` in {"vanilla", "barrier", "asian", "digital", "lookback"}
@@ -359,7 +380,12 @@ def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
     two-stage particle workflow: calibrate once, reuse for every strike/
     payoff). Time discretisation is fixed by the table
     (``model.n_steps``). With ``mesh`` paths shard across devices and
-    the (n, sum, sum-of-squares) stats ride one psum.
+    the stats ride one psum.
+
+    ``backend``: "auto" runs the in-register Pallas path kernel on TPU
+    for f32 even-step models (leverage rows polynomial-compressed, see
+    :func:`_leverage_poly`; single terminal-spot CV) and the fused XLA
+    scan otherwise; "pallas"/"xla" force the choice.
 
     Returns ``(price, stderr)``.
     """
@@ -367,9 +393,40 @@ def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
         raise ValueError(f"unknown payoff {payoff!r}")
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
     dt_ = canonical(dtype)
     key = jax.random.key(resolve_seed(seed))
     n_steps = model.n_steps
+
+    kernel_ok = n_steps % 2 == 0 and dt_ == jnp.float32
+    if backend == "pallas" and not kernel_ok:
+        raise ValueError("backend='pallas' requires even n_steps and f32")
+    if kernel_ok and (backend == "pallas" or
+                      (backend == "auto"
+                       and jax.default_backend() == "tpu")):
+        from ..ops.pallas_path_mc import (path_mc_sumstats_pallas,
+                                          path_mc_sumstats_pallas_sharded)
+
+        from .mc_fused import _estimate_from_stats
+
+        coeffs, x_width = _leverage_poly(model)
+        lsv_kw = dict(model.heston, coeffs=coeffs, x_width=x_width)
+        pk = dict(payoff=payoff, antithetic=bool(antithetic),
+                  barrier=barrier, barrier_type=barrier_type,
+                  rebate=rebate, average_type=average_type,
+                  strike_type=strike_type, payout=payout, lsv=lsv_kw)
+        seed_val = resolve_seed(seed)
+        call_args = (seed_val, int(n_paths), int(n_steps), model.S0, K,
+                     model.T, model.r, model.q, 0.0, kind == "call")
+        if mesh is not None:
+            stats = path_mc_sumstats_pallas_sharded(mesh, *call_args, **pk)
+        else:
+            stats = path_mc_sumstats_pallas(
+                *call_args, interpret=jax.default_backend() != "tpu", **pk)
+        return _estimate_from_stats(stats, model.S0, K, model.T, model.r,
+                                    model.q, 0.0, kind == "call", "lsv",
+                                    True)
     fixed = dict(
         S0=jnp.asarray(model.S0, dt_), K=jnp.asarray(K, dt_),
         T=jnp.asarray(model.T, dt_), r=jnp.asarray(model.r, dt_),

@@ -28,6 +28,7 @@ import numpy as np
 
 from . import stats as stats_ops
 from .fastmath import exp32, log32, norminv32
+from .swprng import threefry2x32
 
 BLOCK_R = 256           # sublane rows per rep tile
 LANES = 128
@@ -36,7 +37,7 @@ NSTAT = stats_ops.STATSG_DIM
 
 
 def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool,
-               invcdf: bool = False):
+               invcdf: bool = False, sw_prng: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -49,7 +50,8 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool,
     # Distinct stream per (seed, program): mix with an odd constant so that
     # nearby seeds do not share per-program streams (seed+pid would overlap
     # 63/64 streams between consecutive seeds).
-    pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
+    if not sw_prng:
+        pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
 
     S0 = par_ref[0]
     K = par_ref[1]
@@ -68,11 +70,24 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool,
 
     def rep_body(j, carry):
         acc, comp = carry
-        # bitcast: random bits may surface as int32; shifts must be unsigned
-        bits_a = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
-                               jnp.uint32)
-        bits_b = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
-                               jnp.uint32)
+        if sw_prng:
+            # counter-based software PRNG (interpret mode and the
+            # cross-platform oracle — ops/swprng.py); explicit i32 casts:
+            # under the x64 CPU harness the fori_loop var is i64, and
+            # bitcasting i64→u32 would split sublanes
+            elem = (rows * LANES + cols).astype(jnp.int32)
+            d = jnp.broadcast_to(jnp.asarray(j).astype(jnp.int32),
+                                 (BLOCK_R, LANES))
+            bits_a, bits_b = threefry2x32(
+                seed_ref[0], pid, pltpu.bitcast(elem, jnp.uint32),
+                pltpu.bitcast(d, jnp.uint32))
+        else:
+            # bitcast: random bits may surface as int32; shifts must be
+            # unsigned
+            bits_a = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                                   jnp.uint32)
+            bits_b = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                                   jnp.uint32)
         # uint32 → uniform in (0,1): top 24 bits, bin midpoints (the +0.5
         # debias matters: bin-edge placement shifts E[-2ln u] by ~3e-7).
         # Mosaic lacks a u32→f32 cast; after >>8 the value fits in 24 bits,
@@ -158,14 +173,17 @@ def _mc_kernel(seed_ref, par_ref, out_ref, *, reps: int, antithetic: bool,
 
 
 @partial(jax.jit, static_argnames=("n_programs", "reps", "antithetic",
-                                   "interpret", "invcdf"))
+                                   "interpret", "invcdf", "sw_prng"))
 def _run_kernel(seed, params, *, n_programs: int, reps: int, antithetic: bool,
-                interpret: bool = False, invcdf: bool = False):
+                interpret: bool = False, invcdf: bool = False, sw_prng=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if sw_prng is None:
+        # Mosaic interpreter stubs the hardware PRNG to zeros (ops/swprng.py)
+        sw_prng = bool(interpret)
     kernel = partial(_mc_kernel, reps=reps, antithetic=antithetic,
-                     invcdf=invcdf)
+                     invcdf=invcdf, sw_prng=bool(sw_prng))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -387,7 +405,8 @@ def _terminal_params(n_paths, S0, K, T, r, q, sigma, is_call):
 
 def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
                        is_call: bool, *, antithetic: bool, dtype=None,
-                       interpret: bool = False, invcdf: bool = False):
+                       interpret: bool = False, invcdf: bool = False,
+                       sw_prng=None):
     """(10,) sufficient statistics for n_paths terminal GBM draws (f32).
 
     Each grid program produces ``2·TILE·reps`` base draws (two Box-Muller
@@ -399,12 +418,13 @@ def mc_sumstats_pallas(seed: int, n_paths: int, S0, K, T, r, q, sigma,
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_kernel(seed_arr, params, n_programs=n_programs,
                        reps=reps, antithetic=bool(antithetic),
-                       interpret=bool(interpret), invcdf=bool(invcdf))
+                       interpret=bool(interpret), invcdf=bool(invcdf),
+                       sw_prng=sw_prng)
 
 
 def mc_sumstats_pallas_sharded(mesh, seed: int, n_paths: int, S0, K, T, r, q,
                                sigma, is_call: bool, *, antithetic: bool,
-                               dtype=None, interpret=None):
+                               dtype=None, interpret=None, sw_prng=None):
     """Mesh data-parallel fused MC: one Pallas grid per device, psum over ICI.
 
     The global program grid is split into contiguous per-device slices; each
@@ -415,9 +435,10 @@ def mc_sumstats_pallas_sharded(mesh, seed: int, n_paths: int, S0, K, T, r, q,
     scan fallback (reference fan-out: ``monte_carlo.py:128-139``).
 
     On non-TPU backends (tests, ``dryrun_multichip``) the kernel runs in the
-    Mosaic interpreter so the full sharded program is still compiled and
-    executed; the interpreter's PRNG is degenerate, so only the plumbing —
-    grid split, masking, psum, estimator — is meaningful there.
+    Mosaic interpreter with the counter-based software PRNG (the
+    interpreter's own hardware-PRNG stub is degenerate — ops/swprng.py), so
+    the full sharded program is compiled, executed AND statistically
+    meaningful there.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -440,7 +461,7 @@ def mc_sumstats_pallas_sharded(mesh, seed: int, n_paths: int, S0, K, T, r, q,
         seed_arr = jnp.stack([seed_val, offs[0]])
         local = _run_kernel(seed_arr, params, n_programs=progs_per_dev,
                             reps=reps, antithetic=bool(antithetic),
-                            interpret=bool(interpret))
+                            interpret=bool(interpret), sw_prng=sw_prng)
         return jax.lax.psum(local, axis)
 
     return shard_fn(offsets)

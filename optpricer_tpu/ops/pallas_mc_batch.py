@@ -21,6 +21,7 @@ import numpy as np
 
 from . import stats as stats_ops
 from .fastmath import exp32, log32
+from .swprng import threefry2x32
 
 BLOCK_R = 256
 LANES = 128
@@ -29,15 +30,16 @@ STAT_ROWS = 16  # NSTAT padded to sublane multiple
 
 
 def _mc_batch_kernel(seed_ref, par_ref, kp_ref, out_ref, *, reps: int,
-                     antithetic: bool):
+                     antithetic: bool, sw_prng: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     pid = pl.program_id(0)
     ktile = pl.program_id(1)
     n_prog = pl.num_programs(0)
-    pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245)
-                    + ktile * n_prog + pid)
+    if not sw_prng:
+        pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245)
+                        + ktile * n_prog + pid)
 
     n_paths = par_ref[0]
 
@@ -57,10 +59,22 @@ def _mc_batch_kernel(seed_ref, par_ref, kp_ref, out_ref, *, reps: int,
 
     def rep_body(j, carry):
         acc, comp = carry
-        bits_a = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
-                               jnp.uint32)
-        bits_b = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
-                               jnp.uint32)
+        if sw_prng:
+            # counter-based software PRNG (interpret mode — ops/swprng.py);
+            # i32 casts guard against i64 fori_loop vars on the x64 harness
+            rws = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 0)
+            cls = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_R, LANES), 1)
+            elem = (rws * LANES + cls).astype(jnp.int32)
+            d = jnp.broadcast_to(jnp.asarray(j).astype(jnp.int32),
+                                 (BLOCK_R, LANES))
+            bits_a, bits_b = threefry2x32(
+                seed_ref[0], ktile * n_prog + pid,
+                pltpu.bitcast(elem, jnp.uint32), pltpu.bitcast(d, jnp.uint32))
+        else:
+            bits_a = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                                   jnp.uint32)
+            bits_b = pltpu.bitcast(pltpu.prng_random_bits((BLOCK_R, LANES)),
+                                   jnp.uint32)
         u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
               + 0.5) * tiny
         u2 = pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32) * tiny
@@ -120,13 +134,17 @@ def _mc_batch_kernel(seed_ref, par_ref, kp_ref, out_ref, *, reps: int,
 
 
 @partial(jax.jit, static_argnames=("n_programs", "n_ktiles", "reps",
-                                   "antithetic"))
+                                   "antithetic", "interpret", "sw_prng"))
 def _run_batch_kernel(seed, params, kparams, *, n_programs, n_ktiles, reps,
-                      antithetic):
+                      antithetic, interpret=False, sw_prng=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = partial(_mc_batch_kernel, reps=reps, antithetic=antithetic)
+    if sw_prng is None:
+        # Mosaic interpreter stubs the hardware PRNG to zeros (ops/swprng.py)
+        sw_prng = bool(interpret)
+    kernel = partial(_mc_batch_kernel, reps=reps, antithetic=antithetic,
+                     sw_prng=bool(sw_prng))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -141,6 +159,7 @@ def _run_batch_kernel(seed, params, kparams, *, n_programs, n_ktiles, reps,
         out_specs=pl.BlockSpec((1, 1, STAT_ROWS, LANES),
                                lambda i, k: (i, k, 0, 0),
                                memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, params, kparams)
     # Deterministic compensated combine over programs → (n_ktiles, 10, 128)
     return jax.vmap(stats_ops.combine_scan, in_axes=1)(
@@ -151,13 +170,16 @@ def _run_batch_kernel(seed, params, kparams, *, n_programs, n_ktiles, reps,
 def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
                         n_paths: int = 1_000_000, seed: int = 0,
                         antithetic: bool = True,
-                        control_variate: bool = True):
+                        control_variate: bool = True,
+                        interpret: bool = False):
     """Price a fully heterogeneous European book by fused Pallas MC.
 
     Every argument broadcasts over the book (per-position S0/K/T/r/q/σ/kind
     all allowed — each lane carries its own contract and market). Each
     option receives ``n_paths`` base draws, independent across the book.
     Returns ``(prices, stderrs)`` shaped like the broadcast book.
+    ``interpret`` runs the kernel in the Mosaic interpreter with the
+    software PRNG (CPU harness — ops/swprng.py).
     """
     from .black_scholes import is_call_mask
 
@@ -200,7 +222,7 @@ def euro_price_mc_batch(S0, K, T, r, q, sigma, kind, *,
     stats = np.asarray(jax.device_get(_run_batch_kernel(
         seed_arr, params, jnp.asarray(kparams), n_programs=int(n_programs),
         n_ktiles=int(n_ktiles), reps=int(reps),
-        antithetic=bool(antithetic))), np.float64)
+        antithetic=bool(antithetic), interpret=bool(interpret))), np.float64)
     s = stats.transpose(1, 0, 2).reshape(NSTAT, -1)[:, :B]  # (10, B)
 
     n = s[0]

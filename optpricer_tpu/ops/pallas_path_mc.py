@@ -31,6 +31,7 @@ import numpy as np
 
 from . import stats as stats_ops
 from .fastmath import exp32, log32
+from .swprng import threefry2x32
 
 BLOCK_R = 32            # sublane rows per path tile
 LANES = 128
@@ -69,6 +70,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                  barrier_up: bool, knock_out: bool, average_geo: bool,
                  strike_floating: bool, is_call: bool,
                  dynamics: str = "gbm", n_slices: int = 0,
+                 lsv_deg: int = 0, sw_prng: bool = False,
                  with_greeks: bool = False, geo_cv: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -78,7 +80,8 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     # shard_map run over any device count reproduces the single-device
     # estimate.
     pid = pl.program_id(0) + seed_ref[1]
-    pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
+    if not sw_prng:
+        pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + pid)
 
     S0 = par_ref[0]
     K = par_ref[1]
@@ -105,8 +108,9 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     s_rho = par_ref[22]
 
     is_sabr = dynamics in ("sabr_ln", "sabr_cev")
-    sv_model = is_sabr or dynamics == "heston"
+    sv_model = is_sabr or dynamics in ("heston", "lsv")
     rho_sv = s_rho if is_sabr else h_rho
+    inv_xw = par_ref[23]    # lsv: 1 / x_width (leverage poly domain scale)
 
     # ---- Dupire local vol from SVI slices (closed form, in registers) ----
     # svi_ref layout: (6, n_slices) rows a, b, rho, m, sg, T.
@@ -117,19 +121,23 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         return svi_ref[0, i] + svi_ref[1, i] * (
             svi_ref[2, i] * km + jnp.sqrt(km * km + sg_i * sg_i))
 
-    def w_interp(k, t):
-        """Linear total-variance interp in T, flat-vol extrapolation —
-        mirrors VolSurface.total_var_from_logm (models/calibration.py)."""
-        ws = [slice_w(i, k) for i in range(n_slices)]
+    def t_blend(vals, t):
+        """Linear interp in T between slice values with end-slope (t/T)
+        extrapolation — the same weights as total_var_from_logm, applied
+        to any per-slice quantity (interpolation is linear at fixed k, so
+        w, ∂w/∂k and ∂²w/∂k² all blend identically —
+        models/calibration.dupire_local_vol's _blend)."""
         Ts = [svi_ref[5, i] for i in range(n_slices)]
-        w = ws[0] / Ts[0] * t
+        out = vals[0] / Ts[0] * t
         for i in range(1, n_slices):
             alpha = (t - Ts[i - 1]) / (Ts[i] - Ts[i - 1])
-            w_mid = (1.0 - alpha) * ws[i - 1] + alpha * ws[i]
-            w = jnp.where(t > Ts[i - 1], w_mid, w)
-        w = jnp.where(t >= Ts[n_slices - 1],
-                      ws[n_slices - 1] / Ts[n_slices - 1] * t, w)
-        return w
+            mid = (1.0 - alpha) * vals[i - 1] + alpha * vals[i]
+            out = jnp.where(t > Ts[i - 1], mid, out)
+        return jnp.where(t >= Ts[n_slices - 1],
+                         vals[n_slices - 1] / Ts[n_slices - 1] * t, out)
+
+    def w_interp(k, t):
+        return t_blend([slice_w(i, k) for i in range(n_slices)], t)
 
     def sigma_loc(S, t):
         """σ_loc(S, t): Gatheral's Dupire formula with the same floors and
@@ -139,24 +147,20 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         # relative error on the forward only shifts log-moneyness by 1e-6.
         F = S0 * jnp.exp(rq * t)
         k = log32(S / F)
-        # nearest slice (searchsorted-left, clipped) for spatial derivatives
-        idx = jnp.int32(0)
+        # spatial quantities from the t-interpolated surface (per-slice
+        # analytic derivatives blended with the same weights as w)
+        w_l, dw_l, d2w_l = [], [], []
         for i in range(n_slices):
-            idx = idx + (t > svi_ref[5, i]).astype(jnp.int32)
-        idx = jnp.minimum(idx, n_slices - 1)
-        a = b = rho = m = sg = jnp.float32(0.0)
-        for i in range(n_slices):
-            sel = (idx == i).astype(jnp.float32)
-            a = a + sel * svi_ref[0, i]
-            b = b + sel * svi_ref[1, i]
-            rho = rho + sel * svi_ref[2, i]
-            m = m + sel * svi_ref[3, i]
-            sg = sg + sel * svi_ref[4, i]
-        km = k - m
-        root = jnp.sqrt(km * km + sg * sg)
-        w = jnp.maximum(a + b * (rho * km + root), 1e-12)
-        dw = b * (rho + km / root)
-        d2w = b * sg * sg / (root * root * root)
+            b_i, rho_i = svi_ref[1, i], svi_ref[2, i]
+            sg_i = svi_ref[4, i]
+            km = k - svi_ref[3, i]
+            root = jnp.sqrt(km * km + sg_i * sg_i)
+            w_l.append(svi_ref[0, i] + b_i * (rho_i * km + root))
+            dw_l.append(b_i * (rho_i + km / root))
+            d2w_l.append(b_i * sg_i * sg_i / (root * root * root))
+        w = jnp.maximum(t_blend(w_l, t), 1e-12)
+        dw = t_blend(dw_l, t)
+        d2w = t_blend(d2w_l, t)
         dT = 1e-4
         t_up = t + dT
         t_dn = jnp.maximum(t - dT, 1e-8)
@@ -179,9 +183,22 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     shape = (BLOCK_R, LANES)
     n_half = n_steps // 2
 
-    def normals():
-        bits_a = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        bits_b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    def normals(draw):
+        # ``draw``: scalar draw index, unique per normals() call within the
+        # program. Used only by the counter-based software PRNG (sw_prng —
+        # interpret mode and the cross-platform reproducibility oracle, see
+        # ops/swprng.py); the hardware PRNG is sequentially seeded instead.
+        if sw_prng:
+            # explicit i32: under the x64 CPU harness fori_loop induction
+            # vars are i64, and bitcasting i64→u32 would split sublanes
+            elem = (rows * LANES + cols).astype(jnp.int32)
+            d = jnp.broadcast_to(jnp.asarray(draw).astype(jnp.int32), shape)
+            bits_a, bits_b = threefry2x32(
+                seed_ref[0], pid, pltpu.bitcast(elem, jnp.uint32),
+                pltpu.bitcast(d, jnp.uint32))
+        else:
+            bits_a = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            bits_b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
               + 0.5) * tiny
         u2 = pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32) * tiny
@@ -201,7 +218,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                            else (S <= barrier)).astype(jnp.float32)
             else:
                 crossed = jnp.zeros(shape, jnp.float32)
-            if dynamics == "heston":
+            if dynamics in ("heston", "lsv"):
                 v = jnp.full(shape, h_v0)      # variance state
             elif is_sabr:
                 v = jnp.full(shape, s_alpha0)  # σ state
@@ -223,10 +240,33 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         st_p = init_state()
         st_m = init_state()
 
-        def move(S, v, z, zv, t_now):
+        def move(S, v, z, zv, t_now, k_idx):
             """One step of the asset (and variance) dynamics."""
             if dynamics == "gbm":
                 return S * exp32(mu + sig * z), v
+            if dynamics == "lsv":
+                # Heston variance under a Dupire leverage function: the
+                # frozen (n_steps, n_bins) table is polynomial-compressed
+                # per step on the host (Chebyshev fit → monomial Horner,
+                # coefficients DESCENDING in svi_ref[k]) so evaluation is
+                # lsv_deg fused multiply-adds on lanes — no gathers. Same
+                # discretisation as models.lsv._lsv_paths.
+                v_eff = jnp.maximum(v, 0.0)
+                z1 = h_rho * zv + jnp.sqrt(jnp.maximum(
+                    0.0, 1.0 - h_rho * h_rho)) * z
+                x = log32(S / S0) - rq * t_now
+                u = jnp.clip(x * inv_xw, -1.0, 1.0)
+                L = jnp.full(S.shape, svi_ref[k_idx, 0])
+                for j in range(1, lsv_deg + 1):
+                    L = L * u + svi_ref[k_idx, j]
+                L = jnp.clip(L, 0.05, 20.0)  # calibration's own clip
+                sig_e = L * jnp.sqrt(v_eff)
+                S_new = S * exp32((rq - 0.5 * sig_e * sig_e) * dt_step
+                                  + sig_e * sqrt_dt * z1)
+                v_new = jnp.maximum(
+                    v + h_kappa * (h_theta - v_eff) * dt_step
+                    + h_xi * jnp.sqrt(v_eff) * sqrt_dt * zv, 0.0)
+                return S_new, v_new
             if dynamics == "heston":
                 # full-truncation Euler variance, log-Euler asset — same
                 # discretisation as processes.heston_paths
@@ -275,14 +315,14 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                      + 0.5 * a_t * da * (z * z - 1.0) * dt_step)
             return jnp.maximum(S_new, 1e-10), v
 
-        def advance(st, z, zv, t_now):
+        def advance(st, z, zv, t_now, k_idx):
             if with_greeks:
                 (S, rsum, rlog, rmax, rmin, crossed, v,
                  W, g1, g2, g3, g4, z1c) = st
             else:
                 S, rsum, rlog, rmax, rmin, crossed, v = st
             S_prev_max, S_prev_min = rmax, rmin
-            S, v = move(S, v, z, zv, t_now)
+            S, v = move(S, v, z, zv, t_now, k_idx)
             if with_greeks:
                 W = W + sqrt_dt * z
                 t_new = t_now + dt_step
@@ -321,18 +361,21 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
 
         def step_body(t, states):
             st_p, st_m = states
-            z1, z2 = normals()
+            d0 = (c * n_half + t) * 2  # per-program draw-call index
+            z1, z2 = normals(d0)
             if sv_model:
-                zv1, zv2 = normals()  # independent vol/variance shocks
+                zv1, zv2 = normals(d0 + 1)  # independent vol/variance shocks
             else:
                 zv1 = zv2 = z1
             t0 = (2.0 * t.astype(jnp.float32)) * dt_step
             t1 = t0 + dt_step
-            st_p = advance(st_p, z1, zv1, t0)
-            st_p = advance(st_p, z2, zv2, t1)
+            k0 = 2 * t
+            k1 = k0 + 1
+            st_p = advance(st_p, z1, zv1, t0, k0)
+            st_p = advance(st_p, z2, zv2, t1, k1)
             if antithetic:
-                st_m = advance(st_m, -z1, -zv1, t0)
-                st_m = advance(st_m, -z2, -zv2, t1)
+                st_m = advance(st_m, -z1, -zv1, t0, k0)
+                st_m = advance(st_m, -z2, -zv2, t1, k1)
             return (st_p, st_m)
 
         st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
@@ -501,22 +544,27 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                                    "antithetic", "payoff_id", "barrier_up",
                                    "knock_out", "average_geo",
                                    "strike_floating", "is_call", "dynamics",
-                                   "n_slices", "interpret", "with_greeks",
-                                   "geo_cv"))
+                                   "n_slices", "lsv_deg", "interpret",
+                                   "sw_prng", "with_greeks", "geo_cv"))
 def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
                      antithetic, payoff_id, barrier_up, knock_out,
                      average_geo, strike_floating, is_call, dynamics="gbm",
-                     n_slices=0, interpret=False, with_greeks=False,
-                     geo_cv=False):
+                     n_slices=0, lsv_deg=0, interpret=False, sw_prng=None,
+                     with_greeks=False, geo_cv=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if sw_prng is None:
+        # The Mosaic interpreter stubs the hardware PRNG to zeros (see
+        # ops/swprng.py) — interpret runs default to the software PRNG.
+        sw_prng = bool(interpret)
     kernel = partial(
         _path_kernel, n_steps=n_steps, reps=reps, antithetic=antithetic,
         payoff_id=payoff_id, barrier_up=barrier_up, knock_out=knock_out,
         average_geo=average_geo, strike_floating=strike_floating,
         is_call=is_call, dynamics=dynamics, n_slices=n_slices,
-        with_greeks=with_greeks, geo_cv=geo_cv)
+        lsv_deg=lsv_deg, sw_prng=bool(sw_prng), with_greeks=with_greeks,
+        geo_cv=geo_cv)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -534,7 +582,8 @@ def _run_path_kernel(seed, params, svi, *, n_programs, reps, n_steps,
 
 
 def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
-                   barrier, rebate, payout, dS_bump, heston=None, sabr=None):
+                   barrier, rebate, payout, dS_bump, heston=None, sabr=None,
+                   inv_xw=0.0):
     dt = T / n_steps
     mu = (r - q - 0.5 * sigma * sigma) * dt
     sig = sigma * np.sqrt(dt)
@@ -548,28 +597,48 @@ def _common_params(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
          h.get("v0", 0.0), h.get("kappa", 0.0), h.get("theta", 0.0),
          h.get("xi", 0.0), h.get("rho", 0.0),
          s.get("alpha0", 0.0), s.get("beta", 1.0), s.get("nu", 0.0),
-         s.get("rho", 0.0)], jnp.float32)
+         s.get("rho", 0.0), inv_xw], jnp.float32)
 
 
 def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
                     payoff, antithetic, barrier, barrier_type, rebate,
                     average_type, strike_type, payout, svi_slices, scheme,
-                    dS_bump, heston, sabr=None, geo_cv=False):
+                    dS_bump, heston, sabr=None, geo_cv=False, lsv=None):
     """(params, svi, static_kwargs) shared by the local and sharded entry
     points; n_steps must be even (two Box-Muller normals advance two steps
-    per loop iteration)."""
+    per loop iteration).
+
+    ``lsv`` selects LSV dynamics: a dict with the Heston parameters
+    (v0/kappa/theta/xi/rho), ``coeffs`` — the per-step leverage polynomial
+    table (n_steps, deg+1), monomial coefficients DESCENDING on the scaled
+    log-moneyness u = clip(x/x_width, −1, 1) — and ``x_width``. The svi
+    operand slot carries the coefficient table in that case."""
     if n_steps % 2:
         raise ValueError("pallas path engine requires even n_steps")
     if geo_cv and not (payoff == "asian" and average_type == "arithmetic"
                        and strike_type == "fixed" and heston is None
-                       and sabr is None and svi_slices is None):
+                       and sabr is None and svi_slices is None
+                       and lsv is None):
         raise ValueError("geo_cv requires a fixed-strike arithmetic asian "
                          "payoff under GBM dynamics")
+    inv_xw = 0.0
+    lsv_deg = 0
+    if lsv is not None:
+        heston = {k: float(lsv[k])
+                  for k in ("v0", "kappa", "theta", "xi", "rho")}
+        inv_xw = 1.0 / float(lsv["x_width"])
     params = _common_params(n_paths, n_steps, S0, K, T, r, q,
                             sigma if sigma is not None else 0.0,
                             is_call, barrier, rebate, payout, dS_bump,
-                            heston, sabr)
-    if svi_slices is None:
+                            heston, sabr, inv_xw)
+    if lsv is not None:
+        dynamics = "lsv"
+        n_slices = 0
+        svi = jnp.asarray(lsv["coeffs"], jnp.float32)
+        if svi.ndim != 2 or svi.shape[0] != n_steps:
+            raise ValueError(f"lsv coeffs {svi.shape} != ({n_steps}, deg+1)")
+        lsv_deg = int(svi.shape[1]) - 1
+    elif svi_slices is None:
         if heston is not None:
             dynamics = "heston"
         elif sabr is not None:
@@ -590,7 +659,7 @@ def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
         average_geo=(average_type == "geometric"),
         strike_floating=(strike_type == "floating"),
         is_call=bool(is_call), dynamics=dynamics, n_slices=n_slices,
-        geo_cv=bool(geo_cv))
+        lsv_deg=lsv_deg, geo_cv=bool(geo_cv))
     return params, svi, static
 
 
@@ -601,8 +670,8 @@ def path_mc_sumstats_pallas(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
-    heston=None, sabr=None, interpret: bool = False,
-    greek_stats: bool = False, geo_cv: bool = False,
+    heston=None, sabr=None, lsv=None, interpret: bool = False,
+    sw_prng=None, greek_stats: bool = False, geo_cv: bool = False,
 ):
     """(21,) sufficient statistics for a path-dependent payoff.
 
@@ -625,7 +694,7 @@ def path_mc_sumstats_pallas(
     params, svi, static = _resolve_config(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
-        svi_slices, scheme, dS_bump, heston, sabr, geo_cv)
+        svi_slices, scheme, dS_bump, heston, sabr, geo_cv, lsv)
     if greek_stats:
         if static["dynamics"] != "gbm":
             raise ValueError("greek_stats requires GBM dynamics")
@@ -636,7 +705,8 @@ def path_mc_sumstats_pallas(
     seed_arr = jnp.asarray([seed % (2**31 - 1), 0], jnp.int32)
     return _run_path_kernel(
         seed_arr, params, svi, n_programs=n_programs, reps=reps,
-        interpret=bool(interpret), with_greeks=bool(greek_stats), **static)
+        interpret=bool(interpret), sw_prng=sw_prng,
+        with_greeks=bool(greek_stats), **static)
 
 
 def path_mc_sumstats_pallas_sharded(
@@ -646,8 +716,8 @@ def path_mc_sumstats_pallas_sharded(
     rebate: float = 0.0, average_type: str = "arithmetic",
     strike_type: str = "fixed", payout: float = 1.0,
     svi_slices=None, scheme: str = "log_euler", dS_bump: float = 0.01,
-    heston=None, sabr=None, interpret=None, geo_cv: bool = False,
-    greek_stats: bool = False,
+    heston=None, sabr=None, lsv=None, interpret=None, sw_prng=None,
+    geo_cv: bool = False, greek_stats: bool = False,
 ):
     """Mesh data-parallel fused path MC: per-device Pallas grids + psum.
 
@@ -667,7 +737,7 @@ def path_mc_sumstats_pallas_sharded(
     params, svi, static = _resolve_config(
         n_paths, n_steps, S0, K, T, r, q, sigma, is_call, payoff, antithetic,
         barrier, barrier_type, rebate, average_type, strike_type, payout,
-        svi_slices, scheme, dS_bump, heston, sabr, geo_cv)
+        svi_slices, scheme, dS_bump, heston, sabr, geo_cv, lsv)
     if greek_stats and static["dynamics"] != "gbm":
         raise ValueError("greek_stats requires GBM dynamics")
     from ..parallel.mesh import mesh_axes
@@ -687,8 +757,8 @@ def path_mc_sumstats_pallas_sharded(
         seed_arr = jnp.stack([seed_val, offs[0]])
         local = _run_path_kernel(
             seed_arr, params, svi, n_programs=progs_per_dev, reps=reps,
-            interpret=bool(interpret), with_greeks=bool(greek_stats),
-            **static)
+            interpret=bool(interpret), sw_prng=sw_prng,
+            with_greeks=bool(greek_stats), **static)
         return jax.lax.psum(local, axis)
 
     return shard_fn(offsets)

@@ -152,10 +152,12 @@ def lsv_from_dict(d: dict):
     import jax.numpy as jnp
     import numpy as np
 
+    from ..dtypes import canonical
     from ..models.lsv import LSVModel
 
-    x_bins = jnp.asarray(np.asarray(d["x_bins"], np.float32))
-    lev = jnp.asarray(np.asarray(d["leverage"], np.float32))
+    dt = canonical(None)  # repr-exact JSON floats, so the round trip is
+    x_bins = jnp.asarray(np.asarray(d["x_bins"]), dt)  # bit-exact at dt
+    lev = jnp.asarray(np.asarray(d["leverage"]), dt)
     if lev.ndim != 2 or lev.shape[1] != x_bins.shape[0]:
         raise ValueError(f"leverage {lev.shape} inconsistent with "
                          f"{x_bins.shape[0]} x-bins")

@@ -272,3 +272,20 @@ class TestCLIExtensions:
         px_term = float(capsys.readouterr().out.strip().split()[0])
         # averaging dampens vol: Asian basket below terminal basket
         assert 0.0 < px_asian < px_term
+
+    def test_lsv_flat_surface_and_model_reload(self, capsys, tmp_path):
+        # flat smile + xi>0: LSV must stay near the flat-vol BS price
+        mdl = str(tmp_path / "lsv.json")
+        _run_cli("lsv", *self.COMMON, "--n-steps", "16", "--cal-paths",
+                 "8192", "--n-bins", "48", "--n-paths", "32768",
+                 "--save-model", mdl)
+        out = capsys.readouterr().out.strip()
+        px = float(out.split()[0])
+        from optpricer_tpu.ops.black_scholes import bs_price_vec
+        ref = float(bs_price_vec(100.0, 100.0, 1.0, 0.05, 0.0, 0.2,
+                                 "call"))
+        assert abs(px - ref) < 0.35
+        # reload the persisted model: same seed => identical price
+        _run_cli("lsv", *self.COMMON, "--model", mdl, "--n-paths", "32768")
+        px2 = float(capsys.readouterr().out.strip().split()[0])
+        assert px2 == px

@@ -181,3 +181,51 @@ class TestMesh:
         # different per-device fold_in streams: statistical, not bitwise
         assert abs(px1 - pxm) < 4 * max(se1, sem)
         assert sem < 2 * se1
+
+
+class TestPallasKernel:
+    """In-register LSV path kernel (interpret mode on the CPU harness;
+    the real-chip run lives in test_pallas_tpu.py)."""
+
+    def _model(self):
+        x_bins = np.linspace(-1.0, 1.0, 64).astype(np.float32)
+        lev = np.stack([1.0 + 0.3 * x_bins**2 * np.exp(-0.5 * k / 8)
+                        for k in range(8)]).astype(np.float32)
+        return LSVModel(S0=100.0, r=0.03, q=0.0, T=1.0, v0=0.04,
+                        kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                        x_bins=x_bins, leverage=lev)
+
+    def test_leverage_poly_accuracy(self):
+        from optpricer_tpu.models.lsv import _leverage_poly
+
+        model = self._model()
+        coeffs, x_width = _leverage_poly(model)
+        assert coeffs.shape == (8, 13)
+        u = np.asarray(model.x_bins) / x_width
+        for k in range(8):
+            fit = np.polyval(coeffs[k].astype(np.float64), u)
+            ref = np.asarray(model.leverage[k], np.float64)
+            assert np.max(np.abs(fit - ref)) < 1e-3 * np.max(ref)
+
+    def test_kernel_matches_xla_engine(self):
+        model = self._model()
+        kw = dict(n_paths=1 << 14, seed=0, dtype="float32")
+        for payoff, extra in (("vanilla", {}),
+                              ("barrier", dict(barrier=125.0)),
+                              ("asian", {})):
+            px_x, se_x = lsv_price_mc(payoff, model, 100.0,
+                                      backend="xla", **kw, **extra)
+            px_p, se_p = lsv_price_mc(payoff, model, 100.0,
+                                      backend="pallas", **kw, **extra)
+            assert abs(px_x - px_p) < 4 * (se_x + se_p), \
+                f"{payoff}: xla {px_x}±{se_x} vs pallas {px_p}±{se_p}"
+
+    def test_pallas_requires_even_steps(self):
+        x_bins = np.linspace(-1.0, 1.0, 16).astype(np.float32)
+        model = LSVModel(S0=100.0, r=0.03, q=0.0, T=1.0, v0=0.04,
+                        kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                        x_bins=x_bins,
+                        leverage=np.ones((7, 16), np.float32))
+        with pytest.raises(ValueError, match="even"):
+            lsv_price_mc("vanilla", model, 100.0, backend="pallas",
+                         dtype="float32")

@@ -337,3 +337,71 @@ class TestFusedQmcPathTPU:
                                 average_type="geometric", n_steps=64,
                                 n_paths=1 << 16, seed=0, backend="qmc")
         assert abs(p - ref) < max(5 * se, 2e-4)
+
+
+class TestSwPrngOracle:
+    """Cross-platform reproducibility oracle: the counter-based software
+    PRNG (ops/swprng.py) produces the SAME draw bits on the chip and under
+    the Mosaic interpreter, so hardware stats must agree with a CPU
+    interpret run to f32 rounding (FMA contraction and transcendental
+    implementations differ; the draws do not). Before sw_prng the
+    interpreter's PRNG stub returned zeros and no such comparison existed.
+    The interpret side runs in a CPU subprocess — interpret-mode kernels
+    on the TPU *platform* are pathologically slow (io_callback per op)."""
+
+    @staticmethod
+    def _cpu_interpret_stats(call_src: str) -> np.ndarray:
+        import subprocess
+        import sys
+
+        script = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import numpy as np\n"
+            "from optpricer_tpu.ops.pallas_mc import mc_sumstats_pallas\n"
+            "from optpricer_tpu.ops.pallas_path_mc import "
+            "path_mc_sumstats_pallas\n"
+            f"s = {call_src}\n"
+            "print('STATS', ' '.join(repr(float(v)) "
+            "for v in np.asarray(s, np.float64)))\n")
+        out = subprocess.run([sys.executable, "-c", script], timeout=420,
+                             capture_output=True, text=True, check=True)
+        row = [ln for ln in out.stdout.splitlines()
+               if ln.startswith("STATS ")][0]
+        return np.asarray([float(v) for v in row.split()[1:]], np.float64)
+
+    def test_terminal_kernel_hw_equals_cpu_interpret(self):
+        from optpricer_tpu.ops.pallas_mc import mc_sumstats_pallas
+
+        args = "(3, 1 << 18, 100.0, 105.0, 1.0, 0.05, 0.01, 0.25, True)"
+        s_hw = np.asarray(mc_sumstats_pallas(
+            *eval(args), antithetic=True, sw_prng=True), np.float64)
+        s_in = self._cpu_interpret_stats(
+            f"mc_sumstats_pallas(*{args}, antithetic=True, interpret=True)")
+        np.testing.assert_allclose(s_hw, s_in, rtol=2e-5)
+
+    def test_path_kernel_hw_equals_cpu_interpret(self):
+        from optpricer_tpu.ops.pallas_path_mc import path_mc_sumstats_pallas
+
+        args = "(5, 1 << 15, 16, 100.0, 105.0, 1.0, 0.05, 0.01, 0.25, True)"
+        s_hw = np.asarray(path_mc_sumstats_pallas(
+            *eval(args), payoff="asian", antithetic=True, sw_prng=True),
+            np.float64)
+        s_in = self._cpu_interpret_stats(
+            f"path_mc_sumstats_pallas(*{args}, payoff='asian', "
+            "antithetic=True, interpret=True)")
+        np.testing.assert_allclose(s_hw, s_in, rtol=2e-5)
+
+    def test_hardware_prng_remains_default(self):
+        # production path must stay on the hardware PRNG: same seed,
+        # sw_prng on/off -> different (but both valid) streams
+        from optpricer_tpu.ops.pallas_mc import (mc_sumstats_pallas,
+                                                 pallas_estimate)
+
+        args = (3, 1 << 18, 100.0, 105.0, 1.0, 0.05, 0.01, 0.25, True)
+        s_hw = mc_sumstats_pallas(*args, antithetic=True)
+        s_sw = mc_sumstats_pallas(*args, antithetic=True, sw_prng=True)
+        p_hw, se_hw = pallas_estimate(s_hw, *args[2:], True)
+        p_sw, se_sw = pallas_estimate(s_sw, *args[2:], True)
+        assert float(np.asarray(s_hw)[1]) != float(np.asarray(s_sw)[1])
+        assert abs(p_hw - p_sw) < 5 * (se_hw + se_sw)
