@@ -95,7 +95,7 @@ from .models.pde import fd_price_batch, fd_price_local_vol_batch
 from .models.analytic import (merton_price, heston_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
                               geometric_asian_price, fit_heston,
-                              heston_greeks_cos)
+                              heston_greeks_cos, cev_price)
 from .models.basket import (basket_price_mc, basket_greeks_mc,
                             basket_exotic_mc, geometric_basket_price,
                             margrabe_price)
@@ -133,7 +133,7 @@ __all__ = [
     "fd_price_local_vol_batch", "lsmc_price", "lsmc_price_batch",
     "lsmc_price_sharded",
     "euro_greeks_mc", "exotic_greeks_mc",
-    "merton_price", "heston_price_cos", "sabr_implied_vol",
+    "merton_price", "heston_price_cos", "cev_price", "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",
     "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",

@@ -455,3 +455,72 @@ def heston_greeks_cos(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
             "rho": float(d[2]), "vega_v0": float(d[3]),
             "vega_kappa": float(d[4]), "vega_theta": float(d[5]),
             "vega_xi": float(d[6]), "vega_rho": float(d[7])}
+
+
+def _ncx2_cdf(z, k, lam, n_terms: int):
+    """Noncentral chi-square CDF by the Poisson mixture of central
+    gammas: χ²(z; k, λ) = Σ_j Pois(j; λ/2)·P(k/2 + j, z/2), weights in
+    log space. Adequate term count: n_terms ≳ λ/2 + 10·√(λ/2 + 1)."""
+    from jax.scipy.special import gammainc, gammaln
+
+    j = jnp.arange(n_terms, dtype=z.dtype)
+    half = lam[..., None] * 0.5
+    logw = (j * jnp.log(jnp.maximum(half, 1e-300)) - half
+            - gammaln(j + 1.0))
+    p = gammainc(k * 0.5 + j, z[..., None] * 0.5)
+    return jnp.sum(jnp.exp(logw) * p, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("kind", "n_terms"))
+def cev_price(S0, K, T, r, q=0.0, *, sigma, beta, kind: str = "call",
+              n_terms: int = 2048):
+    """CEV closed form (absorbing boundary at zero), 0 < β < 1.
+
+    dS = (r−q)S dt + σ S^β dW with zero absorbing — the martingale CEV,
+    so put-call parity holds against the plain forward. Priced by the
+    noncentral chi-square representation (Schroder 1989; Hull's
+    formulation with the deterministic time change
+    τ = (e^{2(r−q)(1−β)T} − 1)/(2(r−q)(1−β)) for carry):
+
+        a = K^{2(1−β)}/((1−β)²v),  c = F^{2(1−β)}/((1−β)²v),  b = 1/(1−β)
+        C = e^{−rT}·( F·[1 − χ²(a; b+2, c)] − K·χ²(c; b, a) )
+
+    (cross-checked against the Hagan ATM expansion and converged Euler MC
+    — tests/test_analytic.py::TestCEV; note some texts double a and c,
+    which belongs to a v = σ²τ/2 convention, not this one)
+
+    with v = σ²τ and F = S0·e^{(r−q)T}. NOTE ``sigma`` is the CEV scale
+    (units S^{1−β}): the lognormal-vol equivalent near S0 is σ·S0^{1−β}.
+    Broadcasts over strikes. ``n_terms`` bounds the Poisson mixture —
+    raise it when 2c is large (high S0^{2(1−β)}/σ²T); f64 (CPU x64
+    harness) is the oracle mode, f32 on TPU is ~1e-3-accurate.
+
+    This is the exact target for the SABR CEV backbone at ν = 0
+    (``models/processes.sabr_paths``) — the oracle behind the
+    absorption-bias test in tests/test_analytic.py. The reference has no
+    CEV pricer (/root/reference/src/optpricer/analytic has no such
+    module; nearest is its SABR MC, processes.py:168-217).
+    """
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    dt_ = canonical(None)
+    S0, K, T, r, q, sigma, beta = (
+        jnp.asarray(v, dt_) for v in (S0, K, T, r, q, sigma, beta))
+    one_m = 1.0 - beta
+    drift = 2.0 * (r - q) * one_m
+    # τ → T as r→q (limit of the time change); branchless blend
+    small = jnp.abs(drift) < 1e-12
+    tau = jnp.where(small, T,
+                    (jnp.exp(jnp.where(small, 0.0, drift) * T) - 1.0)
+                    / jnp.where(small, 1.0, drift))
+    v = sigma * sigma * tau
+    F = S0 * jnp.exp((r - q) * T)
+    a = K ** (2.0 * one_m) / (one_m * one_m * v)
+    c = F ** (2.0 * one_m) / (one_m * one_m * v)
+    b = 1.0 / one_m
+    df = jnp.exp(-r * T)
+    call = df * (F * (1.0 - _ncx2_cdf(a, b + 2.0, c, n_terms))
+                 - K * _ncx2_cdf(c, b, a, n_terms))
+    if kind == "call":
+        return call
+    return call - df * (F - K)   # absorbed CEV is a true martingale

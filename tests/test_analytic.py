@@ -227,3 +227,98 @@ class TestHestonGreeksCOS:
         assert abs(g["delta"] - fd_delta) < 1e-5
         assert abs(g["vega_v0"] - fd_v0) < 1e-3
         assert abs(g["vega_xi"] - fd_xi) < 1e-3
+
+
+class TestCEV:
+    """CEV closed form (absorbing boundary, noncentral chi-square).
+    Oracles: scipy's independent ncx2 CDF, the Hagan small-vol ATM
+    expansion, converged Euler MC (SABR backbone at nu = 0), and put-call
+    parity against the plain forward (the absorbed CEV is a true
+    martingale)."""
+
+    def test_matches_scipy_ncx2(self):
+        from scipy.stats import ncx2
+
+        from optpricer_tpu import cev_price
+
+        S0, T, r, q = 100.0, 1.0, 0.03, 0.01
+        for beta in (0.3, 0.5, 0.7, 0.9):
+            sig = 0.25 * S0 ** (1.0 - beta)
+            om = 1.0 - beta
+            drift = 2 * (r - q) * om
+            tau = (np.exp(drift * T) - 1) / drift
+            v = sig * sig * tau
+            F = S0 * np.exp((r - q) * T)
+            for K in (80.0, 100.0, 125.0):
+                a = K ** (2 * om) / (om * om * v)
+                c = F ** (2 * om) / (om * om * v)
+                b = 1 / om
+                ref = np.exp(-r * T) * (
+                    F * (1 - ncx2.cdf(a, b + 2, c))
+                    - K * ncx2.cdf(c, b, a))
+                got = float(cev_price(S0, K, T, r, q, sigma=sig, beta=beta,
+                                      n_terms=4096))
+                assert got == pytest.approx(ref, abs=5e-7), (beta, K)
+
+    def test_hagan_atm_consistency(self):
+        # ATM implied vol of CEV ~ sigma/F^(1-beta)*(1 + (1-b)^2/24 *
+        # sigma^2/F^(2-2b) * T + ...) — the beta<1 limit of Hagan's SABR
+        # formula at nu=0
+        from optpricer_tpu import cev_price, sabr_implied_vol
+
+        S0 = K = 100.0
+        for beta in (0.4, 0.7):
+            sig = 0.3 * S0 ** (1.0 - beta)
+            px = float(cev_price(S0, K, 1.0, 0.0, 0.0, sigma=sig,
+                                 beta=beta, n_terms=4096))
+            iv = float(sabr_implied_vol(100.0, 100.0, 1.0, sig, beta,
+                                        1e-8, 0.0))
+            ref = float(bs_price_vec(S0, K, 1.0, 0.0, 0.0, iv, "call",
+                                     dtype="float64"))
+            assert abs(px - ref) < 2e-3 * ref
+
+    def test_put_call_parity(self):
+        from optpricer_tpu import cev_price
+
+        args = dict(sigma=2.2, beta=0.6, n_terms=4096)
+        c = float(cev_price(100.0, 95.0, 2.0, 0.04, 0.01, kind="call",
+                            **args))
+        p = float(cev_price(100.0, 95.0, 2.0, 0.04, 0.01, kind="put",
+                            **args))
+        F = 100.0 * np.exp((0.04 - 0.01) * 2.0)
+        assert c - p == pytest.approx(np.exp(-0.04 * 2.0) * (F - 95.0),
+                                      abs=1e-8)
+
+    def test_sabr_mc_backbone_converges_to_cev(self):
+        # nu=0 SABR IS the CEV diffusion: the Euler backbone (positivity
+        # clamp, effectively absorbing) must converge to the closed form
+        # even at 60% LN-equivalent vol where absorption mass is real
+        from optpricer_tpu import cev_price
+        from optpricer_tpu.models.processes import sabr_paths
+
+        beta, S0, K, T = 0.5, 100.0, 100.0, 1.0
+        sig = 0.6 * S0 ** (1.0 - beta)
+        ref = float(cev_price(S0, K, T, 0.0, 0.0, sigma=sig, beta=beta,
+                              n_terms=4096))
+        S = sabr_paths(S0, 0.0, 0.0, sig, beta, 0.0, 0.0, T, 400,
+                       200_000, seed=1, dtype="float64")
+        ST = np.asarray(S[-1])
+        pay = np.maximum(ST - K, 0.0)
+        mc, se = pay.mean(), pay.std() / np.sqrt(ST.size)
+        # martingale check: absorption must not leak drift
+        assert abs(ST.mean() - S0) < 4 * ST.std() / np.sqrt(ST.size)
+        assert abs(mc - ref) < 4 * se + 2e-2 * ref
+
+    def test_term_budget_guard(self):
+        # n_terms far below lambda/2: the mixture truncates and the CDF
+        # collapses — document the failure mode by checking the good one
+        from optpricer_tpu import cev_price
+
+        good = float(cev_price(100.0, 100.0, 1.0, 0.0, 0.0, sigma=6.0,
+                               beta=0.5, n_terms=2048))
+        bad = float(cev_price(100.0, 100.0, 1.0, 0.0, 0.0, sigma=0.5,
+                              beta=0.5, n_terms=2048))
+        assert np.isfinite(good)
+        # tiny sigma -> lambda ~ 1.6e5 >> n_terms: must NOT silently look
+        # plausible; it degrades toward the no-exercise limit
+        assert bad < good
