@@ -99,7 +99,8 @@ from .models.analytic import (merton_price, heston_price_cos,
 from .models.basket import (basket_price_mc, basket_greeks_mc,
                             basket_exotic_mc, geometric_basket_price,
                             margrabe_price)
-from .models.lsv import LSVModel, lsv_calibrate, lsv_price_mc
+from .models.lsv import (LSVModel, lsv_calibrate, lsv_greeks_mc,
+                         lsv_price_mc)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -139,7 +140,7 @@ __all__ = [
     "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
     "geometric_basket_price",
     "margrabe_price",
-    "LSVModel", "lsv_calibrate", "lsv_price_mc",
+    "LSVModel", "lsv_calibrate", "lsv_greeks_mc", "lsv_price_mc",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

@@ -281,11 +281,13 @@ def _lsv_paths(key, model, fixed, *, payoff, kind, n_steps, n_paths,
     x0 = model.x_bins[0]
     dx = model.x_bins[1] - model.x_bins[0]
     mu = fixed["r"] - fixed["q"]
-    rho = jnp.asarray(model.rho, dt_)
+    # Heston parameters come from ``fixed`` when present (traced overrides
+    # for the AD Greek path, lsv_greeks_mc) and from the model otherwise.
+    rho = jnp.asarray(fixed.get("h_rho", model.rho), dt_)
     rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho))
-    kappa = jnp.asarray(model.kappa, dt_)
-    theta_v = jnp.asarray(model.theta, dt_)
-    xi = jnp.asarray(model.xi, dt_)
+    kappa = jnp.asarray(fixed.get("h_kappa", model.kappa), dt_)
+    theta_v = jnp.asarray(fixed.get("h_theta", model.theta), dt_)
+    xi = jnp.asarray(fixed.get("h_xi", model.xi), dt_)
 
     # Derive the initial carry from the key so its varying-axes type matches
     # the per-step draws inside shard_map (scan requires carry agreement).
@@ -293,7 +295,8 @@ def _lsv_paths(key, model, fixed, *, payoff, kind, n_steps, n_paths,
         jax.random.fold_in(key, 2**30), (), dt_)
     S_init = jnp.full((n_cols,), fixed["S0"], dt_) + vary
     zeros = S_init * 0.0
-    v_init = zeros + jnp.maximum(jnp.asarray(model.v0, dt_), 0.0)
+    v_init = zeros + jnp.maximum(
+        jnp.asarray(fixed.get("h_v0", model.v0), dt_), 0.0)
     up = barrier_type.startswith("up")
     crossed0 = (S_init >= fixed["barrier"]) if up else \
         (S_init <= fixed["barrier"])
@@ -463,3 +466,102 @@ def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
     m = s[1] / s[0]
     var = max(0.0, s[2] / s[0] - m * m)
     return float(m), float(np.sqrt(var / s[0]))
+
+
+def lsv_greeks_mc(payoff: str, model: LSVModel, K: float, *,
+                  kind: str = "call", n_paths: int = 100_000,
+                  average_type: str = "arithmetic",
+                  strike_type: str = "fixed", antithetic: bool = True,
+                  seed: Optional[int] = None, dtype=None,
+                  mesh=None) -> dict:
+    """Pathwise-AD Greeks under the calibrated LSV model.
+
+    One ``jax.jacfwd`` through the fused LSV scan (the same design as
+    :func:`~optpricer_tpu.models.mc_fused.exotic_greeks_mc`'s non-GBM
+    branch) gives per-path derivatives of the discounted payoff w.r.t.
+    (S0, r, T) and the Heston parameters (v0, kappa, theta, xi, rho) —
+    keys ``delta``/``rho``/``theta``/``d_v0``/``d_kappa``/``d_theta``/
+    ``d_xi``/``d_rho``, each with a ``*_stderr``. These are
+    **sticky-leverage** Greeks: the particle-calibrated leverage table is
+    FROZEN while the parameters move — the desk convention for a model
+    recalibrated daily (the leverage function absorbs the smile; bumping
+    it too would double-count the vol surface's own dynamics).
+
+    Continuous payoffs only (vanilla/asian/lookback): pathwise
+    differentiation is invalid across the barrier/digital discontinuity —
+    use CRN bump-and-reprice there. ``mesh=`` shards paths with one psum
+    of the [n, Σcols, Σcols²] moment block.
+    """
+    if payoff not in ("vanilla", "asian", "lookback"):
+        raise ValueError(
+            "pathwise AD Greeks need a continuous payoff (one of "
+            "('vanilla', 'asian', 'lookback')); barrier/digital under LSV "
+            "require bump-and-reprice with common random numbers")
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    dt_ = canonical(dtype)
+    key = jax.random.key(resolve_seed(seed))
+    n_steps = model.n_steps
+    exp_ = _exp_for(dt_)
+
+    base = dict(
+        K=jnp.asarray(K, dt_), q=jnp.asarray(model.q, dt_),
+        barrier=jnp.asarray(0.0, dt_), rebate=jnp.asarray(0.0, dt_),
+        payout=jnp.asarray(1.0, dt_))
+    names = (("delta", "S0"), ("rho", "r"), ("theta", "T"),
+             ("d_v0", "h_v0"), ("d_kappa", "h_kappa"),
+             ("d_theta", "h_theta"), ("d_xi", "h_xi"),
+             ("d_rho", "h_rho"))
+    vals = dict(S0=model.S0, r=model.r, T=model.T, h_v0=model.v0,
+                h_kappa=model.kappa, h_theta=model.theta, h_xi=model.xi,
+                h_rho=model.rho)
+    keys_ = [k for _, k in names]
+    theta0 = jnp.stack([jnp.asarray(vals[k], dt_) for k in keys_])
+    static = dict(payoff=payoff, kind=kind, n_steps=n_steps,
+                  antithetic=bool(antithetic), barrier_type="up-and-out",
+                  average_type=average_type, strike_type=strike_type,
+                  dtype=dt_)
+
+    def _path_X(th, local_key, n_local):
+        f2 = dict(base)
+        for i, k in enumerate(keys_):
+            f2[k] = th[i]
+        pay, _ = _lsv_paths(local_key, model, f2, n_paths=n_local, **static)
+        return exp_(-f2["r"] * f2["T"]) * pay
+
+    def _local_sums(local_key, n_local):
+        X = _path_X(theta0, local_key, n_local)
+        J = jax.jacfwd(lambda th: _path_X(th, local_key, n_local))(theta0)
+        cols = jnp.concatenate([X[:, None], J], axis=1)
+        return jnp.concatenate([
+            jnp.asarray(X.shape[0], dt_)[None],
+            jnp.sum(cols, axis=0), jnp.sum(cols * cols, axis=0)])
+
+    if mesh is None:
+        sums = _local_sums(key, int(n_paths))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import mesh_axes
+
+        axis = mesh_axes(mesh)
+        n_dev = int(mesh.devices.size)
+        n_local = -(-int(n_paths) // n_dev)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+        def shard_fn(dev_ids):
+            local_key = jax.random.fold_in(key, dev_ids[0])
+            return jax.lax.psum(_local_sums(local_key, n_local), axis)
+
+        sums = shard_fn(jnp.arange(n_dev))
+
+    s = np.asarray(jax.device_get(sums), np.float64)
+    k = len(names)
+    n, mean, sq = s[0], s[1:2 + k] / s[0], s[2 + k:] / s[0]
+    se = np.sqrt(np.maximum(0.0, sq - mean * mean) / n)
+    out = {"price": float(mean[0]), "stderr": float(se[0])}
+    for i, (nm, _) in enumerate(names):
+        sgn = -1.0 if nm == "theta" else 1.0     # theta = -dV/dT
+        out[nm] = float(sgn * mean[1 + i])
+        out[f"{nm}_stderr"] = float(se[1 + i])
+    return out

@@ -229,3 +229,76 @@ class TestPallasKernel:
         with pytest.raises(ValueError, match="even"):
             lsv_price_mc("vanilla", model, 100.0, backend="pallas",
                          dtype="float32")
+
+
+class TestLSVGreeks:
+    """Pathwise-AD Greeks under LSV (sticky leverage): CRN bump-and-
+    reprice cross-checks, delta sanity against BS, mesh agreement."""
+
+    def _model(self, **over):
+        x_bins = np.linspace(-1.2, 1.2, 48).astype(np.float32)
+        lev = np.ones((8, 48), np.float32)
+        base = dict(S0=100.0, r=0.03, q=0.0, T=1.0, v0=0.04, kappa=1.5,
+                    theta=0.04, xi=0.4, rho=-0.5)
+        base.update(over)
+        return LSVModel(x_bins=x_bins, leverage=lev, **base)
+
+    def test_delta_matches_crn_bump(self):
+        from optpricer_tpu import lsv_greeks_mc
+
+        m = self._model()
+        g = lsv_greeks_mc("vanilla", m, 100.0, n_paths=1 << 14, seed=3)
+        h = 0.5
+        up, _ = lsv_price_mc("vanilla", self._model(S0=100.0 + h), 100.0,
+                             n_paths=1 << 14, seed=3, backend="xla")
+        dn, _ = lsv_price_mc("vanilla", self._model(S0=100.0 - h), 100.0,
+                             n_paths=1 << 14, seed=3, backend="xla")
+        fd = (up - dn) / (2 * h)
+        assert abs(g["delta"] - fd) < 0.02 * max(1.0, abs(fd)) \
+            + 4 * g["delta_stderr"]
+
+    def test_d_v0_matches_crn_bump(self):
+        from optpricer_tpu import lsv_greeks_mc
+
+        m = self._model()
+        g = lsv_greeks_mc("asian", m, 100.0, n_paths=1 << 14, seed=4)
+        h = 0.002
+        up, _ = lsv_price_mc("asian", self._model(v0=0.04 + h), 100.0,
+                             n_paths=1 << 14, seed=4, backend="xla")
+        dn, _ = lsv_price_mc("asian", self._model(v0=0.04 - h), 100.0,
+                             n_paths=1 << 14, seed=4, backend="xla")
+        fd = (up - dn) / (2 * h)
+        assert abs(g["d_v0"] - fd) < 0.05 * max(1.0, abs(fd)) \
+            + 4 * g["d_v0_stderr"]
+        assert g["d_v0"] > 0.0  # more variance, more option value
+
+    def test_unit_leverage_vanilla_near_heston_limits(self):
+        # L == 1 => pure Heston; delta of an ATM call ~ 0.5-0.65 band and
+        # theta negative, price matches the pricer on the same seed
+        from optpricer_tpu import lsv_greeks_mc
+
+        m = self._model()
+        g = lsv_greeks_mc("vanilla", m, 100.0, n_paths=1 << 14, seed=5)
+        px, se = lsv_price_mc("vanilla", m, 100.0, n_paths=1 << 14,
+                              seed=5, backend="xla")
+        assert abs(g["price"] - px) < 4 * (g["stderr"] + se)
+        assert 0.4 < g["delta"] < 0.75
+        assert g["theta"] < 0.0
+
+    def test_barrier_raises(self):
+        from optpricer_tpu import lsv_greeks_mc
+
+        with pytest.raises(ValueError, match="continuous"):
+            lsv_greeks_mc("barrier", self._model(), 100.0)
+
+    def test_mesh_matches_single_statistically(self):
+        from optpricer_tpu import lsv_greeks_mc
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        m = self._model()
+        g1 = lsv_greeks_mc("vanilla", m, 100.0, n_paths=1 << 13, seed=6)
+        gm = lsv_greeks_mc("vanilla", m, 100.0, n_paths=1 << 13, seed=6,
+                           mesh=get_mesh(8))
+        for k in ("delta", "d_v0", "rho"):
+            tol = 4 * (g1[f"{k}_stderr"] + gm[f"{k}_stderr"]) + 1e-4
+            assert abs(g1[k] - gm[k]) < tol, (k, g1[k], gm[k])
