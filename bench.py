@@ -280,8 +280,10 @@ def bench_basket() -> None:
 
 
 def bench_basket_path() -> None:
-    """Diagnostic: path-dependent multi-asset — 10-asset Asian basket,
-    per-step correlation as an MXU matmul inside one scan."""
+    """Diagnostic: path-dependent multi-asset — 10-asset Asian basket.
+    pallas = in-register kernel (one path tile per asset, chol as an fma
+    chain on lanes, ops/pallas_basket_mc.py); xla = scan with the per-step
+    correlation matmul on the MXU (the wide-book path)."""
     from optpricer_tpu import basket_exotic_mc
 
     a = 10
@@ -292,13 +294,20 @@ def bench_basket_path() -> None:
     w = np.ones(a) / a
     kw = dict(sigmas=sig, corr=corr, payoff="asian_basket", n_steps=64,
               n_paths=1 << 18, seed=3)
-    run = lambda: basket_exotic_mc(S0s, w, float(S0s.mean()), 1.0, 0.03,
-                                   **kw)
-    px, se = run()
-    best, times = best_of(run, 5)
-    log(f"[basket-path] 10-asset Asian basket 2^19×64 steps: "
-        f"{_spread(times)} best={best*1e3:.0f} ms, "
-        f"price={px:.4f} ± {se:.1e}")
+    out = {}
+    for be in ("pallas", "xla"):
+        run = lambda: basket_exotic_mc(S0s, w, float(S0s.mean()), 1.0,
+                                       0.03, backend=be, **kw)
+        px, se = run()
+        best, times = best_of(run, 5)
+        out[be] = (best, times, px, se)
+    bp, tp, px, se = out["pallas"]
+    bx, tx, px_x, se_x = out["xla"]
+    assert abs(px - px_x) < 5 * (se + se_x) + 1e-3, \
+        f"basket kernel/xla disagree: {px}±{se} vs {px_x}±{se_x}"
+    log(f"[basket-path] 10-asset Asian basket 2^18 pairs×64 steps: "
+        f"pallas {_spread(tp)} best={bp*1e3:.1f} ms "
+        f"(xla {bx*1e3:.0f} ms, {bx/bp:.1f}×), price={px:.4f} ± {se:.1e}")
 
 
 def bench_lsv() -> None:

@@ -283,7 +283,7 @@ def basket_exotic_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
                      rebate: float = 0.0, n_steps: int = 64,
                      n_paths: int = 131_072, antithetic: bool = True,
                      control_variate: bool = True, seed=None, dtype=None,
-                     mesh=None):
+                     mesh=None, backend: str = "auto"):
     """PATH-DEPENDENT multi-asset pricing: correlated-GBM time stepping.
 
     ``payoff``:
@@ -304,9 +304,17 @@ def basket_exotic_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
     one 6-stat psum (identical estimator to single-chip). The terminal
     basket spot is the control variate (E[Y] model-free); disable with
     ``control_variate=False``. Returns ``(price, stderr)``.
+
+    ``backend``: "auto" runs the in-register Pallas basket kernel
+    (``ops/pallas_basket_mc.py`` — one path tile per asset, chol applied
+    as a lower-triangular fma chain on lanes) on TPU for f32 books of
+    ≤16 assets, and the XLA scan otherwise (wide books keep the MXU
+    matmul); "pallas"/"xla" force the choice.
     """
     if payoff not in _PATH_PAYOFFS:
         raise ValueError(f"payoff must be one of {_PATH_PAYOFFS}")
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
     dt_ = canonical(dtype)
     S0s = np.atleast_1d(np.asarray(S0s, np.float64))
     a = S0s.size
@@ -329,6 +337,35 @@ def basket_exotic_mc(S0s, weights, K, T, r, qs=None, *, sigmas, corr,
                   n_steps=int(n_steps), antithetic=bool(antithetic),
                   n_assets=a, barrier_up=barrier_type.startswith("up"),
                   knock_in=barrier_type.endswith("in"), dtype=dt_)
+    kernel_ok = a <= 16 and dt_ == jnp.float32
+    if backend == "pallas" and not kernel_ok:
+        raise ValueError("backend='pallas' requires f32 and <=16 assets")
+    if kernel_ok and (backend == "pallas" or
+                      (backend == "auto"
+                       and jax.default_backend() == "tpu")):
+        from ..ops.pallas_basket_mc import (
+            basket_path_sumstats_pallas, basket_path_sumstats_pallas_sharded)
+
+        call = (resolve_seed(seed), int(n_paths), int(n_steps),
+                S0s, w, float(K), float(T), float(r), qs, sig, chol,
+                kind == "call")
+        pk = dict(payoff=payoff, antithetic=bool(antithetic),
+                  barrier=float(barrier), barrier_type=barrier_type,
+                  rebate=float(rebate))
+        if mesh is not None:
+            s = basket_path_sumstats_pallas_sharded(mesh, *call, **pk)
+        else:
+            s = basket_path_sumstats_pallas(
+                *call, interpret=jax.default_backend() != "tpu", **pk)
+        s = np.asarray(jax.device_get(s), np.float64)
+        if control_variate:
+            ey = float(np.sum(w * S0s * np.exp(-qs * float(T))))
+            mean, se = stats_ops.cv_mean_se_np(s, ey)
+            return mean, max(se, 2e-6 * (1.0 + abs(mean)))
+        n, mX = s[0], s[1] / s[0]
+        vX = max(0.0, s[2] / s[0] - mX * mX)
+        return float(mX), float(np.sqrt(vX / n))
+
     key = jax.random.key(resolve_seed(seed))
 
     if mesh is None:

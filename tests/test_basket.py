@@ -323,3 +323,97 @@ class TestBasketExotic:
             basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
                              sigmas=self.SIG, corr=self.CORR,
                              payoff="nope")
+
+
+class TestBasketPallasKernel:
+    """In-register multi-asset path kernel (ops/pallas_basket_mc.py) vs
+    the XLA scan engine — interpret mode on the CPU harness (real draws
+    via the software PRNG), real-chip runs in test_pallas_tpu.py."""
+
+    CORR = np.array([[1.0, 0.5, 0.3], [0.5, 1.0, 0.4], [0.3, 0.4, 1.0]])
+    SIG = np.array([0.2, 0.3, 0.25])
+    S0 = np.array([100.0, 95.0, 105.0])
+    W = np.array([0.4, 0.3, 0.3])
+
+    def _price(self, backend, payoff, **extra):
+        from optpricer_tpu import basket_exotic_mc
+
+        return basket_exotic_mc(
+            self.S0, self.W, 100.0, 1.0, 0.03, sigmas=self.SIG,
+            corr=self.CORR, payoff=payoff, n_steps=16, n_paths=1 << 15,
+            seed=11, dtype="float32", backend=backend, **extra)
+
+    @pytest.mark.parametrize("payoff,extra", [
+        ("asian_basket", {}),
+        ("worstof_barrier", dict(barrier=80.0, barrier_type="down-and-out")),
+        ("worstof_barrier", dict(barrier=120.0, barrier_type="up-and-in")),
+        ("basket_barrier", dict(barrier=115.0, barrier_type="up-and-out",
+                                rebate=1.0)),
+    ])
+    def test_kernel_matches_xla_engine(self, payoff, extra):
+        p_x, s_x = self._price("xla", payoff, **extra)
+        p_p, s_p = self._price("pallas", payoff, **extra)
+        assert s_p > 0.0
+        assert abs(p_x - p_p) < 4 * (s_x + s_p) + 2e-3, \
+            f"{payoff} {extra}: xla {p_x}±{s_x} vs pallas {p_p}±{s_p}"
+
+    def test_one_asset_limit_matches_single_asset_engine(self):
+        from optpricer_tpu import basket_exotic_mc, exotic_price_mc
+
+        p_b, se_b = basket_exotic_mc(
+            [100.0], [1.0], 100.0, 1.0, 0.04, sigmas=[0.2], corr=[[1.0]],
+            payoff="worstof_barrier", barrier=130.0,
+            barrier_type="up-and-out", n_steps=16, n_paths=1 << 15,
+            seed=5, dtype="float32", backend="pallas")
+        p_s, se_s = exotic_price_mc(
+            "barrier", 100.0, 100.0, 1.0, 0.04, sigma=0.2, barrier=130.0,
+            barrier_type="up-and-out", backend="xla", dtype="float64",
+            n_steps=16, n_paths=200_000, seed=5)
+        assert abs(p_b - p_s) < 5 * np.hypot(se_b, se_s) + 1e-3
+
+    def test_in_out_parity(self):
+        # knock-in + knock-out (same barrier, zero rebate) = plain payoff
+        # on the SAME kernel draws — exact identity per path, so the sums
+        # must match to f32 roundoff
+        from optpricer_tpu.ops.pallas_basket_mc import \
+            basket_path_sumstats_pallas
+
+        chol = np.linalg.cholesky(self.CORR)
+        call = (5, 1 << 14, 8, self.S0, self.W, 100.0, 1.0, 0.03,
+                None, self.SIG, chol, True)
+        kw = dict(payoff="basket_barrier", barrier=115.0, interpret=True)
+        s_in = np.asarray(basket_path_sumstats_pallas(
+            *call, barrier_type="up-and-in", **kw), np.float64)
+        s_out = np.asarray(basket_path_sumstats_pallas(
+            *call, barrier_type="up-and-out", **kw), np.float64)
+        s_van = np.asarray(basket_path_sumstats_pallas(
+            *call, payoff="basket_barrier", barrier=1e12,
+            barrier_type="up-and-out", interpret=True), np.float64)
+        assert abs((s_in[1] + s_out[1]) - s_van[1]) < 1e-3 * abs(s_van[1])
+
+    def test_sharded_matches_single(self):
+        from optpricer_tpu.ops.pallas_basket_mc import (
+            basket_path_sumstats_pallas, basket_path_sumstats_pallas_sharded)
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        chol = np.linalg.cholesky(self.CORR)
+        call = (7, 100_000, 8, self.S0, self.W, 100.0, 1.0, 0.03,
+                None, self.SIG, chol, True)
+        ref = np.asarray(basket_path_sumstats_pallas(
+            *call, payoff="asian_basket", interpret=True))
+        out = np.asarray(basket_path_sumstats_pallas_sharded(
+            get_mesh(8), *call, payoff="asian_basket"))
+        assert ref[0] == 100_000 and ref[1] != 0.0
+        np.testing.assert_allclose(out, ref, rtol=3e-6)
+
+    def test_backend_guards(self):
+        from optpricer_tpu import basket_exotic_mc
+
+        a = 20  # beyond the register-resident asset cap
+        with pytest.raises(ValueError, match="16 assets"):
+            basket_exotic_mc(np.full(a, 100.0), np.full(a, 1 / a), 100.0,
+                             1.0, 0.03, sigmas=np.full(a, 0.2),
+                             corr=np.eye(a), payoff="asian_basket",
+                             dtype="float32", backend="pallas")
+        with pytest.raises(ValueError, match="backend"):
+            self._price("mxu", "asian_basket")

@@ -405,3 +405,44 @@ class TestSwPrngOracle:
         p_sw, se_sw = pallas_estimate(s_sw, *args[2:], True)
         assert float(np.asarray(s_hw)[1]) != float(np.asarray(s_sw)[1])
         assert abs(p_hw - p_sw) < 5 * (se_hw + se_sw)
+
+
+class TestBasketKernelTPU:
+    """In-register multi-asset path kernel on hardware: parity with the
+    XLA scan engine and with the 1-asset single-asset kernel limit."""
+
+    CORR = np.array([[1.0, 0.5, 0.3], [0.5, 1.0, 0.4], [0.3, 0.4, 1.0]])
+    SIG = np.array([0.2, 0.3, 0.25])
+    S0 = np.array([100.0, 95.0, 105.0])
+    W = np.array([0.4, 0.3, 0.3])
+
+    @pytest.mark.parametrize("payoff,extra", [
+        ("asian_basket", {}),
+        ("worstof_barrier", dict(barrier=80.0,
+                                 barrier_type="down-and-out")),
+        ("basket_barrier", dict(barrier=115.0, barrier_type="up-and-in")),
+    ])
+    def test_kernel_matches_xla_engine(self, payoff, extra):
+        from optpricer_tpu import basket_exotic_mc
+
+        kw = dict(sigmas=self.SIG, corr=self.CORR, payoff=payoff,
+                  n_steps=32, seed=11, **extra)
+        p_p, s_p = basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
+                                    n_paths=1 << 18, backend="pallas", **kw)
+        p_x, s_x = basket_exotic_mc(self.S0, self.W, 100.0, 1.0, 0.03,
+                                    n_paths=1 << 18, backend="xla", **kw)
+        assert abs(p_p - p_x) < 5 * (s_p + s_x) + 1e-3
+
+    def test_mesh1_bit_identical(self):
+        from optpricer_tpu.ops.pallas_basket_mc import (
+            basket_path_sumstats_pallas, basket_path_sumstats_pallas_sharded)
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        chol = np.linalg.cholesky(self.CORR)
+        call = (7, 1 << 17, 16, self.S0, self.W, 100.0, 1.0, 0.03,
+                None, self.SIG, chol, True)
+        ref = np.asarray(basket_path_sumstats_pallas(
+            *call, payoff="asian_basket"))
+        out = np.asarray(basket_path_sumstats_pallas_sharded(
+            get_mesh(1), *call, payoff="asian_basket"))
+        np.testing.assert_array_equal(out, ref)
