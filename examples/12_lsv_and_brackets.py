@@ -24,8 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 from optpricer_tpu import (
-    CALL, OptionSpec, SVIParams, VolSurface, basket_exotic_mc, crr,
-    lsmc_price, lsv_calibrate, lsv_price_mc,
+    CALL, OptionSpec, SVIParams, VolSurface, basket_exotic_mc, cev_price,
+    crr, lsmc_price, lsv_calibrate, lsv_greeks_mc, lsv_price_mc,
 )
 from optpricer_tpu.ops.black_scholes import bs_price_vec
 
@@ -84,3 +84,29 @@ wo, se = basket_exotic_mc(S0s, w, 100.0, 1.0, r, sigmas=sig, corr=corr,
                           barrier_type="down-and-out", n_steps=64,
                           n_paths=131_072, seed=3)
 print(f"worst-of down-and-out  : {wo:.4f} ± {se:.4f}")
+import jax
+
+if jax.default_backend() == "tpu":
+    # the in-register kernel holds one path tile per asset; auto-selected
+    # on TPU for f32 books of <=16 assets (backend="pallas" to force)
+    kp, kse = basket_exotic_mc(S0s, w, 100.0, 1.0, r, sigmas=sig,
+                               corr=corr, payoff="asian_basket",
+                               n_steps=64, n_paths=131_072, seed=3,
+                               dtype="float32", backend="pallas")
+    print(f"  (Pallas kernel        : {kp:.4f} ± {kse:.4f})")
+
+print("\n=== LSV Greeks: one AD pass, sticky leverage ===")
+g = lsv_greeks_mc("vanilla", model, 100.0, n_paths=131_072, seed=9)
+print(f"price {g['price']:.4f} ± {g['stderr']:.4f}")
+print(f"delta {g['delta']:+.4f}  rho {g['rho']:+.4f}  theta {g['theta']:+.4f}")
+print(f"dV/dv0 {g['d_v0']:+.2f}  dV/dxi {g['d_xi']:+.4f}  "
+      f"dV/drho {g['d_rho']:+.4f}   (Heston params under frozen leverage)")
+
+print("\n=== CEV closed form: the SABR-backbone oracle ===")
+# sigma is the CEV scale (units S^{1-beta}); 25% LN-equivalent vol at S0
+beta = 0.5
+sig_cev = 0.25 * S0 ** (1.0 - beta)
+for K in (90.0, 100.0, 110.0):
+    c = float(cev_price(S0, K, 1.0, r, 0.0, sigma=sig_cev, beta=beta))
+    print(f"  K={K:5.1f}: CEV call {c:7.4f}"
+          f"   (noncentral-chi-square, absorbing boundary)")

@@ -130,27 +130,43 @@ def _calibrate_scan(key, sig_grid, fixed, *, n_steps, n_paths, n_bins,
 
     x_centers = x0 + dx * jnp.arange(n_bins, dtype=dt_)
 
+    # Shifted smoothing kernels: with jnp.convolve(row, kern, "same"),
+    # out[n] = Σ_j row[n+j]·kern[p−j] (p the kernel midpoint), so source
+    # bin n+j sits at offset δ = j·dx from target center n. kern1/kern2
+    # carry the δ and δ² weights so OWN-CENTER per-bin moments can be
+    # translated to the target center inside the convolution — keeping
+    # every x-like quantity O(dx) end-to-end. The former global-x form
+    # (m2 − 2x_c·m1 + x_c²·m0) cancels catastrophically in f32 and made
+    # E[v|x] noisy; L = σ/√E[v|x] then inherits an upward Jensen bias
+    # measured at +0.7 of spot on 1y vanillas (the TPU default dtype).
+    p_mid = (kern.shape[0] - 1) // 2
+    j_of = (p_mid - jnp.arange(kern.shape[0], dtype=dt_)) * dx
+    kern1 = kern * j_of
+    kern2 = kern * j_of * j_of
+
     def leverage_row(S, v, k_idx, sig_row):
         # E[v | x-bin] by LOCAL-LINEAR kernel regression: per-bin
-        # segment sums of (1, x, x², v, x·v), kernel-smoothed, then the
-        # weighted-least-squares intercept at each bin center. The
-        # local-linear form kills the O(h·∂E[v|x]/∂x) boundary/gradient
-        # bias that plain Nadaraya-Watson smoothing has — material in
-        # the wings under strong spot-vol correlation.
+        # segment sums of (1, xc, xc², v, xc·v) with xc relative to the
+        # particle's OWN bin center, kernel-smoothed with recentering,
+        # then the weighted-least-squares intercept at each bin center.
+        # The local-linear form kills the O(h·∂E[v|x]/∂x) boundary and
+        # gradient bias that plain Nadaraya-Watson smoothing has —
+        # material in the wings under strong spot-vol correlation.
         x = log_(S) - (log_(fixed["S0"]) + mu * (k_idx.astype(dt_) * dt))
         u = (x - x0) / dx
         idx = jnp.clip(jnp.round(u).astype(jnp.int32), 0, n_bins - 1)
+        xc = x - x_centers[idx]
         v_eff = jnp.maximum(v, 0.0)
         ones = jnp.ones_like(S)
-        raw = jnp.stack([ones, x, x * x, v_eff, x * v_eff])       # (5, n)
-        sums = jax.vmap(
+        raw = jnp.stack([ones, xc, xc * xc, v_eff, xc * v_eff])   # (5, n)
+        s0, s1, s2, t0, t1 = jax.vmap(
             lambda row: jax.ops.segment_sum(row, idx, n_bins))(raw)
-        m0, m1, m2, q0, q1 = jax.vmap(
-            lambda row: jnp.convolve(row, kern, mode="same"))(sums)
-        # center moments at each bin's x to read the intercept there
-        m1c = m1 - x_centers * m0
-        m2c = m2 - 2.0 * x_centers * m1 + x_centers * x_centers * m0
-        q1c = q1 - x_centers * q0
+        conv = lambda row, k: jnp.convolve(row, k, mode="same")
+        m0 = conv(s0, kern)
+        m1c = conv(s1, kern) + conv(s0, kern1)
+        m2c = conv(s2, kern) + 2.0 * conv(s1, kern1) + conv(s0, kern2)
+        q0 = conv(t0, kern)
+        q1c = conv(t1, kern) + conv(t0, kern1)
         det = m0 * m2c - m1c * m1c
         vbar = jnp.mean(v_eff)
         Ev_nw = jnp.where(m0 > 0.5, q0 / jnp.maximum(m0, 1e-6), vbar)

@@ -96,6 +96,28 @@ class TestCalibration:
                                 seed=3)
         assert abs(p_ll - p_nw) < 4 * se
 
+    def test_f32_calibration_matches_f64(self):
+        # f32 is the TPU default; the local-linear moments must not
+        # cancel. Regression guard for the own-bin-center recentering
+        # (global-x moments once biased f32 repricing by +0.7 of spot —
+        # an upward Jensen bias of L through a noisy E[v|x]).
+        kw = dict(T=T, n_steps=48, n_paths=32_768, n_bins=96, seed=0)
+        m64 = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q,
+                            dtype="float64", **kw)
+        m32 = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q,
+                            dtype="float32", **kw)
+        p64, se64 = lsv_price_mc("vanilla", m64, 100.0, n_paths=65_536,
+                                 seed=7, dtype="float64")
+        p32, se32 = lsv_price_mc("vanilla", m32, 100.0, n_paths=65_536,
+                                 seed=7, dtype="float32")
+        assert abs(p64 - p32) < 4 * (se64 + se32) + 0.05, (p64, p32)
+        # interior leverage columns agree pointwise (wings may sit on
+        # the no-particle fallback/clip)
+        lo, hi = 36, 60
+        d = np.abs(np.asarray(m64.leverage, np.float64)[:, lo:hi]
+                   - np.asarray(m32.leverage, np.float64)[:, lo:hi])
+        assert np.median(d) < 0.02, float(np.median(d))
+
 
 class TestRepricing:
     """Gyongy consistency: the calibrated model must reprice vanillas."""
