@@ -14,8 +14,8 @@ TPU-native structure:
   index bit, pure uint32 VPU work (same arithmetic as the staged
   ``ops/sobol._sobol_bits``, so both paths evaluate the SAME point set).
   Direction numbers stream in as an (m_bits, d) VMEM table; ``m_bits`` is
-  sized to the requested budget (≤ 2^26 points per replicate — the staged
-  path's 2^21 cap was a host-table artefact, lifted here).
+  sized to the requested budget, up to 2^30 points per replicate (the full
+  precision of the Joe-Kuo table read from torch's ``sobolstate``).
 * **The Brownian bridge is a LINEAR map, so it is one MXU matmul.** The
   recursive midpoint fill W = bridge(z) is z @ A for a constant (d, d)
   matrix A (built on host in f64 from the same BFS schedule as
@@ -54,7 +54,7 @@ from .sobol import brownian_bridge_order, direction_numbers
 
 LANES = 128
 P_TILE = 256          # points (sublane rows) per in-kernel rep tile
-MAX_M_BITS = 26       # ≤ 2^26 points per replicate (host table recovery cost)
+MAX_M_BITS = 30       # ≤ 2^30 points per replicate (Joe-Kuo table precision)
 
 
 def bridge_matrix(d: int, T: float) -> np.ndarray:

@@ -3,11 +3,16 @@
 Quasi-Monte Carlo for PATH-DEPENDENT payoffs needs one low-discrepancy
 coordinate per time step.  Three pieces:
 
-* **Direction numbers** — recovered from ``torch.quasirandom.SobolEngine``
-  (Joe-Kuo table, baked into the image) once per (d, m_bits) on the host:
-  in Gray-code order consecutive points differ by exactly one direction
-  number, so ``x_{2^k} ⊕ x_{2^k−1} = V[k]`` and 2·m_bits tiny host draws
-  recover the whole table.  Cached; no data files shipped.
+* **Direction numbers** — read from ``torch.quasirandom.SobolEngine``'s
+  initialised ``sobolstate`` (the Joe-Kuo table, baked into the image):
+  ``sobolstate[dim, k]`` IS direction number V_k scaled to 2^-MAXBIT, so
+  the full 30-bit table for any dimension count is one O(d·30) host read —
+  budgets up to 2^30 points per replicate with zero recovery cost. (The
+  earlier scheme recovered row k from the Gray-code identity
+  ``x_{2^k} ⊕ x_{2^k−1} = V[k]`` via ``fast_forward(2^k−1)`` — O(2^k)
+  host work per row, which is what capped budgets at 2^26; it survives
+  as the independent test oracle, ``_direction_numbers_xor``.)
+  Cached; no data files shipped.
 * **Device generation** — Gray-code Sobol as pure uint32 XOR arithmetic:
   ``x_i = ⊕_{k: bit k of i^(i>>1)} V[k]``, vectorised over points, one
   ``fori`` over bits.  Randomisation is a per-dimension digital shift
@@ -38,11 +43,30 @@ _MAXBIT = 30  # torch's SobolEngine internal precision
 def direction_numbers(d: int, m_bits: int = 21) -> np.ndarray:
     """(m_bits, d) uint32 Sobol direction numbers, scaled to 2^-32.
 
-    ``m_bits`` bounds the usable sequence length at 2^m_bits points.
+    ``m_bits`` bounds the usable sequence length at 2^m_bits points;
+    ``m_bits ≤ 30`` (torch's table precision). Reading the initialised
+    ``sobolstate`` is O(d·m_bits) regardless of m_bits, so a 2^30-point
+    budget costs the same as 2^11.
     """
     key = (int(d), int(m_bits))
     if key in _DIR_CACHE:
         return _DIR_CACHE[key]
+    if m_bits > _MAXBIT:
+        raise ValueError(f"m_bits={m_bits} exceeds the Joe-Kuo table "
+                         f"precision ({_MAXBIT} bits => 2^{_MAXBIT} points)")
+    import torch
+
+    eng = torch.quasirandom.SobolEngine(d, scramble=False)
+    st = eng.sobolstate.numpy().astype(np.uint64)       # (d, _MAXBIT)
+    out = (st.T[:m_bits] << np.uint64(32 - _MAXBIT)).astype(np.uint32)
+    _DIR_CACHE[key] = out
+    return out
+
+
+def _direction_numbers_xor(d: int, m_bits: int) -> np.ndarray:
+    """Independent recovery of the same table from SobolEngine DRAWS via
+    the Gray-code identity ``x_{2^k} ⊕ x_{2^k−1} = V[k]`` — O(2^m_bits)
+    host work, kept as the test oracle for :func:`direction_numbers`."""
     import torch
 
     V = np.zeros((m_bits, d), np.uint64)
@@ -54,9 +78,7 @@ def direction_numbers(d: int, m_bits: int = 21) -> np.ndarray:
         a = np.round(pts[0] * (1 << _MAXBIT)).astype(np.uint64)
         b = np.round(pts[1] * (1 << _MAXBIT)).astype(np.uint64)
         V[k] = a ^ b
-    out = (V << np.uint64(32 - _MAXBIT)).astype(np.uint32)
-    _DIR_CACHE[key] = out
-    return out
+    return (V << np.uint64(32 - _MAXBIT)).astype(np.uint32)
 
 
 @partial(jax.jit, static_argnames=("n", "m_bits"))
@@ -73,14 +95,18 @@ def _sobol_bits(V, shift, *, n: int, m_bits: int):
     return x ^ shift[None, :]
 
 
-def sobol_uniforms(n: int, d: int, key, *, m_bits: int = 21,
+def sobol_uniforms(n: int, d: int, key, *, m_bits: int | None = None,
                    dtype=jnp.float32):
     """(n, d) digitally-shifted Sobol uniforms in (0, 1).
 
     ``key`` drives the per-dimension digital shift — a different key is an
     independent randomisation of the same point set (use R keys and the
-    spread of the R estimates as the error bar).
+    spread of the R estimates as the error bar). ``m_bits`` defaults to
+    the requested budget (≥ 2^11 so small-n point sets stay nested in the
+    big ones); pass it explicitly to pin a particular truncation.
     """
+    if m_bits is None:
+        m_bits = min(max(int(np.ceil(np.log2(max(n, 2)))), 11), _MAXBIT)
     if n > (1 << m_bits):
         raise ValueError(f"n={n} exceeds 2^m_bits={1 << m_bits} points")
     V = jnp.asarray(direction_numbers(d, m_bits))

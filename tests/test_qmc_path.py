@@ -58,6 +58,29 @@ class TestSobol:
         with pytest.raises(ValueError, match="exceeds"):
             sobol_uniforms(1 << 22, 4, jax.random.key(0), m_bits=21)
 
+    def test_sobolstate_matches_xor_recovery_oracle(self):
+        # the O(1) sobolstate read must equal the O(2^k) Gray-code
+        # recovery from actual SobolEngine draws, row for row
+        from optpricer_tpu.ops.sobol import _direction_numbers_xor
+
+        np.testing.assert_array_equal(direction_numbers(6, 14),
+                                      _direction_numbers_xor(6, 14))
+
+    def test_full_precision_table_is_cheap(self):
+        import time
+
+        from optpricer_tpu.ops.sobol import _DIR_CACHE, _MAXBIT
+
+        _DIR_CACHE.pop((64, _MAXBIT), None)
+        t0 = time.time()
+        V = direction_numbers(64, _MAXBIT)     # 2^30-point budget
+        assert time.time() - t0 < 5.0          # was hours via fast_forward
+        assert V.shape == (_MAXBIT, 64) and V.dtype == np.uint32
+        # every dimension's leading direction number is 0.5 (Sobol axiom)
+        assert np.all(V[0] == np.uint32(1) << 31)
+        with pytest.raises(ValueError, match="precision"):
+            direction_numbers(4, _MAXBIT + 1)
+
 
 class TestBrownianBridge:
     def test_order_covers_all_steps(self):
@@ -194,8 +217,9 @@ class TestFusedQmcKernel:
     def test_budget_guard(self):
         from optpricer_tpu.ops.pallas_qmc_path import path_qmc_sumstats_pallas
 
+        # beyond the Joe-Kuo 30-bit table: must raise BEFORE any compute
         with pytest.raises(ValueError, match="exceeds"):
-            path_qmc_sumstats_pallas(0, 1 << 27, 8, 100.0, 100.0, 1.0,
+            path_qmc_sumstats_pallas(0, 1 << 31, 8, 100.0, 100.0, 1.0,
                                      0.03, 0.0, 0.2, True)
 
     @pytest.mark.parametrize("payoff,extra", [
