@@ -96,6 +96,8 @@ from .models.analytic import (merton_price, heston_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos, cev_price)
+from .models.heston_pde import (heston_fd_price, heston_fd_grid,
+                                heston_fd_greeks)
 from .models.basket import (basket_price_mc, basket_greeks_mc,
                             basket_exotic_mc, geometric_basket_price,
                             margrabe_price)
@@ -137,6 +139,7 @@ __all__ = [
     "merton_price", "heston_price_cos", "cev_price", "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",
+    "heston_fd_price", "heston_fd_grid", "heston_fd_greeks",
     "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
     "geometric_basket_price",
     "margrabe_price",

@@ -72,12 +72,19 @@ def _run_fd(ns) -> str:
 
 
 def _run_heston(ns) -> str:
-    from .models.analytic import heston_price_cos
+    kind = "call" if ns.kind == CALL else "put"
+    hp = dict(v0=ns.v0, kappa=ns.kappa, theta=ns.theta, xi=ns.xi,
+              rho=ns.rho)
+    if ns.engine == "adi" or ns.american:
+        from .models.heston_pde import heston_fd_price
 
-    value = float(heston_price_cos(
-        ns.S0, ns.K, ns.T, ns.r, ns.q, v0=ns.v0, kappa=ns.kappa,
-        theta=ns.theta, xi=ns.xi, rho=ns.rho,
-        kind="call" if ns.kind == CALL else "put"))
+        value = heston_fd_price(ns.S0, ns.K, ns.T, ns.r, ns.q, **hp,
+                                kind=kind, american=ns.american)
+    else:
+        from .models.analytic import heston_price_cos
+
+        value = float(heston_price_cos(ns.S0, ns.K, ns.T, ns.r, ns.q,
+                                       **hp, kind=kind))
     return f"{value:.10f}"
 
 
@@ -198,12 +205,15 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--N-t", dict(dest="N_t", type=int, default=200)),
         ("--american", dict(action="store_true")),
     ), _run_fd),
-    "heston": ("Heston price via the COS transform", (
+    "heston": ("Heston price (COS transform, or 2-D ADI PDE)", (
         ("--v0", dict(type=float, default=0.04)),
         ("--kappa", dict(type=float, default=1.5)),
         ("--theta", dict(type=float, default=0.04)),
         ("--xi", dict(type=float, default=0.4)),
         ("--rho", dict(type=float, default=-0.6)),
+        ("--engine", dict(choices=("cos", "adi"), default="cos")),
+        ("--american", dict(action="store_true",
+                            help="American exercise (forces the ADI PDE)")),
     ), _run_heston),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),

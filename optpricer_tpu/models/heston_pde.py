@@ -1,0 +1,294 @@
+"""2-D ADI finite-difference solver for the Heston PDE, TPU-native.
+
+    V_τ = ½v V_xx + (r−q−½v) V_x + κ(θ−v) V_v + ½ξ²v V_vv + ρξv V_xv − rV
+
+on a uniform (x = ln S, v) grid, marched backward from the terminal payoff
+by the Douglas ADI splitting (the standard scheme for this PDE — Hout &
+Foulon's A₀/A₁/A₂ decomposition): the mixed derivative is explicit, the
+x- and v-direction operators are implicit in alternating half-solves.
+
+TPU re-architecture (this module exists only here — the reference's PDE
+solver is strictly 1-D constant/local vol, ``/root/reference/src/optpricer/
+pde.py:134-217``; its only Heston pricing is Monte-Carlo,
+``processes.py:117-162``):
+
+* **Implicit solves as precomputed dense propagators.** The Heston
+  coefficients are time-independent, so (I − θΔt·A_x(v_j))⁻¹ for every
+  variance level j and (I − θΔt·A_v)⁻¹ are built ONCE on the host in f64
+  (n_v small dense inverses) and each ADI half-step becomes a batched
+  matvec on the MXU: ``einsum('jik,jk->ji')`` over the (n_v, n_x) state.
+  This is the 2-D generalisation of the 1-D "propagator" solver in
+  :mod:`optpricer_tpu.models.pde` — no per-step elimination, no
+  sequential dependence except time itself.
+* **One ``lax.scan`` over time**; the whole march is a single compiled
+  program with a (n_v, n_x) carry. American exercise is the same
+  post-solve projection the 1-D solver uses.
+* **Mixed derivative as a padded stencil** (pure VPU work): central in
+  both directions, zero at all boundaries.
+
+Boundaries: Dirichlet in x with the discounted-forward asymptotics
+(V → S e^{−qτ} − K e^{−rτ} for deep-ITM calls); in v the operator rows at
+v=0 and v=v_max are upwinded convection-only (the diffusion ½ξ²v vanishes
+at v=0; at v_max the solution is v-flat for large v_max — the standard
+treatment).
+
+Oracle: the in-house COS transform (`models/analytic.heston_price_cos`)
+for Europeans; CRR in the ξ→0 degenerate limit for Americans
+(tests/test_heston_pde.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import canonical
+
+__all__ = ["heston_fd_price", "heston_fd_grid", "heston_fd_greeks"]
+
+
+def _diff_ops(nodes: np.ndarray):
+    """(D1, D2) dense difference operators on an arbitrary (possibly
+    non-uniform) node array, second-order 3-point stencils, ZERO boundary
+    rows (boundary handling is the caller's job)."""
+    n = len(nodes)
+    hm = nodes[1:-1] - nodes[:-2]            # h⁻_i
+    hp = nodes[2:] - nodes[1:-1]             # h⁺_i
+    D1 = np.zeros((n, n))
+    D2 = np.zeros((n, n))
+    i = np.arange(1, n - 1)
+    D1[i, i - 1] = -hp / (hm * (hm + hp))
+    D1[i, i] = (hp - hm) / (hm * hp)
+    D1[i, i + 1] = hm / (hp * (hm + hp))
+    D2[i, i - 1] = 2.0 / (hm * (hm + hp))
+    D2[i, i] = -2.0 / (hm * hp)
+    D2[i, i + 1] = 2.0 / (hp * (hm + hp))
+    return D1, D2
+
+
+def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s):
+    """Host-side f64 operator/propagator construction.
+
+    Returns (Ax, Px, Av, Pv): Ax (n_v, n_x, n_x) acts along x per
+    variance level, Av (n_v, n_v) acts along v (coefficients depend on v
+    only), Px/Pv the corresponding implicit-step inverses.
+    """
+    n_x, n_v = len(x), len(v)
+
+    D1x, D2x = _diff_ops(x)
+    Ix = np.eye(n_x)
+    Ix_int = Ix.copy()
+    Ix_int[0, 0] = Ix_int[-1, -1] = 0.0      # no reaction on Dirichlet rows
+    # A_x(v_j) = ½v D2 + (r−q−½v) D1 − ½r I   (half the rV term here)
+    Ax = (0.5 * v[:, None, None] * D2x[None]
+          + (r - q - 0.5 * v)[:, None, None] * D1x[None]
+          - 0.5 * r * Ix_int[None])
+    Px = np.linalg.inv(np.eye(n_x)[None] - theta_s * dt * Ax)
+
+    # A_v: interior central on the (sinh-stretched) v grid; v=0 row
+    # upwind-forward convection (κθ > 0 drives v up, diffusion vanishes
+    # at v=0); v_max row upwind-backward.
+    D1v, D2v = _diff_ops(v)
+    Av = (0.5 * xi**2 * v[:, None] * D2v
+          + kappa * (theta - v)[:, None] * D1v
+          - 0.5 * r * np.eye(n_v))
+    dv0 = v[1] - v[0]
+    Av[0, :] = 0.0
+    Av[0, 0] = -kappa * theta / dv0 - 0.5 * r
+    Av[0, 1] = kappa * theta / dv0
+    dv_top = v[-1] - v[-2]
+    Av[-1, :] = 0.0
+    drift_top = kappa * (theta - v[-1])      # ≤ 0 for v_max > θ
+    Av[-1, -1] = drift_top / dv_top - 0.5 * r
+    Av[-1, -2] = -drift_top / dv_top
+    Pv = np.linalg.inv(np.eye(n_v) - theta_s * dt * Av)
+    return Ax, Px, Av, Pv
+
+
+@partial(jax.jit, static_argnames=("n_t", "american", "is_call", "dtype",
+                                   "inv_theta"))
+def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
+               *, n_t, american, is_call, dtype, inv_theta):
+    """Douglas ADI time march: one scan, (n_v, n_x) carry.
+
+    ``Ax``/``Av`` arrive pre-scaled by θ_sΔt (so the implicit RHS terms
+    are direct) and ``inv_theta`` = 1/θ_s recovers the explicit ΔtA
+    application; ``mix_c`` is the mixed-term coefficient ρξv_jΔt/(4ΔxΔv);
+    ``bc_left/bc_right`` are (n_t,) precomputed Dirichlet x-boundary
+    values at τ_{n+1}.
+    """
+    theta_dt_Ax = Ax
+    theta_dt_Av = Av
+
+    def mixed(U):
+        # ρξv ∂²/∂x∂v, central/central, zero on every boundary
+        Up = jnp.pad(U, 1)
+        cross = (Up[2:, 2:] - Up[2:, :-2] - Up[:-2, 2:] + Up[:-2, :-2])
+        cross = cross.at[0, :].set(0.0).at[-1, :].set(0.0)
+        cross = cross.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        return mix_c[:, None] * cross
+
+    def step(U, xs):
+        bl, br = xs
+        AxU = jnp.einsum("jik,jk->ji", theta_dt_Ax, U)
+        AvU = theta_dt_Av @ U
+        Y0 = U + inv_theta * (AxU + AvU) + mixed(U)
+        Y1 = jnp.einsum("jik,jk->ji", Px, Y0 - AxU)
+        Y2 = Pv @ (Y1 - AvU)
+        Y2 = Y2.at[:, 0].set(bl).at[:, -1].set(br)
+        if american:
+            Y2 = jnp.maximum(Y2, intrinsic)
+        return Y2, None
+
+    U, _ = jax.lax.scan(step, U0, (bc_left, bc_right))
+    return U
+
+
+def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
+                   kind: str = "call", american: bool = False,
+                   n_x: int = 256, n_v: int = 96, n_t: int = 512,
+                   x_mult: float = 6.0, v_mult: float = 10.0,
+                   theta_scheme: float = 0.5, dtype=None):
+    """Solve the Heston PDE; returns ``(x_grid, v_grid, V)`` with V the
+    full (n_v, n_x) t=0 surface — delta/gamma/vega come from the same
+    solve (:func:`heston_fd_greeks`).
+
+    Douglas ADI (θ-scheme parameter ``theta_scheme``; ½ = the standard
+    choice) on a uniform grid x ∈ ln S0 ± x_mult·√(v̄T),
+    v ∈ [0, v_mult·v̄] with v̄ = max(v0, θ). The implicit x/v half-steps
+    are precomputed dense inverses applied as batched MXU matvecs; the
+    mixed ρξv V_xv term is explicit. American exercise by projection.
+    """
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    if not (0.0 < theta_scheme <= 1.0):
+        raise ValueError("theta_scheme must be in (0, 1]")
+    dt_ = canonical(dtype)
+    is_call = kind == "call"
+    S0, K, T, r, q = (float(a) for a in (S0, K, T, r, q))
+    v0, kappa, theta, xi, rho = (
+        float(a) for a in (v0, kappa, theta, xi, rho))
+
+    vbar = max(v0, theta, 1e-4)
+    x_half = x_mult * np.sqrt(vbar * T)
+    x = np.linspace(np.log(S0) - x_half, np.log(S0) + x_half, n_x)
+    v_max = v_mult * vbar
+    # sinh-stretched v grid concentrated near v = 0, where the variance
+    # density piles up whenever Feller (2κθ ≥ ξ²) is violated — a uniform
+    # grid there costs ~10× the nodes for the same wing accuracy
+    # (mild Hout-Foulon-style stretching; c controls the concentration)
+    c_str = 3.0
+    u = np.linspace(0.0, 1.0, n_v)
+    v = v_max * np.sinh(c_str * u) / np.sinh(c_str)
+    dt = T / n_t
+    dx = x[1] - x[0]
+
+    Ax, Px, Av, Pv = _build_operators(x, v, r, q, kappa, theta, xi, dt,
+                                      theta_scheme)
+    S_grid = np.exp(x)
+    sign = 1.0 if is_call else -1.0
+    payoff = np.maximum(sign * (S_grid - K), 0.0)
+    U0 = np.broadcast_to(payoff, (n_v, n_x)).copy()
+
+    # Dirichlet x boundaries at τ_{n+1}: discounted-forward asymptotics
+    tau = (np.arange(n_t) + 1.0) * dt
+    if is_call:
+        bc_left = np.zeros(n_t)
+        bc_right = S_grid[-1] * np.exp(-q * tau) - K * np.exp(-r * tau)
+        if american:
+            bc_right = np.maximum(bc_right, S_grid[-1] - K)
+    else:
+        bc_left = K * np.exp(-r * tau) - S_grid[0] * np.exp(-q * tau)
+        if american:
+            bc_left = np.maximum(bc_left, K - S_grid[0])
+        bc_right = np.zeros(n_t)
+
+    # mixed-term coefficient: central/central with the per-level span
+    # (v_{j+1} − v_{j−1}) as the v denominator; zero on v boundaries
+    mix_c = np.zeros(n_v)
+    mix_c[1:-1] = rho * xi * v[1:-1] / (2.0 * dx * (v[2:] - v[:-2]))
+    th = theta_scheme
+    U = _adi_march(
+        jnp.asarray(U0, dt_),
+        jnp.asarray(th * dt * Ax, dt_), jnp.asarray(Px, dt_),
+        jnp.asarray(th * dt * Av, dt_), jnp.asarray(Pv, dt_),
+        jnp.asarray(dt * mix_c, dt_),
+        jnp.asarray(bc_left, dt_), jnp.asarray(bc_right, dt_),
+        jnp.asarray(np.broadcast_to(payoff, (n_v, n_x)), dt_),
+        n_t=int(n_t), american=bool(american), is_call=is_call, dtype=dt_,
+        inv_theta=1.0 / th)
+    return x, v, np.asarray(jax.device_get(U), np.float64)
+
+
+def _bilinear_readout(x, v, V, S0, v0):
+    """Host f64 bilinear interpolation of the (n_v, n_x) surface at
+    (ln S0, v0) — same bias rationale as ``pde._readout``."""
+    x0 = np.log(float(S0))
+    i = int(np.clip(np.searchsorted(x, x0) - 1, 0, len(x) - 2))
+    j = int(np.clip(np.searchsorted(v, float(v0)) - 1, 0, len(v) - 2))
+    wx = (x0 - x[i]) / (x[i + 1] - x[i])
+    wv = (float(v0) - v[j]) / (v[j + 1] - v[j])
+    return float((1 - wv) * ((1 - wx) * V[j, i] + wx * V[j, i + 1])
+                 + wv * ((1 - wx) * V[j + 1, i] + wx * V[j + 1, i + 1]))
+
+
+def heston_fd_price(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
+                    kind: str = "call", american: bool = False,
+                    n_x: int = 256, n_v: int = 96, n_t: int = 512,
+                    x_mult: float = 6.0, v_mult: float = 10.0,
+                    theta_scheme: float = 0.5, dtype=None) -> float:
+    """Heston price by the Douglas ADI march (European or American).
+
+    The European case is cross-checked against the COS oracle
+    (`heston_price_cos`) in tests; the American case extends the
+    framework past both the reference (MC-only Heston) and the 1-D FD
+    solver (GBM/local vol only).
+    """
+    x, v, V = heston_fd_grid(
+        S0, K, T, r, q, v0=v0, kappa=kappa, theta=theta, xi=xi, rho=rho,
+        kind=kind, american=american, n_x=n_x, n_v=n_v, n_t=n_t,
+        x_mult=x_mult, v_mult=v_mult, theta_scheme=theta_scheme,
+        dtype=dtype)
+    return _bilinear_readout(x, v, V, S0, v0)
+
+
+def heston_fd_greeks(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
+                     kind: str = "call", american: bool = False,
+                     **grid_kw) -> dict:
+    """Grid Greeks from ONE ADI solve: delta, gamma (x chain rule, as in
+    ``pde.fd_greeks``) and vega_v0 = ∂V/∂v0 (the v-direction is already
+    on the grid — no re-solve, unlike bump-and-reprice)."""
+    x, v, V = heston_fd_grid(
+        S0, K, T, r, q, v0=v0, kappa=kappa, theta=theta, xi=xi, rho=rho,
+        kind=kind, american=american, **grid_kw)
+    price = _bilinear_readout(x, v, V, S0, v0)
+    dx = x[1] - x[0]
+    x0 = np.log(float(S0))
+    j = int(np.clip(np.searchsorted(v, v0), 1, len(v) - 2))
+
+    # centered x-derivative ARRAYS at the v-level, then interpolate the
+    # derivative itself at ln S0 (reading at the nearest node instead
+    # leaves a half-cell offset error ≈ Γ·S0·dx/2 in delta)
+    row = V[j, :]
+    dVdx_n = np.empty_like(row)
+    d2Vdx2_n = np.empty_like(row)
+    dVdx_n[1:-1] = (row[2:] - row[:-2]) / (2 * dx)
+    d2Vdx2_n[1:-1] = (row[2:] - 2 * row[1:-1] + row[:-2]) / dx**2
+    dVdx_n[0] = dVdx_n[1]
+    dVdx_n[-1] = dVdx_n[-2]
+    d2Vdx2_n[0] = d2Vdx2_n[1]
+    d2Vdx2_n[-1] = d2Vdx2_n[-2]
+    dVdx = float(np.interp(x0, x, dVdx_n))
+    d2Vdx2 = float(np.interp(x0, x, d2Vdx2_n))
+    delta = dVdx / S0
+    gamma = (d2Vdx2 - dVdx) / S0**2
+    # vega: non-uniform-v 3-point first derivative per node, interp in x
+    hm, hp_ = v[j] - v[j - 1], v[j + 1] - v[j]
+    vega_n = (-hp_ / (hm * (hm + hp_)) * V[j - 1, :]
+              + (hp_ - hm) / (hm * hp_) * V[j, :]
+              + hm / (hp_ * (hm + hp_)) * V[j + 1, :])
+    vega_v0 = float(np.interp(x0, x, vega_n))
+    return {"price": price, "delta": float(delta), "gamma": float(gamma),
+            "vega_v0": float(vega_v0)}
