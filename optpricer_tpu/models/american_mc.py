@@ -301,12 +301,119 @@ def _lsmc_dual_upper(key, betas, S0, K, T, r, q, sigma, is_call, *,
     return mean, se
 
 
+@partial(jax.jit, static_argnames=("basis_dim", "two_pass"))
+def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, *,
+                      basis_dim: int, two_pass: bool = False):
+    """Stochastic-vol LSMC backward pass: the regression state is
+    (S_t, v_t), basis [1, x, x², x³, v, v·x] with x = S/K − 1 — the
+    standard Longstaff-Schwartz basis extension for Heston (continuation
+    value depends on the variance state, not just moneyness; omitting v
+    biases the policy low wherever vol-of-vol is material).
+
+    ``two_pass=True`` returns the per-date betas instead (fit half), so
+    an independent (paths, v_paths) set can be priced under the frozen
+    policy by :func:`_lsmc_forward_fixed_policy_sv`.
+    """
+    dtype = paths.dtype
+    n_paths = paths.shape[1]
+    disc = jnp.exp(-jnp.asarray(r, dtype) * dt)
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    ridge = jnp.asarray(1e-7, dtype)
+    k = basis_dim
+    eye = jnp.eye(k, dtype=dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def basis(S_t, v_t):
+        x = S_t / K - 1.0
+        cols = [x**p for p in range(min(k, 4))]
+        if k >= 5:
+            cols.append(v_t)
+        if k >= 6:
+            cols.append(v_t * x)
+        return jnp.stack(cols, axis=-1)
+
+    def date(cashflow, xs):
+        S_t, v_t = xs
+        cont = disc * cashflow
+        ex = intrinsic(S_t)
+        w = (ex > 0.0).astype(dtype)
+        n_itm = jnp.maximum(jnp.sum(w), 1.0)
+        X = basis(S_t, v_t)
+        Xw = X * w[:, None]
+        A = jnp.matmul(Xw.T, X, precision=hi) / n_itm
+        b = jnp.matmul(Xw.T, cont, precision=hi) / n_itm
+        beta = jnp.linalg.solve(A + ridge * eye, b)
+        fitted = jnp.matmul(X, beta, precision=hi)
+        return jnp.where((w > 0.0) & (ex > fitted), ex, cont), beta
+
+    cashflow, betas_rev = jax.lax.scan(
+        date, intrinsic(paths[-1]), (paths[1:-1][::-1], v_paths[1:-1][::-1]))
+    if two_pass:
+        return betas_rev[::-1]
+    value = disc * cashflow
+    mean = jnp.mean(value)
+    se = jnp.sqrt(jnp.maximum(
+        jnp.sum((value - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    return jnp.maximum(mean, intrinsic(paths[0, 0])), se
+
+
+@partial(jax.jit, static_argnames=("basis_dim",))
+def _lsmc_forward_fixed_policy_sv(paths, v_paths, betas, K, r, dt, is_call,
+                                  *, basis_dim: int):
+    """Fixed-policy forward pass on an independent (S, v) path set —
+    the genuine low-biased two-pass estimator, stochastic-vol basis."""
+    dtype = paths.dtype
+    n_paths = paths.shape[1]
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    r_ = jnp.asarray(r, dtype)
+    k = basis_dim
+    hi = jax.lax.Precision.HIGHEST
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def basis(S_t, v_t):
+        x = S_t / K - 1.0
+        cols = [x**p for p in range(min(k, 4))]
+        if k >= 5:
+            cols.append(v_t)
+        if k >= 6:
+            cols.append(v_t * x)
+        return jnp.stack(cols, axis=-1)
+
+    def date(carry, inp):
+        alive, value = carry
+        S_t, v_t, beta, kk = inp
+        ex = intrinsic(S_t)
+        fitted = jnp.matmul(basis(S_t, v_t), beta, precision=hi)
+        stop = alive & (ex > 0.0) & (ex > fitted)
+        df = jnp.exp(-r_ * dt * kk.astype(dtype))
+        value = value + jnp.where(stop, df * ex, 0.0)
+        return (alive & ~stop, value), None
+
+    n_dates = betas.shape[0]
+    ks = jnp.arange(1, n_dates + 1)
+    (alive, value), _ = jax.lax.scan(
+        date, (jnp.ones((n_paths,), bool), jnp.zeros((n_paths,), dtype)),
+        (paths[1:-1], v_paths[1:-1], betas, ks))
+    df_T = jnp.exp(-r_ * dt * (n_dates + 1.0))
+    value = value + jnp.where(alive, df_T * intrinsic(paths[-1]), 0.0)
+    mean = jnp.mean(value)
+    se = jnp.sqrt(jnp.maximum(
+        jnp.sum((value - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    return jnp.maximum(mean, intrinsic(paths[0, 0])), se
+
+
 def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                n_paths: int = 100_000, n_steps: int = 50,
                basis_dim: int = 4, antithetic: bool = True,
                seed: Optional[int] = None, dtype=None,
                return_stderr: bool = True, bound: Optional[str] = None,
-               n_inner: int = 256, n_upper_paths: int = 8_192):
+               n_inner: int = 256, n_upper_paths: int = 8_192,
+               heston: Optional[dict] = None):
     """American vanilla price via Longstaff-Schwartz.
 
     Default (``bound=None``): single-pass LSMC, returns ``(price,
@@ -324,11 +431,58 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     returns ``{"lower": (price, se), "upper": (price, se),
     "gap": upper − lower}`` — a true bias bracket: the American price
     lies in [lower − 2se, upper + 2se] with high confidence.
+
+    ``heston={'v0','kappa','theta','xi','rho'}`` prices the American
+    under HESTON dynamics instead of GBM (``opt.sigma`` is ignored): the
+    exercise policy regresses on the (S, v) state with the extended
+    basis [1, x, x², x³, v, v·x] — omitting v biases the policy low
+    wherever vol-of-vol is material. Supports ``bound=None`` (single
+    pass) and ``bound="lower"`` (two-pass, honest low bias); the dual
+    upper bound needs nested Heston rollouts and is not implemented —
+    use the ADI PDE (:func:`~optpricer_tpu.models.heston_pde.
+    heston_fd_price` ``american=True``) as the deterministic
+    cross-check, which is exactly what tests/test_american_mc.py does.
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
+    if heston is not None:
+        if bound == "both":
+            raise ValueError(
+                "bound='both' (the Andersen-Broadie dual) is GBM-only; "
+                "cross-check Heston LSMC against heston_fd_price("
+                "american=True) instead")
+        from .processes import heston_paths
+
+        k_sv = max(int(basis_dim), 6)
+        args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
+                jnp.asarray(opt.T / n_steps, dt_),
+                jnp.asarray(is_call_mask(kind)))
+        hp = {k: float(heston[k])
+              for k in ("v0", "kappa", "theta", "xi", "rho")}
+        # Andersen QE paths: full-truncation Euler's O(Δt) bias (+0.20 of
+        # spot at 50 steps on Feller-violating books) would swamp the
+        # policy bias this estimator is supposed to measure
+        S, v = heston_paths(opt.S0, opt.r, opt.q, hp["v0"], hp["kappa"],
+                            hp["theta"], hp["xi"], hp["rho"], opt.T,
+                            n_steps, n_paths, antithetic=antithetic,
+                            seed=seed_val, return_variance=True, dtype=dt_,
+                            scheme="qe")
+        if bound is None:
+            price, se = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv)
+            return (float(price), float(se)) if return_stderr \
+                else float(price)
+        betas = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv,
+                                  two_pass=True)
+        S2, v2 = heston_paths(opt.S0, opt.r, opt.q, hp["v0"], hp["kappa"],
+                              hp["theta"], hp["xi"], hp["rho"], opt.T,
+                              n_steps, n_paths, antithetic=antithetic,
+                              seed=seed_val + 0x5EED, return_variance=True,
+                              dtype=dt_, scheme="qe")
+        lo, lo_se = _lsmc_forward_fixed_policy_sv(S2, v2, betas, *args,
+                                                  basis_dim=k_sv)
+        return float(lo), float(lo_se)
     args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
             jnp.asarray(opt.T / n_steps, dt_),
             jnp.asarray(is_call_mask(kind)))

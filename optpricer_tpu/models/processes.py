@@ -159,18 +159,111 @@ def _heston_core(key, S0, r, q, v0, kappa, theta, xi, rho, T,
     return S, v
 
 
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic",
+                                   "dtype"))
+def _heston_qe_core(key, S0, r, q, v0, kappa, theta, xi, rho, T,
+                    *, n_steps, n_paths, antithetic, dtype):
+    """Andersen (2008) quadratic-exponential Heston scheme, branchless.
+
+    The full-truncation Euler variance step is O(Δt)-biased — measured
+    +0.20 on a 1y 110-put at 50 steps in the Feller-violated book
+    2κθ/ξ² = 0.48 (tests/test_milstein.py::TestHestonQE). QE instead
+    samples v_{t+Δ} from a moment-matched proxy of the exact noncentral-
+    chi-square transition: a squared Gaussian a(b+Z)² where the
+    conditional distribution is peaked (ψ = s²/m² ≤ 1.5), a point mass
+    at zero + exponential tail where it is absorbing-like (ψ > 1.5) —
+    both regimes computed and lane-selected with ``where`` (no
+    data-dependent control flow, TPU-shaped). The asset step is
+    Andersen's central log-Euler in the integrated variance with the
+    ρ-coupling carried by the v-increment (K0..K4 constants), exact in
+    the ξ→0 limit. One normal per step drives v (its Φ gives the
+    uniform for the exponential branch); one independent normal drives
+    the asset.
+    """
+    dt = T / n_steps
+    k2, kp = jax.random.split(key)
+    Zv = _anti(jax.random.normal(k2, (n_steps, n_paths), dtype), antithetic)
+    Zs = _anti(jax.random.normal(kp, (n_steps, n_paths), dtype), antithetic)
+
+    n_cols = Zv.shape[1]
+    v_init = jnp.full((n_cols,), jnp.maximum(v0, 0.0), dtype=dtype)
+    s_init = jnp.full((n_cols,), S0, dtype=dtype)
+
+    emkt = jnp.exp(-kappa * dt)
+    c1 = xi * xi * emkt * (1.0 - emkt) / kappa
+    c2 = theta * xi * xi * (1.0 - emkt) ** 2 / (2.0 * kappa)
+    psi_c = 1.5
+    # Andersen's K constants (γ1 = γ2 = ½ central weighting)
+    g1 = g2 = 0.5
+    K0 = -rho * kappa * theta * dt / xi
+    K1 = g1 * dt * (kappa * rho / xi - 0.5) - rho / xi
+    K2 = g2 * dt * (kappa * rho / xi - 0.5) + rho / xi
+    K3 = g1 * dt * (1.0 - rho * rho)
+    K4 = g2 * dt * (1.0 - rho * rho)
+    tiny = jnp.asarray(1e-12, dtype)
+
+    def step(carry, zs):
+        S_t, v_t = carry
+        zv, zs_ = zs
+        m = theta + (v_t - theta) * emkt
+        s2 = v_t * c1 + c2
+        psi = s2 / jnp.maximum(m * m, tiny)
+        # quadratic branch (ψ ≤ ψ_c): v⁺ = a(b+Z)², matches (m, s²)
+        psi_q = jnp.minimum(psi, psi_c)
+        two_over = 2.0 / jnp.maximum(psi_q, tiny)
+        b2 = (two_over - 1.0
+              + jnp.sqrt(two_over) * jnp.sqrt(jnp.maximum(two_over - 1.0,
+                                                          0.0)))
+        a = m / (1.0 + b2)
+        bz = jnp.sqrt(jnp.maximum(b2, 0.0)) + zv
+        v_quad = a * bz * bz
+        # exponential branch (ψ > ψ_c): P(v=0) = p, else Exp tail;
+        # the uniform is Φ(Z_v) so both branches ride one draw
+        from jax.scipy.stats import norm as _norm
+
+        u = _norm.cdf(zv)
+        psi_e = jnp.maximum(psi, psi_c)
+        p = (psi_e - 1.0) / (psi_e + 1.0)
+        beta = (1.0 - p) / jnp.maximum(m, tiny)
+        v_exp = jnp.where(
+            u <= p, 0.0,
+            jnp.log((1.0 - p) / jnp.maximum(1.0 - u, tiny)) / beta)
+        v_n = jnp.where(psi <= psi_c, v_quad, v_exp)
+        # asset: central discretisation of ∫v with ρ via the v-increment
+        vbar_k3 = K3 * v_t + K4 * v_n
+        X = (jnp.log(S_t) + (r - q) * dt + K0 + K1 * v_t + K2 * v_n
+             + jnp.sqrt(jnp.maximum(vbar_k3, 0.0)) * zs_)
+        S_n = jnp.exp(X)
+        return (S_n, v_n), (S_n, v_n)
+
+    (_, _), (S_rows, v_rows) = jax.lax.scan(step, (s_init, v_init),
+                                            (Zv, Zs))
+    S = jnp.concatenate([s_init[None, :], S_rows], axis=0)
+    v = jnp.concatenate([v_init[None, :], v_rows], axis=0)
+    return S, v
+
+
 def heston_paths(S0, r, q, v0, kappa, theta, xi, rho, T, n_steps, n_paths,
                  *, antithetic: bool = True, seed: Optional[int] = None,
-                 return_variance: bool = False, dtype=None):
-    """Heston paths, full-truncation Euler variance + log-Euler asset
-    (reference ``processes.py:117-162``)."""
+                 return_variance: bool = False, dtype=None,
+                 scheme: str = "euler"):
+    """Heston paths: ``scheme="euler"`` is the reference-contract
+    full-truncation Euler + log-Euler asset (reference
+    ``processes.py:117-162``); ``scheme="qe"`` is Andersen's
+    quadratic-exponential scheme — near-exact at coarse steps where
+    Euler carries an O(Δt) bias that is FATAL for Feller-violating books
+    (measured +0.20 of spot on a 1y put at 50 steps, 2κθ/ξ² ≈ 0.5;
+    QE at the same budget is unbiased within MC error)."""
     _validate(n_steps, n_paths)
     if not (-1.0 <= rho <= 1.0):
         raise ValueError("rho must be in [-1, 1].")
+    if scheme not in ("euler", "qe"):
+        raise ValueError("scheme must be 'euler' or 'qe'")
     dt = canonical(dtype)
     args = [jnp.asarray(v, dt) for v in (S0, r, q, v0, kappa, theta, xi, rho, T)]
-    S, v = _heston_core(_key(seed), *args, n_steps=int(n_steps),
-                        n_paths=int(n_paths), antithetic=bool(antithetic), dtype=dt)
+    core = _heston_qe_core if scheme == "qe" else _heston_core
+    S, v = core(_key(seed), *args, n_steps=int(n_steps),
+                n_paths=int(n_paths), antithetic=bool(antithetic), dtype=dt)
     return (S, v) if return_variance else S
 
 

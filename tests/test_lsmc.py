@@ -147,3 +147,56 @@ class TestBiasBracket:
 
         with pytest.raises(ValueError, match="bound"):
             lsmc_price(self.OPT, "put", bound="upper")
+
+
+class TestHestonLsmc:
+    """American LSMC under Heston dynamics (QE paths, (S, v) regression
+    basis). Oracle: the 2-D ADI PDE with American projection — the two
+    engines bracket from independent directions (Bermudan-50 LSMC with a
+    sub-optimal implementable policy must land slightly BELOW the
+    continuous-exercise PDE price, never materially above)."""
+
+    HP = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+    OPT = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.2)
+
+    def test_brackets_adi_pde(self):
+        from optpricer_tpu import heston_fd_price
+
+        ref = heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0, **self.HP,
+                              kind="put", american=True)
+        lo, se = lsmc_price(self.OPT, "put", heston=self.HP,
+                            n_paths=100_000, n_steps=50, seed=2,
+                            bound="lower")
+        assert lo < ref + 4 * se + 5e-3, (lo, ref)   # low-biased
+        assert lo > ref - 0.15                       # but tight
+        # European floor: early exercise must add value
+        from optpricer_tpu import heston_price_cos
+
+        eu = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                    **self.HP, kind="put"))
+        assert lo > eu + 0.5
+
+    def test_call_no_dividend_equals_european(self):
+        from optpricer_tpu import heston_price_cos
+
+        eu = float(heston_price_cos(100.0, 100.0, 1.0, 0.05, 0.0,
+                                    **self.HP, kind="call"))
+        opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+        px, se = lsmc_price(opt, "call", heston=self.HP, n_paths=100_000,
+                            n_steps=50, seed=4)
+        assert abs(px - eu) < 4 * se + 0.02
+
+    def test_degenerate_heston_matches_gbm_lsmc(self):
+        # xi→0 with v0 = θ = 0.0625 freezes the variance: the Heston
+        # LSMC must agree with plain GBM LSMC at σ = 0.25
+        hp0 = dict(v0=0.0625, kappa=1.5, theta=0.0625, xi=1e-6, rho=0.0)
+        opt25 = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.25)
+        pg, seg = lsmc_price(opt25, "put", n_paths=100_000, n_steps=25,
+                             seed=2)
+        ph, seh = lsmc_price(opt25, "put", heston=hp0,
+                             n_paths=100_000, n_steps=25, seed=2)
+        assert abs(ph - pg) < 4 * (seg + seh) + 0.02
+
+    def test_dual_upper_rejected(self):
+        with pytest.raises(ValueError, match="GBM-only"):
+            lsmc_price(self.OPT, "put", heston=self.HP, bound="both")

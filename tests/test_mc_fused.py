@@ -220,3 +220,46 @@ class TestDupireFused:
                                         barrier_type="up-and-out",
                                         n_steps=100, n_paths=50_000, seed=2)
         assert 0 < px < 10 and se > 0
+
+
+class TestFusedHestonQE:
+    """Andersen QE dynamics in the fused engine (scheme="qe" with
+    heston=): unbiased coarse-step marginals vs the COS oracle, exact
+    in/out parity on shared draws, and the scheme guard."""
+
+    HP = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+
+    def test_unbiased_at_coarse_steps_vs_cos(self):
+        from optpricer_tpu import heston_price_cos
+
+        ref = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                     **self.HP, kind="put"))
+        px, se = exotic_price_mc(
+            "vanilla", 100.0, 110.0, 1.0, 0.05, 0.0, heston=self.HP,
+            kind="put", n_steps=12, n_paths=200_000, seed=2, scheme="qe",
+            backend="xla")
+        assert abs(px - ref) < 4 * se + 0.01
+        # the euler failure mode at the same budget, for contrast
+        px_e, _ = exotic_price_mc(
+            "vanilla", 100.0, 110.0, 1.0, 0.05, 0.0, heston=self.HP,
+            kind="put", n_steps=12, n_paths=200_000, seed=2, backend="xla")
+        assert px_e - ref > 0.2
+
+    def test_in_out_parity_exact_on_shared_draws(self):
+        kw = dict(heston=self.HP, kind="call", n_steps=16,
+                  n_paths=50_000, seed=5, scheme="qe", backend="xla",
+                  barrier=130.0)
+        uo, _ = exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                barrier_type="up-and-out", **kw)
+        ui, _ = exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                barrier_type="up-and-in", **kw)
+        van, _ = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                 heston=self.HP, kind="call", n_steps=16,
+                                 n_paths=50_000, seed=5, scheme="qe",
+                                 backend="xla")
+        assert abs((uo + ui) - van) < 1e-6 * max(1.0, van)
+
+    def test_qe_requires_heston(self):
+        with pytest.raises(ValueError, match="qe"):
+            exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, 0.0,
+                            sigma=0.2, scheme="qe")

@@ -128,3 +128,75 @@ class TestAntitheticPairing:
         inc = jnp.diff(jnp.asarray(logs), axis=0)
         np.testing.assert_allclose(
             np.asarray(inc[:, :n] + inc[:, n:]), 2 * drift, atol=1e-9)
+
+
+class TestHestonQE:
+    """Andersen quadratic-exponential Heston scheme (scheme="qe") —
+    the coarse-step answer to full-truncation Euler's O(Δt) bias.
+    Oracle: the COS transform; book chosen to VIOLATE Feller
+    (2κθ/ξ² ≈ 0.5) where the Euler bias is largest."""
+
+    HP = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+
+    def _put(self, scheme, n_steps, n_paths=200_000, seed=2):
+        from optpricer_tpu.models.processes import heston_paths
+
+        S = heston_paths(100.0, 0.05, 0.0, self.HP["v0"], self.HP["kappa"],
+                         self.HP["theta"], self.HP["xi"], self.HP["rho"],
+                         1.0, n_steps, n_paths, seed=seed, scheme=scheme)
+        ST = np.asarray(S[-1], np.float64)
+        pay = np.exp(-0.05) * np.maximum(110.0 - ST, 0.0)
+        return pay.mean(), pay.std() / np.sqrt(ST.size)
+
+    def test_qe_unbiased_at_coarse_steps(self):
+        from optpricer_tpu import heston_price_cos
+
+        ref = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                     **self.HP, kind="put"))
+        px, se = self._put("qe", 12)
+        assert abs(px - ref) < 4 * se + 0.01, (px, ref)
+
+    def test_euler_bias_documented(self):
+        # the failure mode QE exists to fix: Euler at 50 steps is
+        # >10 sigma biased on this book (measured +0.20)
+        from optpricer_tpu import heston_price_cos
+
+        ref = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                     **self.HP, kind="put"))
+        px_e, se_e = self._put("euler", 50)
+        px_q, se_q = self._put("qe", 50)
+        assert px_e - ref > 0.1          # Euler bias is real and large
+        assert abs(px_q - ref) < 4 * se_q + 0.02
+
+    def test_martingale_and_shape(self):
+        from optpricer_tpu.models.processes import heston_paths
+
+        S, v = heston_paths(100.0, 0.05, 0.01, 0.04, 1.5, 0.04, 0.5, -0.6,
+                            1.0, 24, 50_000, seed=3, scheme="qe",
+                            return_variance=True)
+        assert S.shape == (25, 100_000) and v.shape == (25, 100_000)
+        ST = np.asarray(S[-1], np.float64)
+        fwd = ST.mean() * np.exp(-0.05)
+        assert abs(fwd - 100.0 * np.exp(-0.01)) \
+            < 4 * ST.std() / np.sqrt(ST.size)
+        assert np.all(np.asarray(v) >= 0.0)
+
+    def test_degenerate_xi_is_deterministic_variance(self):
+        # xi -> 0 with v0 = theta: v stays at v0, S is plain GBM
+        from optpricer_tpu import bs_price_vec
+        from optpricer_tpu.models.processes import heston_paths
+
+        S = heston_paths(100.0, 0.03, 0.0, 0.04, 1.5, 0.04, 1e-8, 0.0,
+                         1.0, 16, 100_000, seed=5, scheme="qe")
+        ST = np.asarray(S[-1], np.float64)
+        pay = np.exp(-0.03) * np.maximum(ST - 100.0, 0.0)
+        ref = float(np.asarray(bs_price_vec(
+            100.0, 100.0, 1.0, 0.03, 0.0, 0.2, "call", dtype="float64")))
+        assert abs(pay.mean() - ref) < 4 * pay.std() / np.sqrt(ST.size)
+
+    def test_scheme_guard(self):
+        from optpricer_tpu.models.processes import heston_paths
+
+        with pytest.raises(ValueError, match="scheme"):
+            heston_paths(100.0, 0.03, 0.0, 0.04, 1.5, 0.04, 0.5, -0.6,
+                         1.0, 16, 100, scheme="milstein")
