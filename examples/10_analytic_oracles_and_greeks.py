@@ -45,7 +45,12 @@ hp = dict(v0=0.04, kappa=1.8, theta=0.05, xi=0.45, rho=-0.55)
 ana = float(heston_price_cos(S0, 100.0, 1.0, r, q, **hp))
 mc, se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q, heston=hp,
                          n_steps=256, n_paths=200_000, seed=2)
+mc_qe, se_qe = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q, heston=hp,
+                               n_steps=12, n_paths=200_000, seed=2,
+                               scheme="qe", backend="xla")
 print(f"Heston  COS    {ana:.4f}   vs MC {mc:.4f} ± {se:.4f}")
+print(f"        QE@12  {mc_qe:.4f} ± {se_qe:.4f}   (Andersen QE: "
+      f"unbiased at 12 steps; Euler needs hundreds)")
 
 sp = dict(alpha0=0.2, beta=1.0, nu=0.3, rho=-0.3)
 ana = float(sabr_price_hagan(S0, 100.0, 1.0, r, q, alpha=0.2, beta=1.0,
@@ -53,6 +58,21 @@ ana = float(sabr_price_hagan(S0, 100.0, 1.0, r, q, alpha=0.2, beta=1.0,
 mc, se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q, sabr=sp,
                          n_steps=256, n_paths=200_000, seed=3)
 print(f"SABR    Hagan  {ana:.4f}   vs MC {mc:.4f} ± {se:.4f}")
+
+print("\n=== American put under Heston: PDE vs LSMC bracket ===")
+from optpricer_tpu import OptionSpec, heston_fd_price, lsmc_price
+
+adi = heston_fd_price(S0, 110.0, 1.0, 0.05, 0.0, **hp, kind="put",
+                      american=True)
+eu = float(heston_price_cos(S0, 110.0, 1.0, 0.05, 0.0, **hp, kind="put"))
+lo, lo_se = lsmc_price(OptionSpec(S0=S0, K=110.0, T=1.0, r=0.05,
+                                  sigma=0.2), "put", heston=hp,
+                       n_paths=100_000, n_steps=50, seed=2, bound="lower")
+print(f"European (COS)           : {eu:.4f}")
+print(f"American 2-D ADI PDE     : {adi:.4f}   (Douglas splitting, "
+      f"batched MXU matvecs)")
+print(f"American LSMC (QE paths) : {lo:.4f} ± {lo_se:.4f}  "
+      f"(two-pass low bound, (S,v) regression — sits just below the PDE)")
 
 print("\n=== Heston calibration (zero-noise round trip) ===")
 Ks = np.tile(np.linspace(80, 120, 11), 3)

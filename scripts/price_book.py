@@ -116,6 +116,27 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
                          or "fixed").strip().lower(),
             payout=float(row.get("payout", 1.0) or 1.0))
         result["price"], result["stderr"] = px, se
+    elif method == "heston":
+        # stochastic-vol rows: optional v0/kappa/theta/xi/rho columns
+        # (defaults sigma^2-flat); 'american' truthy -> 2-D ADI PDE,
+        # else the COS transform (exact European)
+        hp = dict(
+            v0=float(row.get("v0", 0.0) or sigma * sigma),
+            kappa=float(row.get("kappa", 1.5) or 1.5),
+            theta=float(row.get("theta", 0.0) or sigma * sigma),
+            xi=float(row.get("xi", 0.4) or 0.4),
+            rho=float(row.get("rho", -0.6) or -0.6))
+        if str(row.get("american", "")).strip().lower() in ("1", "true",
+                                                            "yes"):
+            from optpricer_tpu import heston_fd_price
+
+            result["price"] = heston_fd_price(S0, K, T, r, q, **hp,
+                                              kind=kind, american=True)
+        else:
+            from optpricer_tpu import heston_price_cos
+
+            result["price"] = float(heston_price_cos(S0, K, T, r, q, **hp,
+                                                     kind=kind))
     elif method == "basket":
         # multi-asset rows: S0/sigma cells hold ';'-separated per-asset
         # values; optional 'weights' (';'-separated, default equal) and

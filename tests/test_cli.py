@@ -103,6 +103,8 @@ class TestPriceBookScript:
         rows = [
             dict(id="l1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="put", method="lsmc", n_paths=20000, n_steps=25),
+            dict(id="h1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="heston"),
             dict(id="q1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="qmc", exotic_type="asian",
                  n_paths=4096, n_steps=16),
@@ -132,8 +134,13 @@ class TestPriceBookScript:
         assert abs(results["l1"]["price"] - 6.09) < 0.15
         assert abs(results["q1"]["price"] - 6.054) < 0.05
         assert results["b1"]["price"] > results["b2"]["price"] > 0
+        # heston row (COS, defaults v0=theta=sigma^2): deterministic,
+        # close to the BS price at the same total variance
+        assert abs(results["h1"]["price"] - 10.45) < 0.6
         for r in results.values():
-            assert r["stderr"] is not None and "error" not in r
+            assert "error" not in r
+            if r["id"] != "h1":     # semi-analytic rows have no stderr
+                assert r["stderr"] is not None
 
 
 class TestCalibrateScript:

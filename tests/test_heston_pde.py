@@ -105,3 +105,31 @@ class TestGreeks:
         assert 0.0 < g["delta"] < 1.0
         assert g["gamma"] > 0.0
         assert g["vega_v0"] > 0.0
+
+
+class TestBatch:
+    def test_ladder_matches_scalar_exactly(self):
+        from optpricer_tpu import heston_fd_price_batch
+
+        Ks = np.array([80.0, 100.0, 120.0])
+        kinds = np.array(["call", "put", "call"])
+        b = heston_fd_price_batch(S0, Ks, T, R, Q, **HP, kind=kinds,
+                                  **COARSE)
+        for i, (K, kd) in enumerate(zip(Ks, kinds)):
+            s = heston_fd_price(S0, K, T, R, Q, **HP, kind=kd, **COARSE)
+            assert abs(b[i] - s) < 1e-10, (K, kd)
+
+    def test_american_ladder(self):
+        from optpricer_tpu import heston_fd_price_batch
+
+        b = heston_fd_price_batch(S0, [100.0, 110.0], T, 0.05, 0.0, **HP,
+                                  kind="put", american=True, **COARSE)
+        assert b[1] > b[0] > 0.0
+        assert b[1] >= 10.0 - 1e-6   # intrinsic floor at K=110
+
+    def test_kind_guard(self):
+        from optpricer_tpu import heston_fd_price_batch
+
+        with pytest.raises(ValueError, match="kind"):
+            heston_fd_price_batch(S0, [100.0], T, R, Q, **HP,
+                                  kind="straddle", **COARSE)
