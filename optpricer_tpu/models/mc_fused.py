@@ -733,8 +733,8 @@ def exotic_price_mc(
     discretisation as :func:`~optpricer_tpu.models.processes.heston_paths`
     — or Andersen's quadratic-exponential scheme with ``scheme="qe"``:
     near-exact marginals at coarse steps where Euler carries an O(Δt)
-    bias measured at +0.20 of spot on Feller-violating books; QE runs on
-    the XLA scan engine), or
+    bias measured at +0.20 of spot on Feller-violating books; QE runs in
+    both the XLA scan engine and the Pallas path kernel), or
     ``sabr={'alpha0','beta','nu','rho'}`` (exact lognormal σ evolution,
     log-Euler asset for β=1 / clamped Euler CEV for β<1 — same
     discretisation as :func:`~optpricer_tpu.models.processes.sabr_paths`).
@@ -823,8 +823,7 @@ def exotic_price_mc(
     # GBM and Heston dynamics are supported in-kernel (Dupire via
     # exotic_price_mc_dupire); traced sigma_loc closures and Merton stay
     # on the XLA scan path.
-    kernel_ok = (sigma_loc is None and merton is None
-                 and not (heston is not None and scheme == "qe"))
+    kernel_ok = (sigma_loc is None and merton is None)
     use_pallas = kernel_ok and n_steps % 2 == 0 and (
         backend == "pallas" or (
             backend == "auto" and jax.default_backend() == "tpu"
@@ -837,7 +836,7 @@ def exotic_price_mc(
                   barrier=barrier, barrier_type=barrier_type, rebate=rebate,
                   average_type=average_type, strike_type=strike_type,
                   payout=payout, heston=heston, sabr=sabr,
-                  geo_cv=use_geo_cv)
+                  scheme=scheme, geo_cv=use_geo_cv)
         if mesh is not None:
             stats_vec = path_mc_sumstats_pallas_sharded(
                 mesh, seed_val, int(n_paths), int(n_steps), S0, K, T, r, q,

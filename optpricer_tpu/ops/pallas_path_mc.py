@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import stats as stats_ops
-from .fastmath import exp32, log32
+from .fastmath import exp32, log32, norminv32
 from .swprng import threefry2x32
 
 BLOCK_R = 32            # sublane rows per path tile
@@ -108,7 +108,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     s_rho = par_ref[22]
 
     is_sabr = dynamics in ("sabr_ln", "sabr_cev")
-    sv_model = is_sabr or dynamics in ("heston", "lsv")
+    sv_model = is_sabr or dynamics in ("heston", "heston_qe", "lsv")
     rho_sv = s_rho if is_sabr else h_rho
     inv_xw = par_ref[23]    # lsv: 1 / x_width (leverage poly domain scale)
 
@@ -206,6 +206,28 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
         theta = two_pi * u2
         return rad * jnp.cos(theta), rad * jnp.sin(theta)
 
+    def uniforms(draw):
+        """Two cell-centred (0,1) uniform tiles from one draw index —
+        the QE variance transition consumes a RAW uniform (its
+        exponential branch inverts the CDF directly; the quadratic
+        branch's normal is norminv32 of the same uniform, so both
+        branches ride one word exactly like the XLA engine's
+        (z, Φ(z)) coupling)."""
+        if sw_prng:
+            elem = (rows * LANES + cols).astype(jnp.int32)
+            d = jnp.broadcast_to(jnp.asarray(draw).astype(jnp.int32), shape)
+            bits_a, bits_b = threefry2x32(
+                seed_ref[0], pid, pltpu.bitcast(elem, jnp.uint32),
+                pltpu.bitcast(d, jnp.uint32))
+        else:
+            bits_a = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            bits_b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        u1 = (pltpu.bitcast(bits_a >> 8, jnp.int32).astype(jnp.float32)
+              + 0.5) * tiny
+        u2 = (pltpu.bitcast(bits_b >> 8, jnp.int32).astype(jnp.float32)
+              + 0.5) * tiny
+        return u1, u2
+
     def chunk_body(c, carry):
         acc, comp = carry
 
@@ -218,7 +240,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                            else (S <= barrier)).astype(jnp.float32)
             else:
                 crossed = jnp.zeros(shape, jnp.float32)
-            if dynamics in ("heston", "lsv"):
+            if dynamics in ("heston", "heston_qe", "lsv"):
                 v = jnp.full(shape, h_v0)      # variance state
             elif is_sabr:
                 v = jnp.full(shape, s_alpha0)  # σ state
@@ -278,6 +300,47 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                 v_new = jnp.maximum(
                     v + h_kappa * (h_theta - v_eff) * dt_step
                     + h_xi * jnp.sqrt(v_eff) * sqrt_dt * zv, 0.0)
+                return S_new, v_new
+            if dynamics == "heston_qe":
+                # Andersen QE in registers — same scheme as
+                # processes._heston_qe_core (fixes the full-truncation
+                # Euler's O(Δt) bias, +0.20 of spot at 50 steps on
+                # Feller-violating books). ``zv`` carries the RAW
+                # UNIFORM u (the call site mirrors antithetics as 1−u):
+                # the quadratic branch's normal is Φ⁻¹(u), the
+                # exponential branch inverts its CDF on u directly.
+                u = zv
+                zq = norminv32(u)
+                emkt = jnp.exp(-h_kappa * dt_step)   # scalar exp is fine
+                c1 = h_xi * h_xi * emkt * (1.0 - emkt) / h_kappa
+                c2 = h_theta * h_xi * h_xi * (1.0 - emkt) ** 2 \
+                    / (2.0 * h_kappa)
+                eps = 1e-12
+                m = h_theta + (v - h_theta) * emkt
+                s2 = v * c1 + c2
+                psi = s2 / jnp.maximum(m * m, eps)
+                two_over = 2.0 / jnp.maximum(jnp.minimum(psi, 1.5), eps)
+                b2 = (two_over - 1.0 + jnp.sqrt(two_over)
+                      * jnp.sqrt(jnp.maximum(two_over - 1.0, 0.0)))
+                a = m / (1.0 + b2)
+                bz = jnp.sqrt(jnp.maximum(b2, 0.0)) + zq
+                psi_e = jnp.maximum(psi, 1.5)
+                p = (psi_e - 1.0) / (psi_e + 1.0)
+                beta_e = (1.0 - p) / jnp.maximum(m, eps)
+                v_exp = jnp.where(
+                    u <= p, 0.0,
+                    log32((1.0 - p) / jnp.maximum(1.0 - u, eps)) / beta_e)
+                v_new = jnp.where(psi <= 1.5, a * bz * bz, v_exp)
+                g = 0.5
+                K0c = -h_rho * h_kappa * h_theta * dt_step / h_xi
+                K1c = g * dt_step * (h_kappa * h_rho / h_xi - 0.5) \
+                    - h_rho / h_xi
+                K2c = g * dt_step * (h_kappa * h_rho / h_xi - 0.5) \
+                    + h_rho / h_xi
+                K34 = g * dt_step * (1.0 - h_rho * h_rho)
+                S_new = S * exp32(
+                    rq * dt_step + K0c + K1c * v + K2c * v_new
+                    + jnp.sqrt(jnp.maximum(K34 * (v + v_new), 0.0)) * z)
                 return S_new, v_new
             if is_sabr:
                 # exact lognormal σ carried in registers; the asset step
@@ -363,7 +426,9 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             st_p, st_m = states
             d0 = (c * n_half + t) * 2  # per-program draw-call index
             z1, z2 = normals(d0)
-            if sv_model:
+            if dynamics == "heston_qe":
+                zv1, zv2 = uniforms(d0 + 1)  # QE consumes raw uniforms
+            elif sv_model:
                 zv1, zv2 = normals(d0 + 1)  # independent vol/variance shocks
             else:
                 zv1 = zv2 = z1
@@ -374,8 +439,12 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             st_p = advance(st_p, z1, zv1, t0, k0)
             st_p = advance(st_p, z2, zv2, t1, k1)
             if antithetic:
-                st_m = advance(st_m, -z1, -zv1, t0, k0)
-                st_m = advance(st_m, -z2, -zv2, t1, k1)
+                if dynamics == "heston_qe":
+                    mv1, mv2 = 1.0 - zv1, 1.0 - zv2  # mirror the uniform
+                else:
+                    mv1, mv2 = -zv1, -zv2
+                st_m = advance(st_m, -z1, mv1, t0, k0)
+                st_m = advance(st_m, -z2, mv2, t1, k1)
             return (st_p, st_m)
 
         st_p, st_m = jax.lax.fori_loop(0, n_half, step_body, (st_p, st_m))
@@ -640,7 +709,7 @@ def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
         lsv_deg = int(svi.shape[1]) - 1
     elif svi_slices is None:
         if heston is not None:
-            dynamics = "heston"
+            dynamics = "heston_qe" if scheme == "qe" else "heston"
         elif sabr is not None:
             dynamics = "sabr_ln" if float(sabr["beta"]) == 1.0 else "sabr_cev"
         else:

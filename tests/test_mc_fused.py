@@ -263,3 +263,34 @@ class TestFusedHestonQE:
         with pytest.raises(ValueError, match="qe"):
             exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, 0.0,
                             sigma=0.2, scheme="qe")
+
+    def test_qe_kernel_matches_xla_engine(self):
+        # interpret-mode Pallas QE (software PRNG) vs the XLA scan —
+        # independent draw streams, so statistical agreement + the COS
+        # oracle pin both
+        from optpricer_tpu import heston_price_cos
+
+        ref = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                     **self.HP, kind="put"))
+        kw = dict(heston=self.HP, kind="put", n_steps=12,
+                  n_paths=1 << 15, seed=2, scheme="qe", dtype="float32")
+        px_k, se_k = exotic_price_mc("vanilla", 100.0, 110.0, 1.0, 0.05,
+                                     0.0, backend="pallas", **kw)
+        px_x, se_x = exotic_price_mc("vanilla", 100.0, 110.0, 1.0, 0.05,
+                                     0.0, backend="xla", **kw)
+        assert abs(px_k - ref) < 4 * se_k + 0.02
+        assert abs(px_k - px_x) < 4 * (se_k + se_x) + 0.02
+
+    def test_qe_kernel_barrier_parity(self):
+        kb = dict(heston=self.HP, kind="call", n_steps=16,
+                  n_paths=1 << 14, seed=5, scheme="qe", dtype="float32",
+                  backend="pallas", barrier=130.0)
+        uo, _ = exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                barrier_type="up-and-out", **kb)
+        ui, _ = exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                barrier_type="up-and-in", **kb)
+        van, _ = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                 heston=self.HP, kind="call", n_steps=16,
+                                 n_paths=1 << 14, seed=5, scheme="qe",
+                                 dtype="float32", backend="pallas")
+        assert abs((uo + ui) - van) < 1e-5 * max(1.0, van)

@@ -446,3 +446,39 @@ class TestBasketKernelTPU:
         out = np.asarray(basket_path_sumstats_pallas_sharded(
             get_mesh(1), *call, payoff="asian_basket"))
         np.testing.assert_array_equal(out, ref)
+
+
+class TestHestonQEKernelTPU:
+    """Andersen QE dynamics in the path kernel on hardware: COS-oracle
+    bias gate at coarse steps (the whole point of QE) and in/out parity
+    on identical kernel draws."""
+
+    HP = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+
+    def test_qe_kernel_unbiased_at_12_steps(self):
+        from optpricer_tpu import exotic_price_mc, heston_price_cos
+
+        ref = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                     **self.HP, kind="put"))
+        px, se = exotic_price_mc(
+            "vanilla", 100.0, 110.0, 1.0, 0.05, 0.0, heston=self.HP,
+            kind="put", n_steps=12, n_paths=1 << 20, seed=2, scheme="qe",
+            backend="pallas", dtype="float32")
+        assert abs(px - ref) < 4 * se + 0.02, (px, ref)
+        # contrast: the Euler kernel at the same budget is way off
+        px_e, _ = exotic_price_mc(
+            "vanilla", 100.0, 110.0, 1.0, 0.05, 0.0, heston=self.HP,
+            kind="put", n_steps=12, n_paths=1 << 20, seed=2,
+            backend="pallas", dtype="float32")
+        assert px_e - ref > 0.3
+
+    def test_qe_kernel_asian_parity_with_xla(self):
+        from optpricer_tpu import exotic_price_mc
+
+        kw = dict(heston=self.HP, kind="call", n_steps=32,
+                  n_paths=1 << 18, seed=7, scheme="qe", dtype="float32")
+        p_k, s_k = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                   backend="pallas", **kw)
+        p_x, s_x = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.05, 0.0,
+                                   backend="xla", **kw)
+        assert abs(p_k - p_x) < 5 * (s_k + s_x) + 1e-3
