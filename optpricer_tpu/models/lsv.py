@@ -62,6 +62,9 @@ class LSVModel:
     rho: float
     x_bins: jnp.ndarray      # (n_bins,) bin centers in log-moneyness
     leverage: jnp.ndarray    # (n_steps, n_bins)
+    scheme: str = "euler"    # variance discretisation the table was
+    # calibrated under ("euler" | "qe"); pricing follows it so the
+    # Gyöngy repricing consistency is preserved
 
     @property
     def n_steps(self) -> int:
@@ -76,8 +79,10 @@ class LSVModel:
 jax.tree_util.register_pytree_node(
     LSVModel,
     lambda m: ((m.x_bins, m.leverage),
-               (m.S0, m.r, m.q, m.T, m.v0, m.kappa, m.theta, m.xi, m.rho)),
-    lambda aux, c: LSVModel(*aux, x_bins=c[0], leverage=c[1]),
+               (m.S0, m.r, m.q, m.T, m.v0, m.kappa, m.theta, m.xi, m.rho,
+                m.scheme)),
+    lambda aux, c: LSVModel(*aux[:9], x_bins=c[0], leverage=c[1],
+                            scheme=aux[9]),
 )
 
 
@@ -92,6 +97,50 @@ def _smooth_kernel(dtype, taps: int = 5):
     return jnp.asarray(row, dtype)
 
 
+def _qe_v_step(v, z2, kappa, theta_v, xi, dt, dt_):
+    """Andersen QE variance transition driven by one normal ``z2``: the
+    quadratic branch uses z2 directly, the exponential branch inverts
+    its CDF on u = Φ(z2) — so the antithetic −z2 mirrors the uniform
+    exactly. Same scheme as ``processes._heston_qe_core`` (which
+    documents the full-truncation Euler O(Δt) bias this replaces).
+    Degenerate ξ→0 / κ→0 limits collapse to the deterministic mean."""
+    from jax.scipy.stats import norm
+
+    eps = jnp.asarray(1e-12, dt_)
+    kap = jnp.maximum(kappa, eps)
+    emkt = jnp.exp(-kap * dt)
+    c1 = xi * xi * emkt * (1.0 - emkt) / kap
+    c2 = theta_v * xi * xi * (1.0 - emkt) ** 2 / (2.0 * kap)
+    m = theta_v + (v - theta_v) * emkt
+    s2 = v * c1 + c2
+    psi = s2 / jnp.maximum(m * m, eps)
+    two_over = 2.0 / jnp.maximum(jnp.minimum(psi, 1.5), eps)
+    b2 = (two_over - 1.0 + jnp.sqrt(two_over)
+          * jnp.sqrt(jnp.maximum(two_over - 1.0, 0.0)))
+    a = m / (1.0 + b2)
+    bz = jnp.sqrt(jnp.maximum(b2, 0.0)) + z2
+    u = norm.cdf(z2)
+    psi_e = jnp.maximum(psi, 1.5)
+    p = (psi_e - 1.0) / (psi_e + 1.0)
+    beta_e = (1.0 - p) / jnp.maximum(m, eps)
+    v_exp = jnp.where(
+        u <= p, 0.0,
+        jnp.log((1.0 - p) / jnp.maximum(1.0 - u, eps)) / beta_e)
+    return jnp.where(psi <= 1.5, a * bz * bz, v_exp)
+
+
+def _qe_asset_coupling(v_eff, v_new, kappa, theta_v, xi, rho, dt, dt_):
+    """(v̄, ρ-coupling drift term) of the QE asset step: Andersen's
+    substitution ∫√v dW₂ = (v⁺ − v − κθΔ + κ∫v)/ξ with the central
+    ∫v ≈ v̄Δ. Returns the coupling scaled for a UNIT-leverage asset —
+    the caller multiplies by its local leverage. ξ→0 sends the
+    coupling to zero (v is then deterministic, nothing to couple)."""
+    vbar = 0.5 * (v_eff + v_new)
+    inc = v_new - v_eff - kappa * (theta_v - vbar) * dt
+    coup = jnp.where(xi > 1e-8, rho * inc / jnp.maximum(xi, 1e-8), 0.0)
+    return vbar, coup
+
+
 def _interp_row(row, u, n_bins):
     """Linear interpolation of a per-step table row at fractional bin
     coordinate u (piecewise-linear leverage; clamped at the grid ends)."""
@@ -102,9 +151,10 @@ def _interp_row(row, u, n_bins):
 
 @partial(jax.jit, static_argnames=("n_steps", "n_paths", "n_bins",
                                    "antithetic", "dtype", "regression",
-                                   "smooth"))
+                                   "smooth", "scheme"))
 def _calibrate_scan(key, sig_grid, fixed, *, n_steps, n_paths, n_bins,
-                    antithetic, dtype, regression="local_linear", smooth=5):
+                    antithetic, dtype, regression="local_linear", smooth=5,
+                    scheme="euler"):
     """One-program particle calibration: returns the (n_steps, n_bins)
     leverage table and the terminal (S, v) ensemble.
 
@@ -195,14 +245,28 @@ def _calibrate_scan(key, sig_grid, fixed, *, n_steps, n_paths, n_bins,
         if antithetic:
             z2 = jnp.concatenate([z2, -z2])
             zp = jnp.concatenate([zp, -zp])
-        z1 = rho * z2 + rho_perp * zp
         v_eff = jnp.maximum(v, 0.0)
-        sig_eff = L * _sqrt0(v_eff)
-        S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
-                         + sig_eff * sqrt_dt * z1)
-        v_new = jnp.maximum(
-            v + fixed["kappa"] * (fixed["theta"] - v_eff) * dt
-            + fixed["xi"] * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
+        if scheme == "qe":
+            # QE variance + leverage-scaled Andersen asset step: the
+            # ρ-coupling rides the v-increment, zp is the independent
+            # asset shock
+            v_new = _qe_v_step(v_eff, z2, fixed["kappa"], fixed["theta"],
+                               fixed["xi"], dt, dt_)
+            vbar, coup = _qe_asset_coupling(
+                v_eff, v_new, fixed["kappa"], fixed["theta"],
+                fixed["xi"], rho, dt, dt_)
+            S_new = S * exp_(mu * dt - 0.5 * L * L * vbar * dt
+                             + L * coup
+                             + L * _sqrt0(rho_perp * rho_perp * vbar * dt)
+                             * zp)
+        else:
+            z1 = rho * z2 + rho_perp * zp
+            sig_eff = L * _sqrt0(v_eff)
+            S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
+                             + sig_eff * sqrt_dt * z1)
+            v_new = jnp.maximum(
+                v + fixed["kappa"] * (fixed["theta"] - v_eff) * dt
+                + fixed["xi"] * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
         return (S_new, v_new), L_row
 
     (S_T, v_T), L_table = jax.lax.scan(
@@ -217,7 +281,7 @@ def lsv_calibrate(surface, heston: dict, S0: float, r: float,
                   x_width: Optional[float] = None, antithetic: bool = True,
                   seed: Optional[int] = None, dtype=None,
                   regression: str = "local_linear",
-                  smooth: int = 3) -> LSVModel:
+                  smooth: int = 3, scheme: str = "euler") -> LSVModel:
     """Calibrate the LSV leverage function to a Dupire surface.
 
     ``surface`` is a calibrated
@@ -238,8 +302,19 @@ def lsv_calibrate(surface, heston: dict, S0: float, r: float,
     before raising path counts when chasing repricing accuracy;
     ``regression="nw"`` selects plain Nadaraya-Watson over the
     default local-linear estimator for A/B.
+
+    ``scheme="qe"`` advances the particles with Andersen's QE variance
+    transition and the leverage-scaled central asset step instead of
+    full-truncation Euler — tighter absolute coarse-step accuracy (the
+    Euler path bias largely CANCELS in the Gyöngy repricing because
+    pricing shares the discretisation, but exotics and few-step tables
+    benefit). The scheme is recorded on the model and pricing follows
+    it; the Pallas backend supports "euler" only.
     """
     from .calibration import dupire_local_vol
+
+    if scheme not in ("euler", "qe"):
+        raise ValueError("scheme must be 'euler' or 'qe'")
 
     dt_ = canonical(dtype)
     if x_width is None:
@@ -272,12 +347,12 @@ def lsv_calibrate(surface, heston: dict, S0: float, r: float,
     L_table, _, _ = _calibrate_scan(
         key, sig_grid, fixed, n_steps=int(n_steps), n_paths=int(n_paths),
         n_bins=int(n_bins), antithetic=bool(antithetic), dtype=dt_,
-        regression=regression, smooth=int(smooth))
+        regression=regression, smooth=int(smooth), scheme=scheme)
     return LSVModel(S0=float(S0), r=float(r), q=float(q), T=float(T),
                     v0=float(heston["v0"]), kappa=float(heston["kappa"]),
                     theta=float(heston["theta"]), xi=float(heston["xi"]),
                     rho=float(heston["rho"]), x_bins=x_bins,
-                    leverage=L_table)
+                    leverage=L_table, scheme=scheme)
 
 
 @partial(jax.jit, static_argnames=(
@@ -331,14 +406,23 @@ def _lsv_paths(key, model, fixed, *, payoff, kind, n_steps, n_paths,
         if antithetic:
             z2 = jnp.concatenate([z2, -z2])
             zp = jnp.concatenate([zp, -zp])
-        z1 = rho * z2 + rho_perp * zp
         v_eff = jnp.maximum(v, 0.0)
-        sig_eff = L * _sqrt0(v_eff)
-        S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
-                         + sig_eff * sqrt_dt * z1)
-        v_new = jnp.maximum(
-            v + kappa * (theta_v - v_eff) * dt
-            + xi * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
+        if model.scheme == "qe":
+            v_new = _qe_v_step(v_eff, z2, kappa, theta_v, xi, dt, dt_)
+            vbar, coup = _qe_asset_coupling(v_eff, v_new, kappa, theta_v,
+                                            xi, rho, dt, dt_)
+            S_new = S * exp_(mu * dt - 0.5 * L * L * vbar * dt
+                             + L * coup
+                             + L * _sqrt0(rho_perp * rho_perp * vbar * dt)
+                             * zp)
+        else:
+            z1 = rho * z2 + rho_perp * zp
+            sig_eff = L * _sqrt0(v_eff)
+            S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
+                             + sig_eff * sqrt_dt * z1)
+            v_new = jnp.maximum(
+                v + kappa * (theta_v - v_eff) * dt
+                + xi * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
         if payoff == "asian":
             rsum = rsum + S_new
             if average_type == "geometric":
@@ -418,9 +502,12 @@ def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
     key = jax.random.key(resolve_seed(seed))
     n_steps = model.n_steps
 
-    kernel_ok = n_steps % 2 == 0 and dt_ == jnp.float32
+    kernel_ok = (n_steps % 2 == 0 and dt_ == jnp.float32
+                 and model.scheme == "euler")
     if backend == "pallas" and not kernel_ok:
-        raise ValueError("backend='pallas' requires even n_steps and f32")
+        raise ValueError("backend='pallas' requires even n_steps, f32 and "
+                         "a scheme='euler' model (the in-register LSV "
+                         "kernel steps full-truncation Euler)")
     if kernel_ok and (backend == "pallas" or
                       (backend == "auto"
                        and jax.default_backend() == "tpu")):
@@ -515,6 +602,12 @@ def lsv_greeks_mc(payoff: str, model: LSVModel, K: float, *,
             "require bump-and-reprice with common random numbers")
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
+    if model.scheme != "euler":
+        raise ValueError(
+            "lsv_greeks_mc requires a scheme='euler' model: the QE "
+            "variance transition has a point mass at zero, so pathwise "
+            "AD is invalid across it — use CRN bump-and-reprice on the "
+            "QE model instead")
     dt_ = canonical(dtype)
     key = jax.random.key(resolve_seed(seed))
     n_steps = model.n_steps

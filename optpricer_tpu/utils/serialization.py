@@ -145,6 +145,7 @@ def lsv_to_dict(model) -> dict:
         "xi": float(model.xi), "rho": float(model.rho),
         "x_bins": np.asarray(model.x_bins, float).tolist(),
         "leverage": np.asarray(model.leverage, float).tolist(),
+        "scheme": model.scheme,
     }
 
 
@@ -165,7 +166,8 @@ def lsv_from_dict(d: dict):
                     T=float(d["T"]), v0=float(d["v0"]),
                     kappa=float(d["kappa"]), theta=float(d["theta"]),
                     xi=float(d["xi"]), rho=float(d["rho"]),
-                    x_bins=x_bins, leverage=lev)
+                    x_bins=x_bins, leverage=lev,
+                    scheme=str(d.get("scheme", "euler")))
 
 
 def save_lsv(model, path: Union[str, Path]) -> None:

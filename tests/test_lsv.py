@@ -324,3 +324,56 @@ class TestLSVGreeks:
         for k in ("delta", "d_v0", "rho"):
             tol = 4 * (g1[f"{k}_stderr"] + gm[f"{k}_stderr"]) + 1e-4
             assert abs(g1[k] - gm[k]) < tol, (k, g1[k], gm[k])
+
+
+class TestQEScheme:
+    """scheme="qe": Andersen QE variance + leverage-scaled central asset
+    step in both the calibrator and the pricer. Calibration and pricing
+    share the discretisation, so the Gyöngy repricing gate is the same
+    contract as the Euler scheme's."""
+
+    def test_qe_calibration_reprices_surface(self):
+        m = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                          n_steps=48, n_paths=32_768, n_bins=96,
+                          smooth=3, seed=0, scheme="qe")
+        assert m.scheme == "qe"
+        target = _surface_call(_smile_surface(), 100.0)
+        px, se = lsv_price_mc("vanilla", m, 100.0, n_paths=131_072,
+                              seed=7, backend="xla")
+        assert abs(px - target) < max(4.0 * se, 0.25), (px, target)
+
+    def test_scheme_survives_serialization(self):
+        from optpricer_tpu.utils.serialization import (lsv_from_dict,
+                                                       lsv_to_dict)
+
+        m = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                          scheme="qe", **CAL_KW)
+        m2 = lsv_from_dict(lsv_to_dict(m))
+        assert m2.scheme == "qe"
+        p1, _ = lsv_price_mc("vanilla", m, 100.0, n_paths=8_192, seed=1,
+                             backend="xla")
+        p2, _ = lsv_price_mc("vanilla", m2, 100.0, n_paths=8_192, seed=1,
+                             backend="xla")
+        assert abs(p1 - p2) < 1e-6
+
+    def test_guards(self):
+        from optpricer_tpu import lsv_greeks_mc
+
+        with pytest.raises(ValueError, match="scheme"):
+            lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                          scheme="milstein", **CAL_KW)
+        m = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                          scheme="qe", **CAL_KW)
+        with pytest.raises(ValueError, match="euler"):
+            lsv_price_mc("vanilla", m, 100.0, backend="pallas",
+                         dtype="float32")
+        with pytest.raises(ValueError, match="point mass"):
+            lsv_greeks_mc("vanilla", m, 100.0)
+
+    def test_degenerate_qe_matches_flat_vol(self):
+        # v frozen at 1 (kappa=0, xi=0 via the QE deterministic limit),
+        # flat surface: leverage ~ flat 0.2 and the price is BS(0.2)
+        m = lsv_calibrate(_flat_surface(0.2), DEGENERATE, S0, R, Q,
+                          T=T, scheme="qe", **CAL_KW)
+        interior = np.asarray(m.leverage)[4:, 16:48]
+        assert np.all(np.abs(interior - 0.2) < 0.02)
