@@ -564,7 +564,8 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
                        kind: Literal["call", "put"] = CALL, *,
                        n_paths: int = 100_000, n_steps: int = 50,
                        basis_dim: int = 4, antithetic: bool = True,
-                       seed: Optional[int] = None, dtype=None):
+                       seed: Optional[int] = None, dtype=None,
+                       heston: Optional[dict] = None):
     """Mesh data-parallel Longstaff-Schwartz: a GLOBAL exercise policy.
 
     Paths shard across devices (per-device streams from
@@ -575,10 +576,14 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
     sharded policy is statistically identical to a single-device run at the
     same total path count, unlike naive per-device LSMC whose policies
     degrade with device count. Returns ``(price, stderr)``.
+
+    ``heston=`` switches to Heston dynamics: Andersen-QE paths generated
+    per device, (S, v) regression basis [1, x, x², x³, v, v·x] — the
+    sharded twin of ``lsmc_price(heston=...)``.
     """
     from jax.sharding import PartitionSpec as P
 
-    from .processes import _gbm_core
+    from .processes import _gbm_core, _heston_qe_core
 
     dt_ = canonical(dtype)
     from ..parallel.mesh import mesh_axes
@@ -592,26 +597,47 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
     dt_step = jnp.asarray(opt.T / n_steps, dt_)
     disc = jnp.exp(-jnp.asarray(opt.r, dt_) * dt_step)
     ridge = jnp.asarray(1e-7, dt_)
-    eye = jnp.eye(basis_dim, dtype=dt_)
+    k_dim = max(int(basis_dim), 6) if heston is not None else basis_dim
+    eye = jnp.eye(k_dim, dtype=dt_)
     mkt = [jnp.asarray(v, dt_)
            for v in (opt.S0, opt.r, opt.q, opt.sigma, opt.T)]
+    hp = None if heston is None else [
+        jnp.asarray(heston[k], dt_)
+        for k in ("v0", "kappa", "theta", "xi", "rho")]
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
              check_vma=False)
     def shard_fn(dev_ids):
         local_key = jax.random.fold_in(key, dev_ids[0])
-        paths = _gbm_core(local_key, *mkt, n_steps=n_steps,
-                          n_paths=n_local, antithetic=antithetic, dtype=dt_)
+        if heston is None:
+            paths = _gbm_core(local_key, *mkt, n_steps=n_steps,
+                              n_paths=n_local, antithetic=antithetic,
+                              dtype=dt_)
+            v_paths = jnp.zeros_like(paths)
+        else:
+            paths, v_paths = _heston_qe_core(
+                local_key, mkt[0], mkt[1], mkt[2], *hp, mkt[4],
+                n_steps=n_steps, n_paths=n_local, antithetic=antithetic,
+                dtype=dt_)
 
         def intrinsic(S):
             return jnp.maximum(sign * (S - K), 0.0)
 
-        def date(cashflow, S_t):
+        def basis(S_t, v_t):
+            x = S_t / mkt[0] - 1.0
+            if heston is None:
+                cols = [x**p for p in range(k_dim)]
+            else:
+                cols = [x**p for p in range(min(k_dim, 4))]
+                cols += [v_t, v_t * x]
+            return jnp.stack(cols, axis=-1)
+
+        def date(cashflow, xs):
+            S_t, v_t = xs
             y = disc * cashflow
             ex = intrinsic(S_t)
             w = (ex > 0.0).astype(dt_)
-            x = S_t / mkt[0] - 1.0
-            X = jnp.stack([x**p for p in range(basis_dim)], axis=-1)
+            X = basis(S_t, v_t)
             Xw = X * w[:, None]
             hi = jax.lax.Precision.HIGHEST
             # global normal equations: one psum of (k², k, 1) floats
@@ -622,8 +648,9 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
             fitted = jnp.matmul(X, beta, precision=hi)
             return jnp.where((w > 0.0) & (ex > fitted), ex, y), None
 
-        cashflow, _ = jax.lax.scan(date, intrinsic(paths[-1]),
-                                   paths[1:-1][::-1])
+        cashflow, _ = jax.lax.scan(
+            date, intrinsic(paths[-1]),
+            (paths[1:-1][::-1], v_paths[1:-1][::-1]))
         value = disc * cashflow
         stats = jnp.stack([jnp.asarray(value.size, dt_), jnp.sum(value),
                            jnp.sum(value * value)])

@@ -200,3 +200,16 @@ class TestHestonLsmc:
     def test_dual_upper_rejected(self):
         with pytest.raises(ValueError, match="GBM-only"):
             lsmc_price(self.OPT, "put", heston=self.HP, bound="both")
+
+    def test_sharded_heston_matches_single(self):
+        from optpricer_tpu import lsmc_price_sharded
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.2)
+        p1, se1 = lsmc_price(opt, "put", heston=self.HP,
+                             n_paths=1 << 15, n_steps=16, seed=3)
+        pm, sem = lsmc_price_sharded(get_mesh(8), opt, "put",
+                                     heston=self.HP, n_paths=1 << 15,
+                                     n_steps=16, seed=3)
+        # different stream layouts: statistical agreement is the contract
+        assert abs(p1 - pm) < 4 * (se1 + sem) + 0.08, (p1, pm)
