@@ -221,6 +221,22 @@ def bench_lsmc_bracket() -> None:
         f"({100*br['gap']/lo:.2f}%)")
 
 
+def bench_lsmc_heston() -> None:
+    """Diagnostic: American put LSMC under Heston (Andersen-QE paths,
+    (S, v) regression basis) vs the 2-D ADI PDE from the other side."""
+    from optpricer_tpu import OptionSpec, lsmc_price
+
+    hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+    opt = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.2)
+    run = lambda: lsmc_price(opt, "put", heston=hp, n_paths=200_000,
+                             n_steps=50, seed=2, bound="lower")
+    lo, lo_se = run()
+    best, times = best_of(run, 3)
+    log(f"[lsmc-heston] 200k×50 Heston-QE American put (two-pass): "
+        f"{_spread(times)} best={best*1e3:.0f} ms, "
+        f"lower={lo:.4f}±{lo_se:.4f}")
+
+
 def bench_qmc_path() -> None:
     """Diagnostic: one-kernel Sobol+bridge QMC Asian vs its exact oracle.
 
@@ -411,6 +427,7 @@ def main():
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
                      ("lsmc-bracket", bench_lsmc_bracket),
+                     ("lsmc-heston", bench_lsmc_heston),
                      ("qmc", bench_qmc), ("qmc-path", bench_qmc_path),
                      ("qmc-path-2^22", bench_qmc_path_large),
                      ("basket", bench_basket),

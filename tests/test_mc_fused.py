@@ -294,3 +294,14 @@ class TestFusedHestonQE:
                                  n_paths=1 << 14, seed=5, scheme="qe",
                                  dtype="float32", backend="pallas")
         assert abs((uo + ui) - van) < 1e-5 * max(1.0, van)
+
+    def test_qe_mesh_matches_single_statistically(self):
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        kw = dict(heston=self.HP, kind="put", n_steps=12,
+                  n_paths=1 << 14, seed=2, scheme="qe", backend="xla")
+        p1, se1 = exotic_price_mc("vanilla", 100.0, 110.0, 1.0, 0.05,
+                                  0.0, **kw)
+        pm, sem = exotic_price_mc("vanilla", 100.0, 110.0, 1.0, 0.05,
+                                  0.0, mesh=get_mesh(8), **kw)
+        assert abs(p1 - pm) < 4 * (se1 + sem) + 0.05
