@@ -150,7 +150,8 @@ def _run_lsv(ns) -> str:
                       rho=ns.rho)
         model = lsv_calibrate(surface, heston, ns.S0, ns.r, ns.q, T=ns.T,
                               n_steps=ns.n_steps, n_paths=ns.cal_paths,
-                              n_bins=ns.n_bins, seed=ns.seed)
+                              n_bins=ns.n_bins, seed=ns.seed,
+                              scheme=ns.scheme)
         if ns.save_model:
             sz.save_lsv(model, ns.save_model)
     value, stderr = lsv_price_mc(
@@ -242,6 +243,9 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--theta", dict(type=float, default=0.04)),
         ("--xi", dict(type=float, default=0.5)),
         ("--rho", dict(type=float, default=-0.6)),
+        ("--scheme", dict(choices=("euler", "qe"), default="euler",
+                          help="variance discretisation (Andersen QE "
+                               "or full-truncation Euler)")),
         ("--payoff", dict(default="vanilla",
                           choices=("vanilla", "asian", "barrier",
                                    "digital", "lookback"))),
