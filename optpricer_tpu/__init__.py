@@ -97,7 +97,8 @@ from .models.analytic import (merton_price, heston_price_cos,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos, cev_price)
 from .models.heston_pde import (heston_fd_price, heston_fd_grid,
-                                heston_fd_greeks, heston_fd_price_batch)
+                                heston_fd_greeks, heston_fd_price_batch,
+                                heston_fd_price_barrier)
 from .models.basket import (basket_price_mc, basket_greeks_mc,
                             basket_exotic_mc, geometric_basket_price,
                             margrabe_price)
@@ -140,7 +141,7 @@ __all__ = [
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",
     "heston_fd_price", "heston_fd_grid", "heston_fd_greeks",
-    "heston_fd_price_batch",
+    "heston_fd_price_batch", "heston_fd_price_barrier",
     "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
     "geometric_basket_price",
     "margrabe_price",

@@ -46,7 +46,8 @@ import numpy as np
 
 from ..dtypes import canonical
 
-__all__ = ["heston_fd_price", "heston_fd_grid", "heston_fd_greeks"]
+__all__ = ["heston_fd_price", "heston_fd_grid", "heston_fd_greeks",
+           "heston_fd_price_batch", "heston_fd_price_barrier"]
 
 
 def _diff_ops(nodes: np.ndarray):
@@ -68,12 +69,19 @@ def _diff_ops(nodes: np.ndarray):
     return D1, D2
 
 
-def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s):
+def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s,
+                     ko_mask=None):
     """Host-side f64 operator/propagator construction.
 
     Returns (Ax, Px, Av, Pv): Ax (n_v, n_x, n_x) acts along x per
     variance level, Av (n_v, n_v) acts along v (coefficients depend on v
-    only), Px/Pv the corresponding implicit-step inverses.
+    only), Px/Pv the corresponding implicit-step inverses. ``ko_mask``
+    zeroes the Ax rows of knocked-out spot nodes, making the barrier a
+    TRUE Dirichlet boundary of the implicit solve — pinning only after
+    each step (the reference's project-after-solve) lets value diffuse
+    into the dead zone during the step and converges like DISCRETE
+    monitoring, O(√Δt) high (measured +0.6 of the analytic
+    continuously-monitored price at 128×64×256).
     """
     n_x, n_v = len(x), len(v)
 
@@ -85,6 +93,8 @@ def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s):
     Ax = (0.5 * v[:, None, None] * D2x[None]
           + (r - q - 0.5 * v)[:, None, None] * D1x[None]
           - 0.5 * r * Ix_int[None])
+    if ko_mask is not None and ko_mask.any():
+        Ax[:, ko_mask, :] = 0.0
     Px = np.linalg.inv(np.eye(n_x)[None] - theta_s * dt * Ax)
 
     # A_v: interior central on the (sinh-stretched) v grid; v=0 row
@@ -108,16 +118,19 @@ def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s):
 
 
 @partial(jax.jit, static_argnames=("n_t", "american", "is_call", "dtype",
-                                   "inv_theta"))
+                                   "inv_theta", "has_barrier"))
 def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
-               *, n_t, american, is_call, dtype, inv_theta):
+               ko_mask=None, rebate=0.0, *, n_t, american, is_call, dtype,
+               inv_theta, has_barrier=False):
     """Douglas ADI time march: one scan, (n_v, n_x) carry.
 
     ``Ax``/``Av`` arrive pre-scaled by θ_sΔt (so the implicit RHS terms
     are direct) and ``inv_theta`` = 1/θ_s recovers the explicit ΔtA
     application; ``mix_c`` is the mixed-term coefficient ρξv_jΔt/(4ΔxΔv);
     ``bc_left/bc_right`` are (n_t,) precomputed Dirichlet x-boundary
-    values at τ_{n+1}.
+    values at τ_{n+1}. ``ko_mask`` ((n_x,) bool) marks knocked-out spot
+    nodes pinned to ``rebate`` after every step — continuous-monitoring
+    knock-out, same scheme as ``pde._fd_solve``'s barrier override.
     """
     theta_dt_Ax = Ax
     theta_dt_Av = Av
@@ -140,6 +153,8 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
         Y2 = Y2.at[:, 0].set(bl).at[:, -1].set(br)
         if american:
             Y2 = jnp.maximum(Y2, intrinsic)
+        if has_barrier:
+            Y2 = jnp.where(ko_mask[None, :], rebate, Y2)
         return Y2, None
 
     U, _ = jax.lax.scan(step, U0, (bc_left, bc_right))
@@ -150,7 +165,9 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
                    kind: str = "call", american: bool = False,
                    n_x: int = 256, n_v: int = 96, n_t: int = 512,
                    x_mult: float = 6.0, v_mult: float = 10.0,
-                   theta_scheme: float = 0.5, dtype=None):
+                   theta_scheme: float = 0.5, dtype=None,
+                   barrier: float = 0.0, barrier_up: bool = True,
+                   rebate: float = 0.0):
     """Solve the Heston PDE; returns ``(x_grid, v_grid, V)`` with V the
     full (n_v, n_x) t=0 surface — delta/gamma/vega come from the same
     solve (:func:`heston_fd_greeks`).
@@ -174,6 +191,14 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
     vbar = max(v0, theta, 1e-4)
     x_half = x_mult * np.sqrt(vbar * T)
     x = np.linspace(np.log(S0) - x_half, np.log(S0) + x_half, n_x)
+    if barrier > 0.0:
+        # shift the whole grid so ln(barrier) sits EXACTLY on a node —
+        # the knock-out override is first-order in the barrier-to-node
+        # offset otherwise (measured +0.24 of spot at n_x=128 with the
+        # barrier mid-cell); the ≤Δx/2 shift leaves S0 interior and the
+        # read-out interpolates
+        xb = np.log(barrier)
+        x = x + (xb - x[int(np.argmin(np.abs(x - xb)))])
     v_max = v_mult * vbar
     # sinh-stretched v grid concentrated near v = 0, where the variance
     # density piles up whenever Feller (2κθ ≥ ξ²) is violated — a uniform
@@ -185,11 +210,18 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
     dt = T / n_t
     dx = x[1] - x[0]
 
-    Ax, Px, Av, Pv = _build_operators(x, v, r, q, kappa, theta, xi, dt,
-                                      theta_scheme)
     S_grid = np.exp(x)
     sign = 1.0 if is_call else -1.0
     payoff = np.maximum(sign * (S_grid - K), 0.0)
+    has_barrier = barrier > 0.0
+    ko_mask = np.zeros(n_x, bool)
+    if has_barrier:
+        ko_mask = (S_grid >= barrier * (1.0 - 1e-12)) if barrier_up \
+            else (S_grid <= barrier * (1.0 + 1e-12))
+        payoff = np.where(ko_mask, rebate, payoff)
+    Ax, Px, Av, Pv = _build_operators(
+        x, v, r, q, kappa, theta, xi, dt, theta_scheme,
+        ko_mask=ko_mask if has_barrier else None)
     U0 = np.broadcast_to(payoff, (n_v, n_x)).copy()
 
     # Dirichlet x boundaries at τ_{n+1}: discounted-forward asymptotics
@@ -217,9 +249,51 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
         jnp.asarray(dt * mix_c, dt_),
         jnp.asarray(bc_left, dt_), jnp.asarray(bc_right, dt_),
         jnp.asarray(np.broadcast_to(payoff, (n_v, n_x)), dt_),
+        jnp.asarray(ko_mask), jnp.asarray(rebate, dt_),
         n_t=int(n_t), american=bool(american), is_call=is_call, dtype=dt_,
-        inv_theta=1.0 / th)
+        inv_theta=1.0 / th, has_barrier=bool(has_barrier))
     return x, v, np.asarray(jax.device_get(U), np.float64)
+
+
+def heston_fd_price_barrier(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi,
+                            rho, barrier: float,
+                            barrier_type: str = "up-and-out",
+                            rebate: float = 0.0, kind: str = "call",
+                            american: bool = False, **grid_kw) -> float:
+    """Continuously-monitored barrier option under Heston by the ADI
+    march: knock-out via per-step Dirichlet overrides on the spot nodes
+    at/beyond the barrier (the 2-D twin of ``pde.fd_price_barrier``,
+    same scheme as reference ``pde.py:271-329``); knock-in via the
+    European parity V_in = V_vanilla − V_out (zero rebate, European
+    only — the parity does not hold for American exercise).
+
+    NOTE the MC engines monitor DISCRETELY at the step grid, so they
+    converge to this price only as n_steps → ∞ (Broadie-Glasserman
+    √Δt barrier shift); the ξ→0 degenerate limit is pinned to the 1-D
+    solver in tests/test_heston_pde.py.
+    """
+    hp = dict(v0=v0, kappa=kappa, theta=theta, xi=xi, rho=rho)
+    if barrier_type not in ("up-and-out", "down-and-out",
+                            "up-and-in", "down-and-in"):
+        raise ValueError(f"unknown barrier_type {barrier_type!r}")
+    if barrier_type.endswith("in"):
+        if american:
+            raise ValueError("knock-in parity requires European exercise")
+        if rebate != 0.0:
+            raise ValueError("knock-in parity requires zero rebate")
+        vanilla = heston_fd_price(S0, K, T, r, q, **hp, kind=kind,
+                                  **grid_kw)
+        out = heston_fd_price_barrier(
+            S0, K, T, r, q, **hp, barrier=barrier,
+            barrier_type=barrier_type.replace("in", "out"), kind=kind,
+            **grid_kw)
+        return vanilla - out
+    x, v, V = heston_fd_grid(
+        S0, K, T, r, q, **hp, kind=kind, american=american,
+        barrier=float(barrier),
+        barrier_up=barrier_type.startswith("up"), rebate=float(rebate),
+        **grid_kw)
+    return _bilinear_readout(x, v, V, S0, v0)
 
 
 def heston_fd_price_batch(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi,
