@@ -75,7 +75,14 @@ def _run_heston(ns) -> str:
     kind = "call" if ns.kind == CALL else "put"
     hp = dict(v0=ns.v0, kappa=ns.kappa, theta=ns.theta, xi=ns.xi,
               rho=ns.rho)
-    if ns.engine == "adi" or ns.american:
+    if ns.barrier > 0.0:
+        from .models.heston_pde import heston_fd_price_barrier
+
+        value = heston_fd_price_barrier(
+            ns.S0, ns.K, ns.T, ns.r, ns.q, **hp, kind=kind,
+            barrier=ns.barrier, barrier_type=ns.barrier_type,
+            american=ns.american)
+    elif ns.engine == "adi" or ns.american:
         from .models.heston_pde import heston_fd_price
 
         value = heston_fd_price(ns.S0, ns.K, ns.T, ns.r, ns.q, **hp,
@@ -215,6 +222,11 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--engine", dict(choices=("cos", "adi"), default="cos")),
         ("--american", dict(action="store_true",
                             help="American exercise (forces the ADI PDE)")),
+        ("--barrier", dict(type=float, default=0.0,
+                           help="barrier level (forces the ADI PDE; "
+                                "continuous monitoring)")),
+        ("--barrier-type", dict(dest="barrier_type",
+                                default="up-and-out")),
     ), _run_heston),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),

@@ -220,6 +220,16 @@ class TestCLIExtensions:
         out = capsys.readouterr().out.strip()
         assert abs(float(out) - 10.4506) < 5e-3
 
+    def test_heston_adi_barrier(self, capsys):
+        # degenerate xi->0 up-and-out call: the ADI barrier CLI path must
+        # land on the analytic reflection price (see test_heston_pde)
+        _run_cli("heston", *self.COMMON, "--v0", "0.04", "--kappa", "1.5",
+                 "--theta", "0.04", "--xi", "0.0001", "--rho", "0.0",
+                 "--r", "0.03", "--barrier", "130",
+                 "--barrier-type", "up-and-out")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 3.2027) < 0.02
+
     def test_greeks(self, capsys):
         _run_cli("greeks", *self.COMMON, "--n-paths", "50000", "--seed", "3")
         out = capsys.readouterr().out
