@@ -118,16 +118,26 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
         result["price"], result["stderr"] = px, se
     elif method == "heston":
         # stochastic-vol rows: optional v0/kappa/theta/xi/rho columns
-        # (defaults sigma^2-flat); 'american' truthy -> 2-D ADI PDE,
-        # else the COS transform (exact European)
+        # (defaults sigma^2-flat); 'american' truthy or a barrier column
+        # -> 2-D ADI PDE, else the COS transform (exact European)
         hp = dict(
             v0=float(row.get("v0", 0.0) or sigma * sigma),
             kappa=float(row.get("kappa", 1.5) or 1.5),
             theta=float(row.get("theta", 0.0) or sigma * sigma),
             xi=float(row.get("xi", 0.4) or 0.4),
             rho=float(row.get("rho", -0.6) or -0.6))
-        if str(row.get("american", "")).strip().lower() in ("1", "true",
-                                                            "yes"):
+        american = str(row.get("american", "")).strip().lower() in (
+            "1", "true", "yes")
+        barrier = float(row.get("barrier", 0.0) or 0.0)
+        if barrier > 0.0:
+            from optpricer_tpu import heston_fd_price_barrier
+
+            result["price"] = heston_fd_price_barrier(
+                S0, K, T, r, q, **hp, kind=kind, barrier=barrier,
+                barrier_type=(row.get("barrier_type", "up-and-out")
+                              or "up-and-out").strip().lower(),
+                american=american)
+        elif american:
             from optpricer_tpu import heston_fd_price
 
             result["price"] = heston_fd_price(S0, K, T, r, q, **hp,
