@@ -309,7 +309,7 @@ def lsv_calibrate(surface, heston: dict, S0: float, r: float,
     Euler path bias largely CANCELS in the Gyöngy repricing because
     pricing shares the discretisation, but exotics and few-step tables
     benefit). The scheme is recorded on the model and pricing follows
-    it; the Pallas backend supports "euler" only.
+    it on both the XLA scan and the Pallas path kernel.
     """
     from .calibration import dupire_local_vol
 
@@ -502,12 +502,9 @@ def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
     key = jax.random.key(resolve_seed(seed))
     n_steps = model.n_steps
 
-    kernel_ok = (n_steps % 2 == 0 and dt_ == jnp.float32
-                 and model.scheme == "euler")
+    kernel_ok = n_steps % 2 == 0 and dt_ == jnp.float32
     if backend == "pallas" and not kernel_ok:
-        raise ValueError("backend='pallas' requires even n_steps, f32 and "
-                         "a scheme='euler' model (the in-register LSV "
-                         "kernel steps full-truncation Euler)")
+        raise ValueError("backend='pallas' requires even n_steps and f32")
     if kernel_ok and (backend == "pallas" or
                       (backend == "auto"
                        and jax.default_backend() == "tpu")):
@@ -517,7 +514,8 @@ def lsv_price_mc(payoff: str, model: LSVModel, K: float, *,
         from .mc_fused import _estimate_from_stats
 
         coeffs, x_width = _leverage_poly(model)
-        lsv_kw = dict(model.heston, coeffs=coeffs, x_width=x_width)
+        lsv_kw = dict(model.heston, coeffs=coeffs, x_width=x_width,
+                      scheme=model.scheme)
         pk = dict(payoff=payoff, antithetic=bool(antithetic),
                   barrier=barrier, barrier_type=barrier_type,
                   rebate=rebate, average_type=average_type,

@@ -108,7 +108,9 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
     s_rho = par_ref[22]
 
     is_sabr = dynamics in ("sabr_ln", "sabr_cev")
-    sv_model = is_sabr or dynamics in ("heston", "heston_qe", "lsv")
+    sv_model = is_sabr or dynamics in ("heston", "heston_qe",
+                                       "lsv", "lsv_qe")
+    qe_model = dynamics in ("heston_qe", "lsv_qe")
     rho_sv = s_rho if is_sabr else h_rho
     inv_xw = par_ref[23]    # lsv: 1 / x_width (leverage poly domain scale)
 
@@ -240,7 +242,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                            else (S <= barrier)).astype(jnp.float32)
             else:
                 crossed = jnp.zeros(shape, jnp.float32)
-            if dynamics in ("heston", "heston_qe", "lsv"):
+            if dynamics in ("heston", "heston_qe", "lsv", "lsv_qe"):
                 v = jnp.full(shape, h_v0)      # variance state
             elif is_sabr:
                 v = jnp.full(shape, s_alpha0)  # σ state
@@ -301,7 +303,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                     v + h_kappa * (h_theta - v_eff) * dt_step
                     + h_xi * jnp.sqrt(v_eff) * sqrt_dt * zv, 0.0)
                 return S_new, v_new
-            if dynamics == "heston_qe":
+            if qe_model:
                 # Andersen QE in registers — same scheme as
                 # processes._heston_qe_core (fixes the full-truncation
                 # Euler's O(Δt) bias, +0.20 of spot at 50 steps on
@@ -331,6 +333,29 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
                     u <= p, 0.0,
                     log32((1.0 - p) / jnp.maximum(1.0 - u, eps)) / beta_e)
                 v_new = jnp.where(psi <= 1.5, a * bz * bz, v_exp)
+                if dynamics == "lsv_qe":
+                    # leverage-scaled central asset step (the ρ-coupling
+                    # rides the v-increment, scaled by the local L) —
+                    # same scheme as models.lsv._lsv_paths scheme="qe";
+                    # leverage via the per-step Horner polynomial
+                    x = log32(S / S0) - rq * t_now
+                    uu = jnp.clip(x * inv_xw, -1.0, 1.0)
+                    L = jnp.full(S.shape, svi_ref[k_idx, 0])
+                    for j in range(1, lsv_deg + 1):
+                        L = L * uu + svi_ref[k_idx, j]
+                    L = jnp.clip(L, 0.05, 20.0)
+                    vbar = 0.5 * (v + v_new)
+                    inc = v_new - v - h_kappa * (h_theta - vbar) * dt_step
+                    coup = jnp.where(h_xi > 1e-8,
+                                     h_rho * inc / jnp.maximum(h_xi, 1e-8),
+                                     0.0)
+                    rp2 = 1.0 - h_rho * h_rho
+                    S_new = S * exp32(
+                        rq * dt_step - 0.5 * L * L * vbar * dt_step
+                        + L * coup
+                        + L * jnp.sqrt(jnp.maximum(
+                            rp2 * vbar * dt_step, 0.0)) * z)
+                    return S_new, v_new
                 g = 0.5
                 K0c = -h_rho * h_kappa * h_theta * dt_step / h_xi
                 K1c = g * dt_step * (h_kappa * h_rho / h_xi - 0.5) \
@@ -426,7 +451,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             st_p, st_m = states
             d0 = (c * n_half + t) * 2  # per-program draw-call index
             z1, z2 = normals(d0)
-            if dynamics == "heston_qe":
+            if qe_model:
                 zv1, zv2 = uniforms(d0 + 1)  # QE consumes raw uniforms
             elif sv_model:
                 zv1, zv2 = normals(d0 + 1)  # independent vol/variance shocks
@@ -439,7 +464,7 @@ def _path_kernel(seed_ref, par_ref, svi_ref, out_ref, *, n_steps: int,
             st_p = advance(st_p, z1, zv1, t0, k0)
             st_p = advance(st_p, z2, zv2, t1, k1)
             if antithetic:
-                if dynamics == "heston_qe":
+                if qe_model:
                     mv1, mv2 = 1.0 - zv1, 1.0 - zv2  # mirror the uniform
                 else:
                     mv1, mv2 = -zv1, -zv2
@@ -701,7 +726,10 @@ def _resolve_config(n_paths, n_steps, S0, K, T, r, q, sigma, is_call,
                             is_call, barrier, rebate, payout, dS_bump,
                             heston, sabr, inv_xw)
     if lsv is not None:
-        dynamics = "lsv"
+        # the lsv dict's own "scheme" (the discretisation the leverage
+        # table was CALIBRATED under) selects Euler or Andersen-QE
+        # stepping — it must match the table or Gyöngy consistency breaks
+        dynamics = "lsv_qe" if lsv.get("scheme") == "qe" else "lsv"
         n_slices = 0
         svi = jnp.asarray(lsv["coeffs"], jnp.float32)
         if svi.ndim != 2 or svi.shape[0] != n_steps:

@@ -364,11 +364,21 @@ class TestQEScheme:
                           scheme="milstein", **CAL_KW)
         m = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
                           scheme="qe", **CAL_KW)
-        with pytest.raises(ValueError, match="euler"):
-            lsv_price_mc("vanilla", m, 100.0, backend="pallas",
-                         dtype="float32")
         with pytest.raises(ValueError, match="point mass"):
             lsv_greeks_mc("vanilla", m, 100.0)
+
+    def test_qe_kernel_matches_xla(self):
+        # the in-register LSV kernel's QE branch (interpret mode,
+        # software PRNG) vs the XLA QE scan — independent streams, so
+        # statistical agreement is the contract
+        m = lsv_calibrate(_smile_surface(), HESTON, S0, R, Q, T=T,
+                          scheme="qe", **CAL_KW)
+        p_x, s_x = lsv_price_mc("vanilla", m, 100.0, n_paths=1 << 14,
+                                seed=3, backend="xla", dtype="float32")
+        p_p, s_p = lsv_price_mc("vanilla", m, 100.0, n_paths=1 << 14,
+                                seed=3, backend="pallas", dtype="float32")
+        assert s_p > 0.0
+        assert abs(p_x - p_p) < 4 * (s_x + s_p) + 2e-3, (p_x, p_p)
 
     def test_degenerate_qe_matches_flat_vol(self):
         # v frozen at 1 (kappa=0, xi=0 via the QE deterministic limit),

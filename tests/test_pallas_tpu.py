@@ -482,3 +482,30 @@ class TestHestonQEKernelTPU:
         p_x, s_x = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.05, 0.0,
                                    backend="xla", **kw)
         assert abs(p_k - p_x) < 5 * (s_k + s_x) + 1e-3
+
+
+class TestLsvQEKernelTPU:
+    """QE-calibrated LSV models priced by the in-register path kernel on
+    hardware (leverage Horner + QE variance transition in registers)."""
+
+    def test_qe_model_kernel_matches_xla(self):
+        import numpy as np
+
+        from optpricer_tpu import (SVIParams, VolSurface, lsv_calibrate,
+                                   lsv_price_mc)
+
+        S0, r = 100.0, 0.03
+        slices = {T_: SVIParams(a=0.03 * T_, b=0.12 * T_, rho=-0.4,
+                                m=0.0, sigma=0.25, expiry=T_)
+                  for T_ in (0.5, 1.0)}
+        surf = VolSurface(slices, forward_curve={
+            T_: S0 * np.exp(r * T_) for T_ in slices})
+        m = lsv_calibrate(surf, dict(v0=0.04, kappa=1.5, theta=0.04,
+                                     xi=0.5, rho=-0.6), S0, r, T=1.0,
+                          n_steps=32, n_paths=32_768, n_bins=96, seed=0,
+                          scheme="qe", dtype="float32")
+        p_x, s_x = lsv_price_mc("vanilla", m, 100.0, n_paths=1 << 18,
+                                seed=3, backend="xla", dtype="float32")
+        p_p, s_p = lsv_price_mc("vanilla", m, 100.0, n_paths=1 << 18,
+                                seed=3, backend="pallas", dtype="float32")
+        assert abs(p_x - p_p) < 5 * (s_x + s_p) + 1e-3, (p_x, p_p)
