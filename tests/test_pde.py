@@ -201,3 +201,56 @@ def test_unknown_solver_raises():
             100.0, [100.0], 1.0, 0.05, 0.0,
             lambda S, t: 0.2 + 0.0 * S, "call",
             N_S=32, N_t=16, solver="warp")
+
+
+class TestBarrierOperatorMode:
+    """barrier_mode="operator": knocked-out nodes as identity rows of the
+    θ-scheme system + barrier snapped onto a node — TRUE continuous
+    monitoring, second-order convergent to the analytic reflection price
+    (the default "node" mode keeps the reference's after-step override
+    for number parity, which is O(√Δt) high)."""
+
+    def _haug_uoc(self, S, K, H, T, r, q, sig):
+        from scipy.stats import norm
+
+        mu = (r - q - 0.5 * sig * sig) / (sig * sig)
+        st = sig * np.sqrt(T)
+        x1 = np.log(S / K) / st + (1 + mu) * st
+        x2 = np.log(S / H) / st + (1 + mu) * st
+        y1 = np.log(H * H / (S * K)) / st + (1 + mu) * st
+        y2 = np.log(H / S) / st + (1 + mu) * st
+        A = S * np.exp(-q * T) * norm.cdf(x1) \
+            - K * np.exp(-r * T) * norm.cdf(x1 - st)
+        B = S * np.exp(-q * T) * norm.cdf(x2) \
+            - K * np.exp(-r * T) * norm.cdf(x2 - st)
+        C = (S * np.exp(-q * T) * (H / S) ** (2 * (mu + 1))
+             * norm.cdf(-y1)
+             - K * np.exp(-r * T) * (H / S) ** (2 * mu)
+             * norm.cdf(-y1 + st))
+        D = (S * np.exp(-q * T) * (H / S) ** (2 * (mu + 1))
+             * norm.cdf(-y2)
+             - K * np.exp(-r * T) * (H / S) ** (2 * mu)
+             * norm.cdf(-y2 + st))
+        return A - B + C - D
+
+    def test_matches_analytic_reflection_price(self):
+        truth = self._haug_uoc(100.0, 100.0, 130.0, 1.0, 0.05, 0.0, 0.2)
+        got = fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                               N_S=400, N_t=400, barrier_mode="operator")
+        assert abs(got - truth) < 3e-3, (got, truth)
+        # the reference-parity node mode is visibly biased high on the
+        # same contract — the documented trade-off
+        node = fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                                N_S=400, N_t=400)
+        assert node - truth > 0.05
+
+    def test_parity_and_guard(self):
+        uo = fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                              barrier_mode="operator")
+        ui = fd_price_barrier(OPT, CALL, 130.0, "up-and-in",
+                              barrier_mode="operator")
+        vanilla = fd_price(OPT, CALL)
+        assert abs((uo + ui) - vanilla) < 1e-9
+        with pytest.raises(ValueError, match="barrier_mode"):
+            fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                             barrier_mode="exact")
