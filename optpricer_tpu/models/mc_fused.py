@@ -695,6 +695,96 @@ def _pathwise_dinner(payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, g3, g4,
     return tuple(itm * d for d in dinner)
 
 
+@partial(jax.jit, static_argnames=("payoff", "n_steps", "n_paths",
+                                   "barrier_up", "knock_in", "dtype"))
+def _cev_exact_sumstats(key, fixed, *, payoff, n_steps, n_paths,
+                        barrier_up, knock_in, dtype):
+    """EXACT absorbed-CEV path transitions with dual-BESQ importance
+    weights — (6,) CV sufficient statistics for a CALL-side payoff.
+
+    The absorbed BESQ^δ (δ < 2) transition sub-density equals the
+    plain BESQ^{4−δ} density times (y/x)^{δ/2−1} (matched Bessel index
+    I_{1−δ/2}, Göing-Jaeschke & Yor), so sampling the DUAL — a Poisson
+    (x/2Δ̂) mixture of Gamma((4−δ)/2+N) draws, never absorbing — and
+    multiplying the payoff by the running weight Πw reproduces
+    E[f·1{survived}] exactly at ANY step count: E[w·S_T] = F_T to
+    machine precision by construction, where the Euler backbone needs
+    hundreds of steps (`processes.sabr_paths` clamp). Drift rides the
+    per-step deterministic time change τ̂(Δ) = (e^{2μ(1−β)Δ}−1)/(2μ(1−β)).
+    With ν > 0 the CEV scale is the frozen per-step SABR α (exact
+    lognormal update, ρ = 0 only — the gamma draw exposes no normal to
+    correlate against).
+
+    Valid for payoffs that VANISH on absorbed paths — call-side
+    vanilla/digital/barrier with zero rebate (put entry points use
+    parity upstream). Statistics layout matches ``stats.cv_mean_se_np``
+    with Y = e^{−rT}·w·S_T (E[Y] model-free = S0·e^{−qT}).
+    """
+    dt_ = dtype
+    dt = fixed["T"] / n_steps
+    om = 1.0 - fixed["s_beta"]
+    delta = (1.0 - 2.0 * fixed["s_beta"]) / om
+    w_exp = 0.5 * delta - 1.0
+    mu = fixed["r"] - fixed["q"]
+    drift2 = 2.0 * mu * om
+    small = jnp.abs(drift2) < 1e-12
+    tau_hat = jnp.where(
+        small, dt,
+        (jnp.exp(jnp.where(small, 0.0, drift2) * dt) - 1.0)
+        / jnp.where(small, 1.0, drift2))
+    e_mu_dt = jnp.exp(mu * dt)
+    nu_sabr = fixed["s_nu"]
+
+    S_init = jnp.full((n_paths,), fixed["S0"], dt_)
+    a_init = jnp.full((n_paths,), fixed["s_alpha0"], dt_)
+    crossed0 = (S_init >= fixed["barrier"]) if barrier_up \
+        else (S_init <= fixed["barrier"])
+
+    def step(carry, k_idx):
+        S, alpha, logw, crossed = carry
+        zk = jax.random.fold_in(key, k_idx)
+        kp, kg, ka = jax.random.split(zk, 3)
+        sig2 = alpha * alpha
+        # the DRIFTLESS process is the step-end forward S·e^{μΔ} in the
+        # changed time τ̂ (Schroder's transform applied per step) — the
+        # carry scales by e^{μΔ} BEFORE the transition; CEV is not
+        # scale-invariant, so scaling after would bias coarse steps
+        S_eff = S * e_mu_dt
+        x = S_eff ** (2.0 * om) / (om * om * sig2 * tau_hat)
+        N = jax.random.poisson(kp, 0.5 * x).astype(dt_)
+        G = jax.random.gamma(kg, 0.5 * (4.0 - delta) + N, dtype=dt_)
+        y = 2.0 * G
+        logw = logw + w_exp * (jnp.log(jnp.maximum(y, 1e-300))
+                               - jnp.log(x))
+        S_new = (om * om * sig2 * tau_hat * y) ** (1.0 / (2.0 * om))
+        za = jax.random.normal(ka, (n_paths,), dt_)
+        alpha_new = alpha * jnp.exp(nu_sabr * jnp.sqrt(dt) * za
+                                    - 0.5 * nu_sabr * nu_sabr * dt)
+        hit = (S_new >= fixed["barrier"]) if barrier_up \
+            else (S_new <= fixed["barrier"])
+        return (S_new, alpha_new, logw, crossed | hit), None
+
+    carry0 = (S_init, a_init, jnp.zeros((n_paths,), dt_), crossed0)
+    (S_T, _, logw, crossed), _ = jax.lax.scan(
+        step, carry0, jnp.arange(n_steps))
+    w = jnp.exp(logw)
+    vanilla = jnp.maximum(S_T - fixed["K"], 0.0)
+    if payoff == "digital":
+        pay = jnp.where(S_T > fixed["K"], fixed["payout"], 0.0)
+    elif payoff == "barrier":
+        live = jnp.where(crossed, 0.0, vanilla) if not knock_in \
+            else jnp.where(crossed, vanilla, 0.0)
+        pay = live
+    else:
+        pay = vanilla
+    df = jnp.exp(-fixed["r"] * fixed["T"])
+    X = df * w * pay
+    Y = df * w * S_T
+    n = jnp.asarray(n_paths, dt_)
+    return jnp.stack([n, jnp.sum(X), jnp.sum(X * X),
+                      jnp.sum(Y), jnp.sum(Y * Y), jnp.sum(X * Y)])
+
+
 def exotic_price_mc(
     payoff: str,
     S0: float, K: float, T: float, r: float, q: float = 0.0, *,
@@ -737,7 +827,12 @@ def exotic_price_mc(
     both the XLA scan engine and the Pallas path kernel), or
     ``sabr={'alpha0','beta','nu','rho'}`` (exact lognormal σ evolution,
     log-Euler asset for β=1 / clamped Euler CEV for β<1 — same
-    discretisation as :func:`~optpricer_tpu.models.processes.sabr_paths`).
+    discretisation as :func:`~optpricer_tpu.models.processes.sabr_paths`;
+    or ``scheme="exact"`` for β<1: dual-BESQ EXACT absorbed-CEV
+    transitions with importance weights — unbiased at ANY step count,
+    pinned to the noncentral-chi-square closed forms at 2 steps; ν>0
+    with ρ=0 freezes α per step; call-side vanilla/digital/zero-rebate
+    barrier payoffs, vanilla puts by parity).
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), paths are split across
     devices (per-device streams from ``fold_in(key, device_idx)``) and the
@@ -759,9 +854,61 @@ def exotic_price_mc(
     if scheme == "qe" and heston is None:
         raise ValueError("scheme='qe' is the Andersen QE Heston scheme — "
                          "it requires heston=")
+    if scheme == "exact":
+        if sabr is None or not (0.0 < float(sabr["beta"]) < 1.0):
+            raise ValueError(
+                "scheme='exact' is the dual-BESQ absorbed-CEV sampler — "
+                "it requires sabr= with 0 < beta < 1")
+        if float(sabr["nu"]) > 0.0 and float(sabr["rho"]) != 0.0:
+            raise ValueError(
+                "scheme='exact' with nu > 0 requires rho = 0: the gamma "
+                "transition draw exposes no normal to correlate the "
+                "frozen-alpha update against")
+        if payoff not in ("vanilla", "digital", "barrier"):
+            raise ValueError(
+                "scheme='exact' prices payoffs that vanish on absorbed "
+                "paths: vanilla, digital, barrier (Asian/lookback "
+                "averages see pre-absorption states — use the Euler "
+                "backbone)")
+        if payoff == "barrier" and (rebate != 0.0 or kind == "put"):
+            raise ValueError("scheme='exact' barriers: calls, zero rebate")
+        if payoff == "digital" and kind == "put":
+            raise ValueError("scheme='exact' digitals: calls (puts via "
+                             "payout·df − call parity)")
+        if mesh is not None or backend == "pallas":
+            raise ValueError("scheme='exact' runs on the single-device "
+                             "XLA engine (Poisson/Gamma sampling)")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     key = jax.random.key(seed_val)
+
+    if scheme == "exact":
+        import numpy as np
+
+        from ..ops import stats as stats_ops
+
+        fixed_e = {k: jnp.asarray(v, dt_) for k, v in (
+            ("S0", S0), ("K", K), ("T", T), ("r", r), ("q", q),
+            ("barrier", barrier), ("payout", payout),
+            ("s_beta", sabr["beta"]), ("s_alpha0", sabr["alpha0"]),
+            ("s_nu", sabr["nu"]))}
+        stats = _cev_exact_sumstats(
+            key, fixed_e, payoff=payoff, n_steps=int(n_steps),
+            n_paths=int(n_paths), barrier_up=barrier_type.startswith("up"),
+            knock_in=barrier_type.endswith("in"), dtype=dt_)
+        s = np.asarray(jax.device_get(stats), np.float64)
+        if control_variate:
+            ey = float(S0) * np.exp(-float(q) * float(T))
+            mean, se = stats_ops.cv_mean_se_np(s, ey)
+        else:
+            m1 = s[1] / s[0]
+            var = max(0.0, s[2] / s[0] - m1 * m1)
+            mean, se = float(m1), float(np.sqrt(var / s[0]))
+        if kind == "put":   # vanilla only (validated above): parity off
+            # the plain forward — the absorbed CEV is a true martingale
+            fwd = float(S0) * np.exp((float(r) - float(q)) * float(T))
+            mean -= np.exp(-float(r) * float(T)) * (fwd - float(K))
+        return float(mean), float(se)
 
     # Arithmetic-asian GBM pricing upgrades the control variate to the
     # geometric-average payoff: corr(X, Y_geo) ≈ 1 and E[Y_geo] is exact

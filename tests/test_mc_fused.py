@@ -305,3 +305,90 @@ class TestFusedHestonQE:
         pm, sem = exotic_price_mc("vanilla", 100.0, 110.0, 1.0, 0.05,
                                   0.0, mesh=get_mesh(8), **kw)
         assert abs(p1 - pm) < 4 * (se1 + sem) + 0.05
+
+
+class TestExactCEV:
+    """Dual-BESQ exact absorbed-CEV sampling (scheme="exact" with
+    sabr=, beta<1): the transition is EXACT at any step count — the
+    oracles are the noncentral-chi-square closed forms, hit at 2 steps
+    where the Euler backbone needs hundreds."""
+
+    SIG, BETA = 2.5, 0.5
+    SB = dict(alpha0=2.5, beta=0.5, nu=0.0, rho=0.0)
+
+    def test_vanilla_call_exact_at_two_steps(self):
+        from optpricer_tpu import cev_price
+
+        ref = float(cev_price(100.0, 100.0, 1.0, 0.04, 0.01,
+                              sigma=self.SIG, beta=self.BETA,
+                              n_terms=4096))
+        px, se = exotic_price_mc(
+            "vanilla", 100.0, 100.0, 1.0, 0.04, 0.01, sabr=self.SB,
+            scheme="exact", n_steps=2, n_paths=400_000, seed=11,
+            control_variate=True)
+        assert abs(px - ref) < 4 * se + 1e-3, (px, ref)
+
+    def test_put_by_parity(self):
+        from optpricer_tpu import cev_price
+
+        ref = float(cev_price(100.0, 110.0, 1.0, 0.04, 0.01,
+                              sigma=self.SIG, beta=self.BETA, kind="put",
+                              n_terms=4096))
+        px, se = exotic_price_mc(
+            "vanilla", 100.0, 110.0, 1.0, 0.04, 0.01, kind="put",
+            sabr=self.SB, scheme="exact", n_steps=4, n_paths=400_000,
+            seed=11, control_variate=True)
+        assert abs(px - ref) < 4 * se + 1e-3
+
+    def test_digital_matches_ncx2_distribution(self):
+        # the digital IS the risk-neutral CDF: the strongest pointwise
+        # check that the sampled terminal law is exactly Schroder's
+        from scipy.stats import ncx2
+
+        om = 1.0 - self.BETA
+        drift = 2 * 0.04 * om
+        tau = (np.exp(drift) - 1.0) / drift
+        v = self.SIG**2 * tau
+        F = 100.0 * np.exp(0.04)
+        a = 100.0 ** (2 * om) / (om * om * v)
+        c = F ** (2 * om) / (om * om * v)
+        ref = np.exp(-0.04) * ncx2.cdf(c, 1 / om, a)
+        px, se = exotic_price_mc(
+            "digital", 100.0, 100.0, 1.0, 0.04, 0.0, sabr=self.SB,
+            scheme="exact", n_steps=4, n_paths=400_000, seed=6)
+        assert abs(px - ref) < 4 * se + 1e-4, (px, ref)
+
+    def test_barrier_matches_substepped_euler_skeleton(self):
+        # same 8-date discrete-monitoring contract: exact transitions at
+        # 8 steps vs the Euler backbone at 64 substeps per date
+        from optpricer_tpu.models.processes import sabr_paths
+
+        pb, seb = exotic_price_mc(
+            "barrier", 100.0, 100.0, 1.0, 0.04, 0.0, sabr=self.SB,
+            scheme="exact", barrier=140.0, barrier_type="up-and-out",
+            n_steps=8, n_paths=200_000, seed=4)
+        S = sabr_paths(100.0, 0.04, 0.0, self.SIG, self.BETA, 0.0, 0.0,
+                       1.0, 8 * 64, 100_000, seed=5, dtype="float64")
+        Sm = np.asarray(S)[::64]
+        crossed = (Sm >= 140.0).any(axis=0)
+        pay = np.exp(-0.04) * np.where(
+            crossed, 0.0, np.maximum(Sm[-1] - 100.0, 0.0))
+        ref, rse = pay.mean(), pay.std() / np.sqrt(pay.size)
+        assert abs(pb - ref) < 4 * (seb + rse) + 5e-3
+
+    def test_guards(self):
+        with pytest.raises(ValueError, match="beta"):
+            exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.04, 0.0,
+                            sabr=dict(alpha0=0.2, beta=1.0, nu=0.0,
+                                      rho=0.0), scheme="exact")
+        with pytest.raises(ValueError, match="rho"):
+            exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.04, 0.0,
+                            sabr=dict(self.SB, nu=0.3, rho=-0.5),
+                            scheme="exact")
+        with pytest.raises(ValueError, match="absorbed"):
+            exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.04, 0.0,
+                            sabr=self.SB, scheme="exact")
+        with pytest.raises(ValueError, match="rebate"):
+            exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.04, 0.0,
+                            sabr=self.SB, scheme="exact", barrier=140.0,
+                            rebate=1.0)
