@@ -59,6 +59,18 @@ mc, se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q, sabr=sp,
                          n_steps=256, n_paths=200_000, seed=3)
 print(f"SABR    Hagan  {ana:.4f}   vs MC {mc:.4f} ± {se:.4f}")
 
+from optpricer_tpu import cev_price
+
+cev_ana = float(cev_price(S0, 100.0, 1.0, r, q, sigma=2.5, beta=0.5))
+cev_mc, cev_se = exotic_price_mc("vanilla", S0, 100.0, 1.0, r, q,
+                                 sabr=dict(alpha0=2.5, beta=0.5, nu=0.0,
+                                           rho=0.0),
+                                 scheme="exact", n_steps=2,
+                                 n_paths=400_000, seed=4,
+                                 control_variate=True)
+print(f"CEV     ncx2   {cev_ana:.4f}   vs MC {cev_mc:.4f} ± {cev_se:.4f}"
+      f"   (dual-BESQ EXACT transitions — 2 steps, zero bias)")
+
 print("\n=== American put under Heston: PDE vs LSMC bracket ===")
 from optpricer_tpu import OptionSpec, heston_fd_price, lsmc_price
 
