@@ -696,9 +696,10 @@ def _pathwise_dinner(payoff, pay, S_T, rlog, rmax, rmin, W, g1, g2, g3, g4,
 
 
 @partial(jax.jit, static_argnames=("payoff", "n_steps", "n_paths",
-                                   "barrier_up", "knock_in", "dtype"))
+                                   "barrier_up", "knock_in", "dtype",
+                                   "has_vol"))
 def _cev_exact_sumstats(key, fixed, *, payoff, n_steps, n_paths,
-                        barrier_up, knock_in, dtype):
+                        barrier_up, knock_in, dtype, has_vol=False):
     """EXACT absorbed-CEV path transitions with dual-BESQ importance
     weights — (6,) CV sufficient statistics for a CALL-side payoff.
 
@@ -723,7 +724,17 @@ def _cev_exact_sumstats(key, fixed, *, payoff, n_steps, n_paths,
     dt_ = dtype
     dt = fixed["T"] / n_steps
     om = 1.0 - fixed["s_beta"]
-    delta = (1.0 - 2.0 * fixed["s_beta"]) / om
+    rho = fixed["s_rho"]
+    if has_vol:
+        # Islah's conditional representation: given (α_t, α_{t+Δ}), the
+        # asset is a SHIFTED CEV — the ρ-coupling becomes the
+        # deterministic shift (ρ/ν)(α' − α) of S^ω/ω and the dimension
+        # picks up the ρ² correction; ∫α²dt is trapezoid-approximated
+        # (the one O(Δ²) bias of the ν>0 scheme — ν=0 stays exact)
+        delta = (1.0 - 2.0 * fixed["s_beta"] - rho * rho * om) \
+            / (om * (1.0 - rho * rho))
+    else:
+        delta = (1.0 - 2.0 * fixed["s_beta"]) / om
     w_exp = 0.5 * delta - 1.0
     mu = fixed["r"] - fixed["q"]
     drift2 = 2.0 * mu * om
@@ -750,16 +761,29 @@ def _cev_exact_sumstats(key, fixed, *, payoff, n_steps, n_paths,
         # carry scales by e^{μΔ} BEFORE the transition; CEV is not
         # scale-invariant, so scaling after would bias coarse steps
         S_eff = S * e_mu_dt
-        x = S_eff ** (2.0 * om) / (om * om * sig2 * tau_hat)
+        if has_vol:
+            za = jax.random.normal(ka, (n_paths,), dt_)
+            alpha_new = alpha * jnp.exp(nu_sabr * jnp.sqrt(dt) * za
+                                        - 0.5 * nu_sabr * nu_sabr * dt)
+            # carry-weighted ∫α²: e^{2μωΔ} on the step-start leg keeps
+            # the ν→0 limit consistent with the exact τ̂ to O((μωΔ)²)
+            Vh = 0.5 * dt * (alpha * alpha * e_mu_dt ** (2.0 * om)
+                             + alpha_new * alpha_new)
+            A = jnp.maximum(
+                S_eff ** om / om
+                + (rho / nu_sabr) * (alpha_new - alpha), 1e-12)
+            scale = (1.0 - rho * rho) * Vh
+            x = A * A / scale
+        else:
+            alpha_new = alpha
+            scale = sig2 * tau_hat
+            x = S_eff ** (2.0 * om) / (om * om * scale)
         N = jax.random.poisson(kp, 0.5 * x).astype(dt_)
         G = jax.random.gamma(kg, 0.5 * (4.0 - delta) + N, dtype=dt_)
         y = 2.0 * G
         logw = logw + w_exp * (jnp.log(jnp.maximum(y, 1e-300))
                                - jnp.log(x))
-        S_new = (om * om * sig2 * tau_hat * y) ** (1.0 / (2.0 * om))
-        za = jax.random.normal(ka, (n_paths,), dt_)
-        alpha_new = alpha * jnp.exp(nu_sabr * jnp.sqrt(dt) * za
-                                    - 0.5 * nu_sabr * nu_sabr * dt)
+        S_new = (om * om * scale * y) ** (1.0 / (2.0 * om))
         hit = (S_new >= fixed["barrier"]) if barrier_up \
             else (S_new <= fixed["barrier"])
         return (S_new, alpha_new, logw, crossed | hit), None
@@ -831,8 +855,9 @@ def exotic_price_mc(
     or ``scheme="exact"`` for β<1: dual-BESQ EXACT absorbed-CEV
     transitions with importance weights — unbiased at ANY step count,
     pinned to the noncentral-chi-square closed forms at 2 steps; ν>0
-    with ρ=0 freezes α per step; call-side vanilla/digital/zero-rebate
-    barrier payoffs, vanilla puts by parity).
+    uses Islah's conditional shifted-CEV step — any |ρ|<1, low-bias
+    O(Δ²) from the trapezoid ∫α²; call-side vanilla/digital/
+    zero-rebate barrier payoffs, vanilla puts by parity).
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), paths are split across
     devices (per-device streams from ``fold_in(key, device_idx)``) and the
@@ -859,11 +884,8 @@ def exotic_price_mc(
             raise ValueError(
                 "scheme='exact' is the dual-BESQ absorbed-CEV sampler — "
                 "it requires sabr= with 0 < beta < 1")
-        if float(sabr["nu"]) > 0.0 and float(sabr["rho"]) != 0.0:
-            raise ValueError(
-                "scheme='exact' with nu > 0 requires rho = 0: the gamma "
-                "transition draw exposes no normal to correlate the "
-                "frozen-alpha update against")
+        if abs(float(sabr["rho"])) >= 1.0:
+            raise ValueError("scheme='exact' requires |rho| < 1")
         if payoff not in ("vanilla", "digital", "barrier"):
             raise ValueError(
                 "scheme='exact' prices payoffs that vanish on absorbed "
@@ -891,11 +913,12 @@ def exotic_price_mc(
             ("S0", S0), ("K", K), ("T", T), ("r", r), ("q", q),
             ("barrier", barrier), ("payout", payout),
             ("s_beta", sabr["beta"]), ("s_alpha0", sabr["alpha0"]),
-            ("s_nu", sabr["nu"]))}
+            ("s_nu", sabr["nu"]), ("s_rho", sabr["rho"]))}
         stats = _cev_exact_sumstats(
             key, fixed_e, payoff=payoff, n_steps=int(n_steps),
             n_paths=int(n_paths), barrier_up=barrier_type.startswith("up"),
-            knock_in=barrier_type.endswith("in"), dtype=dt_)
+            knock_in=barrier_type.endswith("in"), dtype=dt_,
+            has_vol=float(sabr["nu"]) > 0.0)
         s = np.asarray(jax.device_get(stats), np.float64)
         if control_variate:
             ey = float(S0) * np.exp(-float(q) * float(T))

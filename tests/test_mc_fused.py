@@ -376,6 +376,24 @@ class TestExactCEV:
         ref, rse = pay.mean(), pay.std() / np.sqrt(pay.size)
         assert abs(pb - ref) < 4 * (seb + rse) + 5e-3
 
+    def test_correlated_sabr_matches_fine_euler(self):
+        # Islah's conditional shifted-CEV step: nu>0, rho<0 at 16 steps
+        # vs the Euler backbone at 1024 (driftless forward) — the only
+        # residual bias is the trapezoid int-alpha^2, O(dt^2)
+        from optpricer_tpu.models.processes import sabr_paths
+
+        sb = dict(alpha0=2.5, beta=0.5, nu=0.6, rho=-0.7)
+        pe, see = exotic_price_mc(
+            "vanilla", 100.0, 100.0, 1.0, 0.0, 0.0, sabr=sb,
+            scheme="exact", n_steps=16, n_paths=200_000, seed=5,
+            control_variate=True)
+        S = sabr_paths(100.0, 0.0, 0.0, 2.5, 0.5, 0.6, -0.7, 1.0, 1024,
+                       100_000, seed=3, dtype="float64")
+        ST = np.asarray(S[-1])
+        pay = np.maximum(ST - 100.0, 0.0)
+        ref, rse = pay.mean(), pay.std() / np.sqrt(ST.size)
+        assert abs(pe - ref) < 4 * (see + rse) + 5e-3, (pe, ref)
+
     def test_guards(self):
         with pytest.raises(ValueError, match="beta"):
             exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.04, 0.0,
@@ -383,7 +401,7 @@ class TestExactCEV:
                                       rho=0.0), scheme="exact")
         with pytest.raises(ValueError, match="rho"):
             exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.04, 0.0,
-                            sabr=dict(self.SB, nu=0.3, rho=-0.5),
+                            sabr=dict(self.SB, nu=0.3, rho=-1.0),
                             scheme="exact")
         with pytest.raises(ValueError, match="absorbed"):
             exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.04, 0.0,
