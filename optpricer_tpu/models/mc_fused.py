@@ -712,9 +712,11 @@ def _cev_exact_sumstats(key, fixed, *, payoff, n_steps, n_paths,
     machine precision by construction, where the Euler backbone needs
     hundreds of steps (`processes.sabr_paths` clamp). Drift rides the
     per-step deterministic time change τ̂(Δ) = (e^{2μ(1−β)Δ}−1)/(2μ(1−β)).
-    With ν > 0 the CEV scale is the frozen per-step SABR α (exact
-    lognormal update, ρ = 0 only — the gamma draw exposes no normal to
-    correlate against).
+    With ν > 0 the step is Islah's conditional representation: given
+    the exact lognormal α endpoints, the asset is a SHIFTED absorbed
+    CEV — the ρ-coupling becomes the deterministic shift
+    (ρ/ν)(α′ − α) of S^ω/ω and the BESQ dimension gains the ρ²
+    correction; the trapezoid ∫α² is the scheme's one O(Δ²) bias.
 
     Valid for payoffs that VANISH on absorbed paths — call-side
     vanilla/digital/barrier with zero rebate (put entry points use
