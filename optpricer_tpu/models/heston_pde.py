@@ -191,12 +191,16 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
     vbar = max(v0, theta, 1e-4)
     x_half = x_mult * np.sqrt(vbar * T)
     x = np.linspace(np.log(S0) - x_half, np.log(S0) + x_half, n_x)
-    if barrier > 0.0:
+    if barrier > 0.0 and x[0] < np.log(barrier) < x[-1]:
         # shift the whole grid so ln(barrier) sits EXACTLY on a node —
         # the knock-out override is first-order in the barrier-to-node
         # offset otherwise (measured +0.24 of spot at n_x=128 with the
         # barrier mid-cell); the ≤Δx/2 shift leaves S0 interior and the
-        # read-out interpolates
+        # read-out interpolates. A barrier OUTSIDE the grid is left
+        # unsnapped (shifting by the full overshoot would push S0 off
+        # the grid): the mask is then empty or total, i.e. the far-
+        # barrier contract degenerates to vanilla/rebate as in the 1-D
+        # solver's far-barrier semantics.
         xb = np.log(barrier)
         x = x + (xb - x[int(np.argmin(np.abs(x - xb)))])
     v_max = v_mult * vbar

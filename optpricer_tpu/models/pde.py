@@ -370,11 +370,14 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
                                      opt.sigma, kind, N_S, N_t, theta,
                                      S_max_mult, dtype)
     x_barrier = np.log(barrier)
-    if barrier_mode == "operator":
+    if barrier_mode == "operator" and x_np[0] < x_barrier < x_np[-1]:
         # snap ln(barrier) onto a node: the boundary location otherwise
         # carries an O(dx) placement error that dominates once the
         # in-operator Dirichlet removes the monitoring error (node mode
-        # keeps the reference grid untouched for number parity)
+        # keeps the reference grid untouched for number parity). A
+        # barrier OUTSIDE the grid stays unsnapped — translating by the
+        # full overshoot would push S0 off the grid; the empty/total
+        # mask then gives the vanilla/rebate far-barrier degeneration.
         x_np = x_np + (x_barrier
                        - x_np[int(np.argmin(np.abs(x_np - x_barrier)))])
         x_grid = jnp.asarray(x_np, x_grid.dtype)

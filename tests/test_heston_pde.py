@@ -211,3 +211,15 @@ class TestBarrier:
             heston_fd_price_barrier(S0, 100.0, T, R, Q, **HP,
                                     barrier=130.0,
                                     barrier_type="up-and-in", rebate=1.0)
+
+    def test_far_barrier_degenerates_to_vanilla(self):
+        # a barrier outside the grid must NOT translate the grid (the
+        # snap would push S0 off the domain and the read-out would
+        # silently extrapolate); it degenerates to the vanilla price
+        from optpricer_tpu import heston_fd_price, heston_fd_price_barrier
+
+        van = heston_fd_price(S0, 100.0, T, R, Q, **HP, **COARSE)
+        far = heston_fd_price_barrier(S0, 100.0, T, R, Q, **HP,
+                                      barrier=10_000.0,
+                                      barrier_type="up-and-out", **COARSE)
+        assert abs(far - van) < 1e-9

@@ -254,3 +254,9 @@ class TestBarrierOperatorMode:
         with pytest.raises(ValueError, match="barrier_mode"):
             fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
                              barrier_mode="exact")
+
+    def test_far_barrier_degenerates_to_vanilla(self):
+        van = fd_price(OPT, CALL)
+        far = fd_price_barrier(OPT, CALL, 10_000.0, "up-and-out",
+                               barrier_mode="operator")
+        assert abs(far - van) < 1e-9
