@@ -301,6 +301,18 @@ def _lsmc_dual_upper(key, betas, S0, K, T, r, q, sigma, is_call, *,
     return mean, se
 
 
+def _sv_basis(S_t, v_t, K_ref, k: int):
+    """The stochastic-vol regression design matrix, shared by every
+    Heston-LSMC pass (fit, fixed-policy forward, sharded): powers of
+    moneyness x = S/K_ref − 1 up to k−3, plus the variance state v and
+    the cross term v·x. k ≥ 3; k = 6 is the standard
+    [1, x, x², x³, v, v·x]. ONE definition — betas fitted by one pass
+    are consumed by another, so the bases must never diverge."""
+    x = S_t / K_ref - 1.0
+    cols = [x**p for p in range(k - 2)] + [v_t, v_t * x]
+    return jnp.stack(cols, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("basis_dim", "two_pass"))
 def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, *,
                       basis_dim: int, two_pass: bool = False):
@@ -327,13 +339,7 @@ def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, *,
         return jnp.maximum(sign * (S - K), 0.0)
 
     def basis(S_t, v_t):
-        x = S_t / K - 1.0
-        cols = [x**p for p in range(min(k, 4))]
-        if k >= 5:
-            cols.append(v_t)
-        if k >= 6:
-            cols.append(v_t * x)
-        return jnp.stack(cols, axis=-1)
+        return _sv_basis(S_t, v_t, K, k)
 
     def date(cashflow, xs):
         S_t, v_t = xs
@@ -376,13 +382,7 @@ def _lsmc_forward_fixed_policy_sv(paths, v_paths, betas, K, r, dt, is_call,
         return jnp.maximum(sign * (S - K), 0.0)
 
     def basis(S_t, v_t):
-        x = S_t / K - 1.0
-        cols = [x**p for p in range(min(k, 4))]
-        if k >= 5:
-            cols.append(v_t)
-        if k >= 6:
-            cols.append(v_t * x)
-        return jnp.stack(cols, axis=-1)
+        return _sv_basis(S_t, v_t, K, k)
 
     def date(carry, inp):
         alive, value = carry
@@ -613,7 +613,9 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
             paths = _gbm_core(local_key, *mkt, n_steps=n_steps,
                               n_paths=n_local, antithetic=antithetic,
                               dtype=dt_)
-            v_paths = jnp.zeros_like(paths)
+            # basis() ignores v under GBM; a (rows, 1) zero broadcasts
+            # through the scan xs without the dead O(paths) HBM traffic
+            v_paths = jnp.zeros((paths.shape[0], 1), dt_)
         else:
             paths, v_paths = _heston_qe_core(
                 local_key, mkt[0], mkt[1], mkt[2], *hp, mkt[4],
@@ -624,13 +626,10 @@ def lsmc_price_sharded(mesh, opt: OptionSpec,
             return jnp.maximum(sign * (S - K), 0.0)
 
         def basis(S_t, v_t):
-            x = S_t / mkt[0] - 1.0
             if heston is None:
-                cols = [x**p for p in range(k_dim)]
-            else:
-                cols = [x**p for p in range(min(k_dim, 4))]
-                cols += [v_t, v_t * x]
-            return jnp.stack(cols, axis=-1)
+                x = S_t / mkt[0] - 1.0
+                return jnp.stack([x**p for p in range(k_dim)], axis=-1)
+            return _sv_basis(S_t, v_t, mkt[0], k_dim)
 
         def date(cashflow, xs):
             S_t, v_t = xs

@@ -38,7 +38,8 @@ from .exotics import _price_from_payoff
 from .mc_fused import _exp_for, _log_for, _sqrt0, _terminal_payoff
 from .monte_carlo import resolve_seed
 
-__all__ = ["LSVModel", "lsv_calibrate", "lsv_price_mc"]
+__all__ = ["LSVModel", "lsv_calibrate", "lsv_greeks_mc",
+           "lsv_price_mc"]
 
 
 @dataclass(frozen=True)
@@ -139,6 +140,34 @@ def _qe_asset_coupling(v_eff, v_new, kappa, theta_v, xi, rho, dt, dt_):
     inc = v_new - v_eff - kappa * (theta_v - vbar) * dt
     coup = jnp.where(xi > 1e-8, rho * inc / jnp.maximum(xi, 1e-8), 0.0)
     return vbar, coup
+
+
+def _advance_particles(S, v, L, z2, zp, *, mu, kappa, theta_v, xi,
+                       rho, rho_perp, dt, sqrt_dt, exp_, dt_, scheme):
+    """ONE particle advance shared by the calibrator and the pricer —
+    the Gyöngy repricing contract requires the two scans to use the
+    SAME discretisation, so the step lives in exactly one place.
+    ``scheme="qe"``: Andersen QE variance + leverage-scaled central
+    asset step (ρ-coupling on the v-increment); ``"euler"``:
+    full-truncation Euler + log-Euler asset with correlated shocks."""
+    v_eff = jnp.maximum(v, 0.0)
+    if scheme == "qe":
+        v_new = _qe_v_step(v_eff, z2, kappa, theta_v, xi, dt, dt_)
+        vbar, coup = _qe_asset_coupling(v_eff, v_new, kappa, theta_v,
+                                        xi, rho, dt, dt_)
+        S_new = S * exp_(mu * dt - 0.5 * L * L * vbar * dt
+                         + L * coup
+                         + L * _sqrt0(rho_perp * rho_perp * vbar * dt)
+                         * zp)
+    else:
+        z1 = rho * z2 + rho_perp * zp
+        sig_eff = L * _sqrt0(v_eff)
+        S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
+                         + sig_eff * sqrt_dt * z1)
+        v_new = jnp.maximum(
+            v + kappa * (theta_v - v_eff) * dt
+            + xi * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
+    return S_new, v_new
 
 
 def _interp_row(row, u, n_bins):
@@ -245,28 +274,11 @@ def _calibrate_scan(key, sig_grid, fixed, *, n_steps, n_paths, n_bins,
         if antithetic:
             z2 = jnp.concatenate([z2, -z2])
             zp = jnp.concatenate([zp, -zp])
-        v_eff = jnp.maximum(v, 0.0)
-        if scheme == "qe":
-            # QE variance + leverage-scaled Andersen asset step: the
-            # ρ-coupling rides the v-increment, zp is the independent
-            # asset shock
-            v_new = _qe_v_step(v_eff, z2, fixed["kappa"], fixed["theta"],
-                               fixed["xi"], dt, dt_)
-            vbar, coup = _qe_asset_coupling(
-                v_eff, v_new, fixed["kappa"], fixed["theta"],
-                fixed["xi"], rho, dt, dt_)
-            S_new = S * exp_(mu * dt - 0.5 * L * L * vbar * dt
-                             + L * coup
-                             + L * _sqrt0(rho_perp * rho_perp * vbar * dt)
-                             * zp)
-        else:
-            z1 = rho * z2 + rho_perp * zp
-            sig_eff = L * _sqrt0(v_eff)
-            S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
-                             + sig_eff * sqrt_dt * z1)
-            v_new = jnp.maximum(
-                v + fixed["kappa"] * (fixed["theta"] - v_eff) * dt
-                + fixed["xi"] * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
+        S_new, v_new = _advance_particles(
+            S, v, L, z2, zp, mu=mu, kappa=fixed["kappa"],
+            theta_v=fixed["theta"], xi=fixed["xi"], rho=rho,
+            rho_perp=rho_perp, dt=dt, sqrt_dt=sqrt_dt, exp_=exp_,
+            dt_=dt_, scheme=scheme)
         return (S_new, v_new), L_row
 
     (S_T, v_T), L_table = jax.lax.scan(
@@ -406,23 +418,10 @@ def _lsv_paths(key, model, fixed, *, payoff, kind, n_steps, n_paths,
         if antithetic:
             z2 = jnp.concatenate([z2, -z2])
             zp = jnp.concatenate([zp, -zp])
-        v_eff = jnp.maximum(v, 0.0)
-        if model.scheme == "qe":
-            v_new = _qe_v_step(v_eff, z2, kappa, theta_v, xi, dt, dt_)
-            vbar, coup = _qe_asset_coupling(v_eff, v_new, kappa, theta_v,
-                                            xi, rho, dt, dt_)
-            S_new = S * exp_(mu * dt - 0.5 * L * L * vbar * dt
-                             + L * coup
-                             + L * _sqrt0(rho_perp * rho_perp * vbar * dt)
-                             * zp)
-        else:
-            z1 = rho * z2 + rho_perp * zp
-            sig_eff = L * _sqrt0(v_eff)
-            S_new = S * exp_((mu - 0.5 * sig_eff * sig_eff) * dt
-                             + sig_eff * sqrt_dt * z1)
-            v_new = jnp.maximum(
-                v + kappa * (theta_v - v_eff) * dt
-                + xi * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
+        S_new, v_new = _advance_particles(
+            S, v, L, z2, zp, mu=mu, kappa=kappa, theta_v=theta_v, xi=xi,
+            rho=rho, rho_perp=rho_perp, dt=dt, sqrt_dt=sqrt_dt,
+            exp_=exp_, dt_=dt_, scheme=model.scheme)
         if payoff == "asian":
             rsum = rsum + S_new
             if average_type == "geometric":

@@ -49,16 +49,16 @@ NSTAT = 6                # (n, ΣX, ΣX², ΣY, ΣY², ΣXY) — cv_mean_se_np l
 
 PAYOFF_IDS = {"asian_basket": 0, "worstof_barrier": 1, "basket_barrier": 2}
 
-# params layout: 8 scalars then 4 per-asset fields then the chol rows
-_P_K, _P_DF, _P_NPATHS, _P_SIGN, _P_BARRIER, _P_REBATE, _P_CROSSED0, \
-    _P_NSTEPS_F = range(8)
-_P_ASSETS = 8  # S0_i, drift_i (per step), voldt_i (per step), w_i
+# params layout: 7 scalars then 4 per-asset fields then the chol rows
+_P_K, _P_DF, _P_NPATHS, _P_SIGN, _P_BARRIER, _P_REBATE, _P_CROSSED0 = \
+    range(7)
+_P_ASSETS = 7  # S0_i, drift_i (per step), voldt_i (per step), w_i
 
 
 def _basket_kernel(seed_ref, par_ref, out_ref, *, n_assets: int,
                    n_steps: int, reps: int, antithetic: bool,
                    payoff_id: int, barrier_up: bool, knock_in: bool,
-                   is_call: bool, sw_prng: bool = False):
+                   sw_prng: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -210,10 +210,10 @@ def _basket_kernel(seed_ref, par_ref, out_ref, *, n_assets: int,
 
 @partial(jax.jit, static_argnames=("n_programs", "reps", "n_assets",
                                    "n_steps", "antithetic", "payoff_id",
-                                   "barrier_up", "knock_in", "is_call",
+                                   "barrier_up", "knock_in",
                                    "interpret", "sw_prng"))
 def _run_basket_kernel(seed, params, *, n_programs, reps, n_assets, n_steps,
-                       antithetic, payoff_id, barrier_up, knock_in, is_call,
+                       antithetic, payoff_id, barrier_up, knock_in,
                        interpret=False, sw_prng=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -224,7 +224,7 @@ def _run_basket_kernel(seed, params, *, n_programs, reps, n_assets, n_steps,
     kernel = partial(
         _basket_kernel, n_assets=n_assets, n_steps=n_steps, reps=reps,
         antithetic=antithetic, payoff_id=payoff_id, barrier_up=barrier_up,
-        knock_in=knock_in, is_call=is_call, sw_prng=bool(sw_prng))
+        knock_in=knock_in, sw_prng=bool(sw_prng))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_programs, 8, LANES), jnp.float32),
@@ -253,7 +253,7 @@ def _build_params(n_paths, n_steps, S0s, w, K, T, r, qs, sigmas, chol,
         crossed0 = float((lvl0 >= barrier) if barrier_up
                          else (lvl0 <= barrier))
     vals = [K, np.exp(-r * T), float(n_paths), sign, barrier, rebate,
-            crossed0, float(n_steps)]
+            crossed0]
     for i in range(a):
         vals += [S0s[i], (r - qs[i] - 0.5 * sigmas[i] ** 2) * dt,
                  sigmas[i] * np.sqrt(dt), w[i]]
@@ -295,7 +295,7 @@ def basket_path_sumstats_pallas(
         seed_arr, params, n_programs=n_programs, reps=reps, n_assets=a,
         n_steps=int(n_steps), antithetic=bool(antithetic),
         payoff_id=PAYOFF_IDS[payoff], barrier_up=barrier_up,
-        knock_in=barrier_type.endswith("in"), is_call=bool(is_call),
+        knock_in=barrier_type.endswith("in"),
         interpret=bool(interpret), sw_prng=sw_prng)
 
 
@@ -321,6 +321,8 @@ def basket_path_sumstats_pallas_sharded(
     weights = [float(v) for v in np.atleast_1d(weights)]
     qs = [0.0] * a if qs is None else [float(v) for v in np.atleast_1d(qs)]
     sigmas = [float(v) for v in np.atleast_1d(sigmas)]
+    if not (len(weights) == len(qs) == len(sigmas) == a):
+        raise ValueError("S0s, weights, qs, sigmas must share length")
     barrier_up = barrier_type.startswith("up")
     params = _build_params(n_paths, n_steps, S0s, weights, K, T, r, qs,
                            sigmas, chol, barrier, rebate, is_call, payoff,
@@ -342,7 +344,7 @@ def basket_path_sumstats_pallas_sharded(
             seed_arr, params, n_programs=progs_per_dev, reps=reps,
             n_assets=a, n_steps=int(n_steps), antithetic=bool(antithetic),
             payoff_id=PAYOFF_IDS[payoff], barrier_up=barrier_up,
-            knock_in=barrier_type.endswith("in"), is_call=bool(is_call),
+            knock_in=barrier_type.endswith("in"),
             interpret=bool(interpret), sw_prng=sw_prng)
         return jax.lax.psum(local, axis)
 

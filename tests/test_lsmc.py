@@ -213,3 +213,12 @@ class TestHestonLsmc:
                                      n_steps=16, seed=3)
         # different stream layouts: statistical agreement is the contract
         assert abs(p1 - pm) < 4 * (se1 + sem) + 0.08, (p1, pm)
+
+    def test_basis_dim_above_six(self):
+        # regression: k > 6 used to crash with a (6,6)+(k,k) broadcast
+        # error (the local basis capped at 6 columns while eye/solve
+        # were sized by basis_dim); _sv_basis honours any k >= 3
+        px, se = lsmc_price(self.OPT, "put", heston=self.HP,
+                            basis_dim=7, n_paths=20_000, n_steps=16,
+                            seed=2)
+        assert np.isfinite(px) and px > 0 and se > 0
