@@ -103,7 +103,7 @@ from .models.basket import (basket_price_mc, basket_greeks_mc,
                             basket_exotic_mc, geometric_basket_price,
                             margrabe_price)
 from .models.lsv import (LSVModel, lsv_calibrate, lsv_greeks_mc,
-                         lsv_price_mc)
+                         lsv_path_matrix, lsv_price_mc)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -145,7 +145,8 @@ __all__ = [
     "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
     "geometric_basket_price",
     "margrabe_price",
-    "LSVModel", "lsv_calibrate", "lsv_greeks_mc", "lsv_price_mc",
+    "LSVModel", "lsv_calibrate", "lsv_greeks_mc", "lsv_path_matrix",
+    "lsv_price_mc",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

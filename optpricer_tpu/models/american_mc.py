@@ -413,7 +413,7 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                seed: Optional[int] = None, dtype=None,
                return_stderr: bool = True, bound: Optional[str] = None,
                n_inner: int = 256, n_upper_paths: int = 8_192,
-               heston: Optional[dict] = None):
+               heston: Optional[dict] = None, lsv=None):
     """American vanilla price via Longstaff-Schwartz.
 
     Default (``bound=None``): single-pass LSMC, returns ``(price,
@@ -442,11 +442,55 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     use the ADI PDE (:func:`~optpricer_tpu.models.heston_pde.
     heston_fd_price` ``american=True``) as the deterministic
     cross-check, which is exactly what tests/test_american_mc.py does.
+
+    ``lsv=LSVModel`` prices the American under the CALIBRATED
+    local-stochastic-vol dynamics — the leverage-scaled Heston paths of
+    :func:`~optpricer_tpu.models.lsv.lsv_path_matrix`, so the early-
+    exercise value is consistent with the vanilla surface the leverage
+    table was fitted to. Exercise dates are the leverage grid's own
+    steps (``n_steps`` is ignored); ``opt.T`` may be any earlier point
+    on that grid; ``opt.S0/r/q`` must match the model (``opt.sigma`` is
+    ignored — the model carries the vol). Same (S, v) regression basis
+    and ``bound`` support as ``heston=``.
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
+    if lsv is not None:
+        if heston is not None:
+            raise ValueError("pass either heston= or lsv=, not both")
+        if bound == "both":
+            raise ValueError(
+                "bound='both' (the Andersen-Broadie dual) is GBM-only; "
+                "bound='lower' gives the honest low-biased LSV estimate")
+        for name in ("S0", "r", "q"):
+            if abs(getattr(opt, name) - getattr(lsv, name)) > 1e-9:
+                raise ValueError(
+                    f"opt.{name}={getattr(opt, name)} disagrees with the "
+                    f"calibrated model's {name}={getattr(lsv, name)}")
+        from .lsv import lsv_path_matrix
+
+        n_use = int(round(opt.T / (lsv.T / lsv.n_steps)))
+        k_sv = max(int(basis_dim), 6)
+        args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
+                jnp.asarray(opt.T / n_use, dt_),
+                jnp.asarray(is_call_mask(kind)))
+        S, v = lsv_path_matrix(lsv, n_paths=n_paths, T=opt.T,
+                               antithetic=antithetic, seed=seed_val,
+                               dtype=dt_)
+        if bound is None:
+            price, se = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv)
+            return (float(price), float(se)) if return_stderr \
+                else float(price)
+        betas = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv,
+                                  two_pass=True)
+        S2, v2 = lsv_path_matrix(lsv, n_paths=n_paths, T=opt.T,
+                                 antithetic=antithetic,
+                                 seed=seed_val + 0x5EED, dtype=dt_)
+        lo, lo_se = _lsmc_forward_fixed_policy_sv(S2, v2, betas, *args,
+                                                  basis_dim=k_sv)
+        return float(lo), float(lo_se)
     if heston is not None:
         if bound == "both":
             raise ValueError(

@@ -39,7 +39,7 @@ from .mc_fused import _exp_for, _log_for, _sqrt0, _terminal_payoff
 from .monte_carlo import resolve_seed
 
 __all__ = ["LSVModel", "lsv_calibrate", "lsv_greeks_mc",
-           "lsv_price_mc"]
+           "lsv_path_matrix", "lsv_price_mc"]
 
 
 @dataclass(frozen=True)
@@ -443,6 +443,81 @@ def _lsv_paths(key, model, fixed, *, payoff, kind, n_steps, n_paths,
         average_type=average_type, strike_type=strike_type,
         payout=fixed["payout"])
     return pay, carry[0]
+
+
+def lsv_path_matrix(model: LSVModel, *, n_paths: int = 100_000,
+                    T: Optional[float] = None, antithetic: bool = True,
+                    seed: Optional[int] = None, dtype=None):
+    """(S, v) path matrices under the calibrated LSV dynamics.
+
+    Returns ``(S_paths, v_paths)``, each with the reference paths
+    contract (``/root/reference/src/optpricer/processes.py:3-5``): shape
+    ``(n_use + 1, n_paths_eff)`` including the t=0 row, antithetic
+    doubling the columns. The time grid is the leverage table's own
+    (``dt = model.T / model.n_steps``); ``T`` (default ``model.T``) may
+    be any earlier point ON that grid — the first ``n_use = T/dt``
+    leverage rows drive the steps, so a table calibrated to the longest
+    expiry prices shorter-dated contracts too.
+
+    The stepping is :func:`_advance_particles` — exactly the scheme the
+    table was calibrated under — so Gyöngy repricing consistency carries
+    over. Unlike the fused pricer (:func:`_lsv_paths`, O(1) carry) this
+    necessarily materialises the whole matrix: its consumer is the
+    American LSMC (``american_mc.lsmc_price(lsv=...)``), whose per-date
+    regressions need the full (S, v) state at every exercise date.
+    """
+    dt_ = canonical(dtype)
+    key = jax.random.key(resolve_seed(seed))
+    n_steps = model.n_steps
+    dt = model.T / n_steps
+    T = model.T if T is None else float(T)
+    n_use = int(round(T / dt))
+    if not (0 < n_use <= n_steps) or abs(n_use * dt - T) > 1e-9 * model.T:
+        raise ValueError(
+            f"T={T} must be a positive multiple of the leverage grid "
+            f"step {dt} (model.T={model.T}, n_steps={n_steps})")
+    dt = jnp.asarray(dt, dt_)
+    sqrt_dt = jnp.sqrt(dt)
+    exp_, log_ = _exp_for(dt_), _log_for(dt_)
+    n_bins = model.leverage.shape[1]
+    x0 = jnp.asarray(model.x_bins[0], dt_)
+    dx = jnp.asarray(model.x_bins[1] - model.x_bins[0], dt_)
+    mu = jnp.asarray(model.r - model.q, dt_)
+    rho = jnp.asarray(model.rho, dt_)
+    rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho))
+    kappa = jnp.asarray(model.kappa, dt_)
+    theta_v = jnp.asarray(model.theta, dt_)
+    xi = jnp.asarray(model.xi, dt_)
+    S0 = jnp.asarray(model.S0, dt_)
+    n_cols = 2 * n_paths if antithetic else n_paths
+
+    S_init = jnp.full((n_cols,), S0, dt_)
+    v_init = jnp.full((n_cols,), jnp.maximum(model.v0, 0.0), dt_)
+
+    def step(carry, xs):
+        S, v = carry
+        k_idx, L_row = xs
+        x = log_(S) - (log_(S0) + mu * (k_idx.astype(dt_) * dt))
+        L = _interp_row(jnp.asarray(L_row, dt_), (x - x0) / dx, n_bins)
+        zk = jax.random.fold_in(key, k_idx)
+        k2, kp = jax.random.split(zk)
+        z2 = jax.random.normal(k2, (n_paths,), dt_)
+        zp = jax.random.normal(kp, (n_paths,), dt_)
+        if antithetic:
+            z2 = jnp.concatenate([z2, -z2])
+            zp = jnp.concatenate([zp, -zp])
+        S_new, v_new = _advance_particles(
+            S, v, L, z2, zp, mu=mu, kappa=kappa, theta_v=theta_v, xi=xi,
+            rho=rho, rho_perp=rho_perp, dt=dt, sqrt_dt=sqrt_dt,
+            exp_=exp_, dt_=dt_, scheme=model.scheme)
+        return (S_new, v_new), (S_new, v_new)
+
+    _, (S_rows, v_rows) = jax.lax.scan(
+        step, (S_init, v_init),
+        (jnp.arange(n_use), model.leverage[:n_use]))
+    S_paths = jnp.concatenate([S_init[None, :], S_rows], axis=0)
+    v_paths = jnp.concatenate([v_init[None, :], v_rows], axis=0)
+    return S_paths, v_paths
 
 
 def _leverage_poly(model: LSVModel, deg: int = 12):

@@ -387,3 +387,104 @@ class TestQEScheme:
                           T=T, scheme="qe", **CAL_KW)
         interior = np.asarray(m.leverage)[4:, 16:48]
         assert np.all(np.abs(interior - 0.2) < 0.02)
+
+
+def _unit_leverage_model(heston, n_steps=24, scheme="qe", n_bins=33):
+    """LSVModel with L ≡ 1: the dynamics are EXACTLY Heston — the
+    degenerate limit that lets pure-Heston engines adjudicate."""
+    return LSVModel(S0, R, Q, T, heston["v0"], heston["kappa"],
+                    heston["theta"], heston["xi"], heston["rho"],
+                    x_bins=jnp.linspace(-2.0, 2.0, n_bins),
+                    leverage=jnp.ones((n_steps, n_bins)), scheme=scheme)
+
+
+class TestPathMatrix:
+    def test_shape_contract_and_t0_row(self):
+        from optpricer_tpu import lsv_path_matrix
+
+        m = _unit_leverage_model(HESTON, n_steps=12)
+        S, v = lsv_path_matrix(m, n_paths=256, seed=0)
+        assert S.shape == v.shape == (13, 512)  # antithetic doubles
+        assert np.allclose(np.asarray(S[0]), S0)
+        assert np.allclose(np.asarray(v[0]), HESTON["v0"])
+        S2, _ = lsv_path_matrix(m, n_paths=256, seed=0, antithetic=False)
+        assert S2.shape == (13, 256)
+
+    def test_truncated_T_prefix(self):
+        # T on the grid uses the first rows; off-grid T raises
+        from optpricer_tpu import lsv_path_matrix
+
+        m = _unit_leverage_model(HESTON, n_steps=12)
+        S_half, _ = lsv_path_matrix(m, n_paths=128, T=0.5, seed=1)
+        assert S_half.shape[0] == 7
+        with pytest.raises(ValueError, match="multiple"):
+            lsv_path_matrix(m, n_paths=128, T=0.4, seed=1)
+
+    def test_terminal_martingale(self):
+        # E[S_T] = S0 e^{(r-q)T} under any leverage (discretisation +
+        # MC error band)
+        from optpricer_tpu import lsv_path_matrix
+
+        m = _unit_leverage_model(HESTON, n_steps=24)
+        S, _ = lsv_path_matrix(m, n_paths=1 << 15, seed=2)
+        mean_T = float(np.mean(np.asarray(S[-1], np.float64)))
+        assert abs(mean_T - S0 * np.exp((R - Q) * T)) < 0.35
+
+
+class TestAmericanLsmc:
+    OPT_KW = dict(n_paths=20_000, seed=7)
+
+    def test_unit_leverage_matches_heston_lsmc(self):
+        # L ≡ 1 ⇒ the LSV American IS the Heston American; the two
+        # engines draw independent streams, so agreement is statistical
+        from optpricer_tpu import OptionSpec, lsmc_price
+
+        m = _unit_leverage_model(HESTON, n_steps=24)
+        opt = OptionSpec(S0=S0, K=105.0, T=T, r=R, q=Q, sigma=0.2)
+        p_lsv, se_lsv = lsmc_price(opt, "put", lsv=m, **self.OPT_KW)
+        p_h, se_h = lsmc_price(opt, "put", heston=HESTON, n_steps=24,
+                               n_paths=20_000, seed=11)
+        assert se_lsv > 0.0
+        assert abs(p_lsv - p_h) < 4.0 * (se_lsv + se_h) + 0.02, (p_lsv, p_h)
+
+    def test_frozen_vol_flat_leverage_matches_crr(self):
+        # v ≡ 1 (kappa=0, xi=0), L ≡ 0.2 ⇒ GBM(σ=0.2): CRR is the oracle
+        from optpricer_tpu import OptionSpec, crr, lsmc_price
+
+        n_bins = 33
+        m = LSVModel(S0, R, Q, T, 1.0, 0.0, 1.0, 0.0, 0.0,
+                     x_bins=jnp.linspace(-2.0, 2.0, n_bins),
+                     leverage=0.2 * jnp.ones((32, n_bins)), scheme="qe")
+        opt = OptionSpec(S0=S0, K=110.0, T=T, r=R, q=Q, sigma=0.2)
+        ref = float(crr(opt, "put", N=500, american=True))
+        lo, se = lsmc_price(opt, "put", lsv=m, bound="lower",
+                            **self.OPT_KW)
+        # two-pass is low-biased; allow the policy gap + 3 se either way
+        assert lo < ref + 3.0 * se + 0.02
+        assert lo > ref - 0.12 - 3.0 * se, (lo, ref)
+
+    def test_exercise_premium_and_truncation(self):
+        from optpricer_tpu import OptionSpec, lsmc_price
+
+        m = _unit_leverage_model(HESTON, n_steps=24)
+        opt_half = OptionSpec(S0=S0, K=105.0, T=0.5, r=R, q=Q, sigma=0.2)
+        p_half, _ = lsmc_price(opt_half, "put", lsv=m, **self.OPT_KW)
+        opt_full = OptionSpec(S0=S0, K=105.0, T=T, r=R, q=Q, sigma=0.2)
+        p_full, _ = lsmc_price(opt_full, "put", lsv=m, **self.OPT_KW)
+        assert p_half < p_full  # American put grows with maturity
+        eu, se_eu = lsv_price_mc("vanilla", m, 105.0, kind="put",
+                                 n_paths=1 << 15, seed=5)
+        assert p_full > eu - 3.0 * se_eu  # early exercise adds value
+
+    def test_guards(self):
+        from optpricer_tpu import OptionSpec, lsmc_price
+
+        m = _unit_leverage_model(HESTON, n_steps=12)
+        opt = OptionSpec(S0=S0, K=100.0, T=T, r=R, q=Q, sigma=0.2)
+        with pytest.raises(ValueError, match="not both"):
+            lsmc_price(opt, "put", lsv=m, heston=HESTON)
+        with pytest.raises(ValueError, match="GBM-only"):
+            lsmc_price(opt, "put", lsv=m, bound="both")
+        bad = OptionSpec(S0=95.0, K=100.0, T=T, r=R, q=Q, sigma=0.2)
+        with pytest.raises(ValueError, match="disagrees"):
+            lsmc_price(bad, "put", lsv=m)
