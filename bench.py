@@ -417,6 +417,49 @@ def bench_qmc() -> None:
         f"|err vs BS64|={abs(px-ref):.1e} se={se:.1e}")
 
 
+def bench_mlmc() -> None:
+    """Diagnostic: adaptive MLMC to RMSE 5e-3 on a continuously-monitored
+    up-and-out call (bridge-conditioned levels; reflection-formula truth)
+    and on a continuous geometric Asian (lognormal closed form)."""
+    from math import erfc, exp, log as ln, sqrt
+
+    from optpricer_tpu import mlmc_price
+
+    Phi = lambda x: 0.5 * erfc(-x / sqrt(2.0))
+    S, K, H, T, r, sig = 100.0, 100.0, 130.0, 1.0, 0.05, 0.2
+    mu = (r - 0.5 * sig * sig) / (sig * sig)
+    st = sig * sqrt(T)
+    x1 = ln(S / K) / st + (1 + mu) * st
+    x2 = ln(S / H) / st + (1 + mu) * st
+    y1 = ln(H * H / (S * K)) / st + (1 + mu) * st
+    y2 = ln(H / S) / st + (1 + mu) * st
+    truth = (S * Phi(x1) - K * exp(-r * T) * Phi(x1 - st)
+             - (S * Phi(x2) - K * exp(-r * T) * Phi(x2 - st))
+             + S * (H / S) ** (2 * (mu + 1)) * Phi(-y1)
+             - K * exp(-r * T) * (H / S) ** (2 * mu) * Phi(-y1 + st)
+             - (S * (H / S) ** (2 * (mu + 1)) * Phi(-y2)
+                - K * exp(-r * T) * (H / S) ** (2 * mu) * Phi(-y2 + st)))
+    run = lambda: mlmc_price("barrier", S, K, T, r, sigma=sig, eps=5e-3,
+                             barrier=H, seed=7)
+    px, se = run()
+    best, times = best_of(run, 3)
+    log(f"[mlmc] continuous up-and-out call to eps=5e-3: {_spread(times)} "
+        f"best={best*1e3:.0f} ms, |err vs reflection|={abs(px-truth):.1e} "
+        f"se={se:.1e}")
+    sig_g = sig / sqrt(3.0)
+    mu_g = ln(S) + 0.5 * (r - 0.5 * sig * sig) * T
+    d1 = (mu_g - ln(K) + sig_g * sig_g * T) / (sig_g * sqrt(T))
+    fwd = exp(mu_g + 0.5 * sig_g * sig_g * T)
+    truth_g = exp(-r * T) * (fwd * Phi(d1) - K * Phi(d1 - sig_g * sqrt(T)))
+    run_g = lambda: mlmc_price("asian", S, K, T, r, sigma=sig, eps=5e-3,
+                               average_type="geometric", seed=11)
+    pg, seg = run_g()
+    best_g, times_g = best_of(run_g, 3)
+    log(f"[mlmc] continuous geometric Asian to eps=5e-3: "
+        f"{_spread(times_g)} best={best_g*1e3:.0f} ms, "
+        f"|err vs closed form|={abs(pg-truth_g):.1e} se={seg:.1e}")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -432,7 +475,7 @@ def main():
                      ("qmc-path-2^22", bench_qmc_path_large),
                      ("basket", bench_basket),
                      ("basket-path", bench_basket_path),
-                     ("lsv", bench_lsv),
+                     ("lsv", bench_lsv), ("mlmc", bench_mlmc),
                      ("heston-cos", bench_heston_cos),
                      ("heston-adi", bench_heston_adi)):
         try:  # secondary metrics must not break the bench line

@@ -87,6 +87,7 @@ from .validation import (
 )
 
 # TPU-native extensions beyond the reference API
+from .models.mlmc import mlmc_price
 from .models.mc_fused import (exotic_price_mc, exotic_price_mc_dupire,
                               exotic_greeks_mc)
 from .models.american_mc import (lsmc_price, lsmc_price_batch,
@@ -134,6 +135,7 @@ __all__ = [
     "backtest_delta_hedge",
     # TPU-native extensions
     "exotic_price_mc", "exotic_price_mc_dupire", "fd_price_batch",
+    "mlmc_price",
     "fd_price_local_vol_batch", "lsmc_price", "lsmc_price_batch",
     "lsmc_price_sharded",
     "euro_greeks_mc", "exotic_greeks_mc",

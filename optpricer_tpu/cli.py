@@ -167,6 +167,17 @@ def _run_lsv(ns) -> str:
     return f"{value:.10f}  (stderr {stderr:.10f})"
 
 
+def _run_mlmc(ns) -> str:
+    from .models.mlmc import mlmc_price
+
+    value, stderr = mlmc_price(
+        ns.payoff, ns.S0, ns.K, ns.T, ns.r, ns.q, sigma=ns.sigma,
+        kind=ns.kind, eps=ns.eps, seed=ns.seed, barrier=ns.barrier,
+        barrier_type=ns.barrier_type, average_type=ns.average_type,
+        strike_type=ns.strike_type, payout=ns.payout)
+    return f"{value:.10f}  (stderr {stderr:.10f})"
+
+
 def _csv_floats(text: str):
     return [float(x) for x in text.split(",") if x.strip()]
 
@@ -270,6 +281,21 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--n-paths", dict(dest="n_paths", type=int, default=262_144)),
         ("--seed", dict(type=int, default=0)),
     ), _run_lsv),
+    "mlmc": ("Multilevel MC: continuous-monitoring limit to RMSE eps", (
+        ("--payoff", dict(default="asian",
+                          choices=("vanilla", "asian", "barrier",
+                                   "digital", "lookback"))),
+        ("--eps", dict(type=float, default=0.01,
+                       help="target root-mean-square error")),
+        ("--seed", dict(type=int, default=None)),
+        ("--barrier", dict(type=float, default=0.0)),
+        ("--barrier-type", dict(dest="barrier_type",
+                                default="up-and-out")),
+        ("--average-type", dict(dest="average_type",
+                                default="arithmetic")),
+        ("--strike-type", dict(dest="strike_type", default="fixed")),
+        ("--payout", dict(type=float, default=1.0)),
+    ), _run_mlmc),
     "qmc": ("Randomised-QMC path pricer (Sobol + Brownian bridge)", (
         ("--payoff", dict(default="vanilla",
                           choices=("vanilla", "asian", "barrier",

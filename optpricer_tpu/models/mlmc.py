@@ -1,0 +1,329 @@
+"""Multilevel Monte Carlo (Giles 2008) for path-dependent options.
+
+The fused engines (``mc_fused``) price at a FIXED time grid — their
+estimates carry the grid's discretisation/monitoring bias (Asian averages
+over n_steps dates, barriers checked at n_steps dates, Euler transition
+bias under Heston). MLMC estimates the CONTINUOUS-monitoring / exact-
+transition limit at a target RMSE ``eps`` for a cost of O(eps^-2 log²)
+instead of the O(eps^-3) a single fine grid needs: the telescoping sum
+
+    E[P_L] = E[P_0] + sum_l E[P_l − P_{l−1}]
+
+prices each correction level on COUPLED fine/coarse paths driven by the
+same Brownian increments (the coarse step consumes the sum of its M fine
+sub-increments), so Var[P_l − P_{l−1}] decays with level and nearly all
+samples run on the cheap coarse grids.
+
+The reference has no MLMC (its MC is single-grid,
+``/root/reference/src/optpricer/monte_carlo.py:11-64``, and its exotics
+price at the paths' own grid, ``exotics.py:33-96``); this module extends
+the framework toward continuously-monitored contracts from the MC side,
+complementing the PDE side's in-operator barriers
+(``pde.fd_price_barrier(barrier_mode="operator")``).
+
+TPU-native design:
+- one jitted scan per level over the COARSE steps with the M fine
+  substeps unrolled inside (M static, small); both tracks ride one
+  carry, so the coupled pair costs one pass over the fine grid;
+- the adaptive Giles loop runs on the host but only ever launches
+  fixed-shape chunks (compile count = number of levels, not number of
+  iterations), accumulating per-level sufficient statistics exactly —
+  the same associative-reduction contract as every other engine here;
+- per-(level, chunk) RNG streams from ``fold_in``, placement-invariant.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import canonical
+from .mc_fused import _exp_for, _sqrt0, _terminal_payoff
+from .monte_carlo import resolve_seed
+
+__all__ = ["mlmc_price"]
+
+
+@partial(jax.jit, static_argnames=(
+    "payoff", "kind", "model_kind", "n_coarse", "M", "n_paths",
+    "antithetic", "barrier_type", "average_type", "strike_type",
+    "dtype", "level0"))
+def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
+                      M, n_paths, antithetic, barrier_type, average_type,
+                      strike_type, dtype, level0):
+    """Sufficient statistics of one MLMC level from one path chunk.
+
+    Level l>0 (``level0=False``): coupled estimator Y = df·(P_f − P_c),
+    fine grid n_coarse·M steps / coarse grid n_coarse steps, coarse
+    normals = scaled sums of the fine ones. Level 0: Y = df·P_f on the
+    n_coarse(=n0) grid, no coarse track. Returns
+    ``[n, ΣY, ΣY², ΣP_f·df, Σ(P_f·df)²]``.
+    """
+    dt_ = dtype
+    n_f = n_coarse * (M if not level0 else 1)
+    dt_f = fixed["T"] / n_f
+    dt_c = fixed["T"] / n_coarse
+    sqrt_f = jnp.sqrt(dt_f)
+    sqrt_c = jnp.sqrt(dt_c)
+    n_cols = 2 * n_paths if antithetic else n_paths
+    exp_ = _exp_for(dt_)
+    sub = 1 if level0 else M
+
+    up = barrier_type.startswith("up")
+
+    def hit(S):
+        return (S >= fixed["barrier"]) if up else (S <= fixed["barrier"])
+
+    S_init = jnp.full((n_cols,), fixed["S0"], dt_)
+    zeros = S_init * 0.0
+    # barrier slot carries the Brownian-bridge SURVIVAL probability (the
+    # standard MLMC treatment, Giles 2008 §5: the binary grid-crossing
+    # flag couples O(√h) with a large constant; conditioning each step
+    # on its bridge crossing probability restores O(h) weak error and
+    # keeps the payoff smooth in the path, so corrections stay small)
+    surv0 = jnp.where(hit(S_init), 0.0, 1.0) if payoff == "barrier" \
+        else zeros > 1.0
+    v_init = zeros + jnp.maximum(fixed["h_v0"], 0.0)
+
+    def track0():
+        # (S, run_sum, run_logsum, run_max, run_min, surv, v)
+        return (S_init, zeros, zeros, S_init, S_init, surv0, v_init)
+
+    def asset_step(S, v, z1, z2, dt, sqrt_dt):
+        """One transition; returns (S_new, v_new, step diffusion vol)."""
+        if model_kind == "heston":
+            v_eff = jnp.maximum(v, 0.0)  # full truncation
+            rho = fixed["h_rho"]
+            rho_p = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho))
+            zs = rho * z2 + rho_p * z1
+            S_n = S * exp_((fixed["r"] - fixed["q"] - 0.5 * v_eff) * dt
+                           + _sqrt0(v_eff) * sqrt_dt * zs)
+            v_n = jnp.maximum(
+                v + fixed["h_kappa"] * (fixed["h_theta"] - v_eff) * dt
+                + fixed["h_xi"] * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
+            return S_n, v_n, jnp.maximum(_sqrt0(v_eff), 1e-8)
+        mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
+        return (S * exp_(mu + fixed["sigma"] * sqrt_dt * z1), v,
+                fixed["sigma"])
+
+    from .mc_fused import _log_for
+    log_ = _log_for(dt_)
+
+    def _log_safe(S):
+        return log_(jnp.maximum(S, 1e-30))
+
+    def bridge_survive(S_prev, S_new, sig, dt):
+        """P(log-linear bridge from S_prev to S_new stays inside)."""
+        b = _log_safe(fixed["barrier"])
+        xp, xn = _log_safe(S_prev), _log_safe(S_new)
+        dp = (b - xp) if up else (xp - b)
+        dn = (b - xn) if up else (xn - b)
+        inside = (dp > 0.0) & (dn > 0.0)
+        # clamp: exp32 is only valid for |x| ≲ 85, and exp(−80) ≈ 0
+        # already means certain survival for this step
+        expo = jnp.maximum(-2.0 * jnp.maximum(dp, 0.0)
+                           * jnp.maximum(dn, 0.0) / (sig * sig * dt),
+                           -80.0)
+        p = 1.0 - exp_(expo)
+        return jnp.where(inside, jnp.maximum(p, 0.0), 0.0)
+
+    def accumulate(track, S_n, v_n, sig, dt):
+        S_prev, rsum, rlog, rmax, rmin, surv, _ = track
+        if payoff == "asian":
+            rsum = rsum + S_n
+            if average_type == "geometric":
+                rlog = rlog + _log_safe(S_n)
+        if payoff == "lookback":
+            rmax = jnp.maximum(rmax, S_n)
+            rmin = jnp.minimum(rmin, S_n)
+        if payoff == "barrier":
+            surv = surv * bridge_survive(S_prev, S_n, sig, dt)
+        return (S_n, rsum, rlog, rmax, rmin, surv, v_n)
+
+    def draw(k_idx):
+        zk = jax.random.fold_in(key, k_idx)
+        k1, k2 = jax.random.split(zk)
+        z1 = jax.random.normal(k1, (n_paths,), dt_)
+        z2 = jax.random.normal(k2, (n_paths,), dt_)
+        if antithetic:
+            z1 = jnp.concatenate([z1, -z1])
+            z2 = jnp.concatenate([z2, -z2])
+        return z1, z2
+
+    def step(carry, t_idx):
+        fine, coarse = carry
+        z1_sum = zeros
+        z2_sum = zeros
+        for j in range(sub):
+            z1, z2 = draw(t_idx * sub + j)
+            S_n, v_n, sig = asset_step(fine[0], fine[6], z1, z2,
+                                       dt_f, sqrt_f)
+            fine = accumulate(fine, S_n, v_n, sig, dt_f)
+            z1_sum = z1_sum + z1
+            z2_sum = z2_sum + z2
+        if not level0:
+            inv = 1.0 / np.sqrt(M)
+            S_n, v_n, sig = asset_step(coarse[0], coarse[6],
+                                       z1_sum * inv, z2_sum * inv,
+                                       dt_c, sqrt_c)
+            coarse = accumulate(coarse, S_n, v_n, sig, dt_c)
+        return (fine, coarse), None
+
+    (fine, coarse), _ = jax.lax.scan(
+        step, (track0(), track0()), jnp.arange(n_coarse))
+
+    pay_kw = dict(K=fixed["K"], kind=kind, barrier_type=barrier_type,
+                  rebate=fixed["rebate"], average_type=average_type,
+                  strike_type=strike_type, payout=fixed["payout"])
+
+    def payoff_of(track, n_steps_t):
+        if payoff == "barrier":
+            surv = track[5]
+            van = _terminal_payoff("vanilla", track[:6],
+                                   n_steps=n_steps_t, **pay_kw)
+            if barrier_type.endswith("out"):
+                return surv * van + (1.0 - surv) * fixed["rebate"]
+            return (1.0 - surv) * van + surv * fixed["rebate"]
+        return _terminal_payoff(payoff, track[:6], n_steps=n_steps_t,
+                                **pay_kw)
+
+    df = exp_(-fixed["r"] * fixed["T"])
+    p_f = df * payoff_of(fine, n_f)
+    y = p_f if level0 else p_f - df * payoff_of(coarse, n_coarse)
+    n = jnp.asarray(y.size, dt_)
+    return jnp.stack([n, jnp.sum(y), jnp.sum(y * y),
+                      jnp.sum(p_f), jnp.sum(p_f * p_f)])
+
+
+def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
+               q: float = 0.0, *, sigma: Optional[float] = None,
+               heston: Optional[dict] = None, kind: str = "call",
+               eps: float = 0.01, n0_steps: int = 8, M: int = 2,
+               L_min: int = 2, L_max: int = 7, n_init: int = 4_096,
+               chunk: int = 16_384, max_paths_per_level: int = 1 << 22,
+               barrier: float = 0.0, barrier_type: str = "up-and-out",
+               rebate: float = 0.0, average_type: str = "arithmetic",
+               strike_type: str = "fixed", payout: float = 1.0,
+               antithetic: bool = True, seed: Optional[int] = None,
+               dtype=None, return_info: bool = False):
+    """Adaptive MLMC price of a (path-dependent) option.
+
+    ``payoff`` ∈ {"vanilla", "barrier", "asian", "digital", "lookback"}
+    with :func:`~optpricer_tpu.models.mc_fused.exotic_price_mc`'s payoff
+    conventions, except that the time grid is not an input: levels
+    refine it (level l monitors at ``n0_steps·M^l`` dates) and the
+    estimator targets the l→∞ limit — continuous monitoring / the exact
+    Heston transition — at root-mean-square error ``eps``.
+
+    Dynamics: constant ``sigma`` (exact GBM transition at every level —
+    only the monitoring bias telescopes) or
+    ``heston={'v0','kappa','theta','xi','rho'}`` (full-truncation Euler,
+    whose O(Δt) transition bias telescopes too; same discretisation as
+    :func:`~optpricer_tpu.models.processes.heston_paths`).
+
+    The standard Giles loop: sample ``n_init`` pairs on levels
+    0..``L_min``, allocate N_l ∝ √(V_l/C_l) for the ``eps²/2`` variance
+    budget, extend L while the remaining weak error (estimated from the
+    last correction mean) exceeds ``eps/√2``, capping at ``L_max``
+    levels and ``max_paths_per_level`` paths. Chunked fixed-shape
+    launches keep the compile count at one per level.
+
+    Returns ``(price, stderr)`` — stderr is the statistical error only;
+    the weak (bias) remainder is driven below ``eps/√2`` separately and
+    reported in ``info`` with ``return_info=True`` alongside the
+    per-level table (n_l, mean_l, V_l, cost_l).
+    """
+    if payoff not in ("vanilla", "barrier", "asian", "digital",
+                      "lookback"):
+        raise ValueError(f"unknown payoff {payoff!r}")
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    if (sigma is None) == (heston is None):
+        raise ValueError("provide exactly one of sigma / heston")
+    if M < 2:
+        raise ValueError("M must be >= 2")
+    if not 0 <= L_min <= L_max:
+        raise ValueError("need 0 <= L_min <= L_max")
+    dt_ = canonical(dtype)
+    key = jax.random.key(resolve_seed(seed))
+    model_kind = "heston" if heston is not None else "gbm"
+    hp = heston or {}
+    fixed = {k: jnp.asarray(v, dt_) for k, v in (
+        ("S0", S0), ("K", K), ("T", T), ("r", r), ("q", q),
+        ("sigma", sigma if sigma is not None else 0.0),
+        ("barrier", barrier), ("rebate", rebate), ("payout", payout),
+        ("h_v0", hp.get("v0", 0.0)), ("h_kappa", hp.get("kappa", 0.0)),
+        ("h_theta", hp.get("theta", 0.0)), ("h_xi", hp.get("xi", 0.0)),
+        ("h_rho", hp.get("rho", 0.0)))}
+    static = dict(payoff=payoff, kind=kind, model_kind=model_kind,
+                  M=int(M), antithetic=bool(antithetic),
+                  barrier_type=barrier_type, average_type=average_type,
+                  strike_type=strike_type, dtype=dt_)
+    chunk = int(chunk)
+    pair_mult = 2 if antithetic else 1
+
+    # per-level accumulators (host float64): [n, Σy, Σy², Σp, Σp²]
+    acc: list[np.ndarray] = []
+    chunks_run: list[int] = []
+
+    def ensure(level: int, n_target: int):
+        while len(acc) <= level:
+            acc.append(np.zeros(5))
+            chunks_run.append(0)
+        n_target = min(int(n_target), int(max_paths_per_level))
+        while acc[level][0] < n_target:
+            k = jax.random.fold_in(key, (level << 16) | chunks_run[level])
+            s = _mlmc_level_stats(
+                k, fixed, n_coarse=n0_steps * M ** max(level - 1, 0),
+                n_paths=chunk, level0=(level == 0), **static)
+            acc[level] += np.asarray(jax.device_get(s), np.float64)
+            chunks_run[level] += 1
+
+    def tables():
+        n = np.array([a[0] for a in acc])
+        m = np.array([a[1] / a[0] for a in acc])
+        v = np.maximum(np.array([a[2] / a[0] for a in acc]) - m * m, 0.0)
+        return n, m, v
+
+    L = int(L_min)
+    for lev in range(L + 1):
+        ensure(lev, n_init)
+    while True:
+        n, m, v = tables()
+        # cost per pair on level l: fine + coarse step counts
+        cost = np.array([n0_steps * M ** max(l - 1, 0)
+                         * (1 if l == 0 else M + 1)
+                         for l in range(L + 1)], np.float64)
+        budget = np.sum(np.sqrt(v * cost))
+        n_opt = np.ceil(2.0 * eps ** -2 * np.sqrt(v / cost) * budget)
+        n_opt = np.minimum(np.maximum(n_opt, chunk * pair_mult),
+                           max_paths_per_level)
+        if np.any(n < n_opt):
+            for lev in range(L + 1):
+                ensure(lev, n_opt[lev])
+            continue
+        # weak-error remainder from the last correction means,
+        # assuming O(M^-αl) decay with α ≥ 1 (Giles' standard test)
+        if L >= 1:
+            tail = max(abs(m[L]), abs(m[L - 1]) / M) / (M - 1.0)
+        else:
+            tail = np.inf
+        if tail < eps / np.sqrt(2.0) or L >= L_max:
+            break
+        L += 1
+        ensure(L, n_init)
+
+    n, m, v = tables()
+    price = float(np.sum(m))
+    se = float(np.sqrt(np.sum(v / n)))
+    if not return_info:
+        return price, se
+    info = dict(levels=L + 1, eps=eps,
+                n=[int(x) for x in n], mean=list(map(float, m)),
+                var=list(map(float, v)),
+                fine_steps=[n0_steps * M ** l for l in range(L + 1)],
+                weak_remainder=float(tail if L >= 1 else np.nan))
+    return price, se, info

@@ -306,3 +306,14 @@ class TestCLIExtensions:
         _run_cli("lsv", *self.COMMON, "--model", mdl, "--n-paths", "32768")
         px2 = float(capsys.readouterr().out.strip().split()[0])
         assert px2 == px
+
+    def test_mlmc(self, capsys):
+        # continuously-monitored up-and-out call: the bridge-conditioned
+        # MLMC must land on the reflection price (~3.3329 at these params
+        # with r=0.05)
+        _run_cli("mlmc", *self.COMMON, "--payoff", "barrier", "--barrier",
+                 "130", "--eps", "0.02", "--seed", "7")
+        out = capsys.readouterr().out.strip()
+        px = float(out.split()[0])
+        assert abs(px - 3.3329) < 0.08
+        assert "stderr" in out
