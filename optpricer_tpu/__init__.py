@@ -96,7 +96,8 @@ from .models.pde import fd_price_batch, fd_price_local_vol_batch
 from .models.analytic import (merton_price, heston_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
                               geometric_asian_price, fit_heston,
-                              heston_greeks_cos, cev_price)
+                              heston_greeks_cos, cev_price,
+                              barrier_price_bs)
 from .models.heston_pde import (heston_fd_price, heston_fd_grid,
                                 heston_fd_greeks, heston_fd_price_batch,
                                 heston_fd_price_barrier)
@@ -139,7 +140,8 @@ __all__ = [
     "fd_price_local_vol_batch", "lsmc_price", "lsmc_price_batch",
     "lsmc_price_sharded",
     "euro_greeks_mc", "exotic_greeks_mc",
-    "merton_price", "heston_price_cos", "cev_price", "sabr_implied_vol",
+    "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
+    "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",
     "heston_fd_price", "heston_fd_grid", "heston_fd_greeks",

@@ -29,7 +29,7 @@ from ..ops.black_scholes import is_call_mask, price_core
 
 __all__ = ["merton_price", "heston_price_cos", "sabr_implied_vol",
            "sabr_price_hagan", "geometric_asian_price", "fit_heston",
-           "heston_greeks_cos"]
+           "heston_greeks_cos", "barrier_price_bs"]
 
 
 # --------------------------------------------------------------------------
@@ -524,3 +524,89 @@ def cev_price(S0, K, T, r, q=0.0, *, sigma, beta, kind: str = "call",
     if kind == "call":
         return call
     return call - df * (F - K)   # absorbed CEV is a true martingale
+
+
+@partial(jax.jit, static_argnames=("kind", "barrier_type"))
+def barrier_price_bs(S0, K, T, r, q=0.0, *, sigma, barrier,
+                     barrier_type: str = "up-and-out", kind: str = "call",
+                     rebate=0.0):
+    """Closed-form CONTINUOUSLY-monitored barrier option under GBM
+    (Merton 1973 / Reiner-Rubinstein 1991 reflection formulas).
+
+    All eight {up,down} × {in,out} × {call,put} combinations, broadcasting
+    over inputs, differentiable. ``rebate`` is paid AT EXPIRY — knock-outs
+    collect it when the barrier is hit, knock-ins when it is not — the
+    same convention as the MC engines (``mc_fused._terminal_payoff``) and
+    the PDE solver, so the engines can be pinned against this oracle
+    directly. A spot already at/beyond the barrier is treated as hit.
+
+    The reference has no analytic barrier pricer (its barriers are MC
+    over discretely-monitored paths, ``exotics.py:33-96``, and FDM with
+    after-step node overrides, ``pde.py:209-211``); this closed form is
+    the truth the in-operator PDE mode (`fd_price_barrier(
+    barrier_mode="operator")`) and the bridge-conditioned MLMC estimator
+    converge to.
+    """
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    parts = barrier_type.split("-")
+    if (len(parts) != 3 or parts[0] not in ("up", "down")
+            or parts[1] != "and" or parts[2] not in ("in", "out")):
+        raise ValueError(f"unknown barrier_type {barrier_type!r}")
+    up = parts[0] == "up"
+    knock_in = parts[2] == "in"
+    dt_ = canonical(None)
+    S0, K, T, r, q, sigma, H, rebate = (
+        jnp.asarray(v, dt_) for v in (S0, K, T, r, q, sigma, barrier,
+                                      rebate))
+    from jax.scipy.stats import norm
+
+    st = sigma * jnp.sqrt(T)
+    mu = (r - q) / (sigma * sigma) - 0.5
+    phi = 1.0 if kind == "call" else -1.0
+    eta = -1.0 if up else 1.0
+    dfq = jnp.exp(-q * T)
+    dfr = jnp.exp(-r * T)
+    hs = H / S0
+
+    def block(x):
+        return (phi * S0 * dfq * norm.cdf(phi * x)
+                - phi * K * dfr * norm.cdf(phi * (x - st)))
+
+    def rblock(y):
+        return (phi * S0 * dfq * hs ** (2.0 * (mu + 1.0))
+                * norm.cdf(eta * y)
+                - phi * K * dfr * hs ** (2.0 * mu)
+                * norm.cdf(eta * (y - st)))
+
+    x1 = jnp.log(S0 / K) / st + (1.0 + mu) * st
+    x2 = jnp.log(S0 / H) / st + (1.0 + mu) * st
+    y1 = jnp.log(H * H / (S0 * K)) / st + (1.0 + mu) * st
+    y2 = jnp.log(H / S0) / st + (1.0 + mu) * st
+    A, B, C, D = block(x1), block(x2), rblock(y1), rblock(y2)
+
+    k_beyond = (K > H)
+    if not up and kind == "call":
+        in0 = jnp.where(k_beyond, C, A - B + D)
+    elif up and kind == "call":
+        in0 = jnp.where(k_beyond, A, B - C + D)
+    elif not up:  # down put
+        in0 = jnp.where(k_beyond, B - C + D, A)
+    else:         # up put
+        in0 = jnp.where(k_beyond, A - B + D, C)
+
+    # P(barrier hit before T), continuous monitoring of the GBM log-path
+    nu = r - q - 0.5 * sigma * sigma
+    b = jnp.log(H / S0) if up else jnp.log(S0 / H)   # > 0 pre-hit
+    drift = nu if up else -nu
+    p_hit = (norm.cdf((drift * T - b) / st)
+             + jnp.exp(2.0 * drift * b / (sigma * sigma))
+             * norm.cdf((-b - drift * T) / st))
+    p_hit = jnp.clip(p_hit, 0.0, 1.0)
+
+    already = (S0 >= H) if up else (S0 <= H)
+    if knock_in:
+        live = in0 + rebate * dfr * (1.0 - p_hit)
+        return jnp.where(already, A, live)
+    live = (A - in0) + rebate * dfr * p_hit
+    return jnp.where(already, rebate * dfr, live)

@@ -322,3 +322,129 @@ class TestCEV:
         # tiny sigma -> lambda ~ 1.6e5 >> n_terms: must NOT silently look
         # plausible; it degrades toward the no-exercise limit
         assert bad < good
+
+
+class TestBarrierClosedForm:
+    """Reiner-Rubinstein continuously-monitored barriers: independent
+    reflection-formula oracle (up-and-out call), exact in/out parity for
+    all eight combos, degenerate limits, expiry-paid rebate identities,
+    and the in-operator PDE cross-check."""
+
+    def _haug_uoc(self, S, K, H, T, r, q, sig):
+        from scipy.stats import norm
+
+        mu = (r - q - 0.5 * sig * sig) / (sig * sig)
+        st = sig * np.sqrt(T)
+        x1 = np.log(S / K) / st + (1 + mu) * st
+        x2 = np.log(S / H) / st + (1 + mu) * st
+        y1 = np.log(H * H / (S * K)) / st + (1 + mu) * st
+        y2 = np.log(H / S) / st + (1 + mu) * st
+        A = S * np.exp(-q * T) * norm.cdf(x1) \
+            - K * np.exp(-r * T) * norm.cdf(x1 - st)
+        B = S * np.exp(-q * T) * norm.cdf(x2) \
+            - K * np.exp(-r * T) * norm.cdf(x2 - st)
+        C = (S * np.exp(-q * T) * (H / S) ** (2 * (mu + 1))
+             * norm.cdf(-y1)
+             - K * np.exp(-r * T) * (H / S) ** (2 * mu)
+             * norm.cdf(-y1 + st))
+        D = (S * np.exp(-q * T) * (H / S) ** (2 * (mu + 1))
+             * norm.cdf(-y2)
+             - K * np.exp(-r * T) * (H / S) ** (2 * mu)
+             * norm.cdf(-y2 + st))
+        return A - B + C - D
+
+    def test_matches_independent_reflection_oracle(self):
+        from optpricer_tpu import barrier_price_bs
+
+        for Kq, H, q, sig in ((100.0, 130.0, 0.0, 0.2),
+                              (110.0, 125.0, 0.02, 0.3),
+                              (90.0, 140.0, 0.01, 0.15)):
+            truth = self._haug_uoc(S0, Kq, H, T, R, q, sig)
+            got = float(barrier_price_bs(S0, Kq, T, R, q, sigma=sig,
+                                         barrier=H,
+                                         barrier_type="up-and-out"))
+            assert abs(got - truth) < 5e-5, (Kq, H, got, truth)
+
+    @pytest.mark.parametrize("kind", ["call", "put"])
+    @pytest.mark.parametrize("direction,H", [("up", 130.0), ("down", 80.0)])
+    @pytest.mark.parametrize("Kq", [85.0, 100.0, 120.0])
+    def test_in_out_parity_all_combos(self, kind, direction, H, Kq):
+        from optpricer_tpu import OptionSpec, barrier_price_bs, bs_price
+
+        van = float(bs_price(OptionSpec(S0=S0, K=Kq, T=T, r=R, sigma=0.2),
+                             kind))
+        kw = dict(sigma=0.2, barrier=H, kind=kind)
+        po = float(barrier_price_bs(S0, Kq, T, R, 0.0,
+                                    barrier_type=f"{direction}-and-out",
+                                    **kw))
+        pi = float(barrier_price_bs(S0, Kq, T, R, 0.0,
+                                    barrier_type=f"{direction}-and-in",
+                                    **kw))
+        assert po >= -1e-6 and pi >= -1e-6
+        assert abs((po + pi) - van) < 2e-4, (po, pi, van)
+
+    def test_degenerate_limits(self):
+        from optpricer_tpu import OptionSpec, barrier_price_bs, bs_price
+
+        van = float(bs_price(OptionSpec(S0=S0, K=K, T=T, r=R, sigma=0.2),
+                             "call"))
+        far = float(barrier_price_bs(S0, K, T, R, sigma=0.2,
+                                     barrier=10_000.0,
+                                     barrier_type="up-and-out"))
+        assert abs(far - van) < 1e-6
+        low = float(barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=1e-4,
+                                     barrier_type="down-and-out"))
+        assert abs(low - van) < 1e-6
+
+    def test_already_crossed(self):
+        from optpricer_tpu import OptionSpec, barrier_price_bs, bs_price
+
+        van = float(bs_price(OptionSpec(S0=S0, K=K, T=T, r=R, sigma=0.2),
+                             "call"))
+        out = float(barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=90.0,
+                                     barrier_type="up-and-out",
+                                     rebate=2.0))
+        assert abs(out - 2.0 * np.exp(-R * T)) < 1e-6
+        inn = float(barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=90.0,
+                                     barrier_type="up-and-in"))
+        assert abs(inn - van) < 1e-6
+
+    def test_rebate_paid_at_expiry_identity(self):
+        # in(R) + out(R) = vanilla + R·df  (P_hit + P_nohit = 1)
+        from optpricer_tpu import OptionSpec, barrier_price_bs, bs_price
+
+        van = float(bs_price(OptionSpec(S0=S0, K=K, T=T, r=R, sigma=0.2),
+                             "call"))
+        Rb = 3.0
+        kw = dict(sigma=0.2, barrier=130.0, rebate=Rb)
+        po = float(barrier_price_bs(S0, K, T, R, 0.0,
+                                    barrier_type="up-and-out", **kw))
+        pi = float(barrier_price_bs(S0, K, T, R, 0.0,
+                                    barrier_type="up-and-in", **kw))
+        assert abs((po + pi) - (van + Rb * np.exp(-R * T))) < 2e-4
+        # rebate only ever adds value
+        po0 = float(barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=130.0,
+                                     barrier_type="up-and-out"))
+        assert po > po0
+
+    def test_pde_operator_mode_agrees(self):
+        from optpricer_tpu import (OptionSpec, barrier_price_bs,
+                                   fd_price_barrier)
+
+        opt = OptionSpec(S0=S0, K=K, T=T, r=R, sigma=0.2)
+        truth = float(barrier_price_bs(S0, K, T, R, sigma=0.2,
+                                       barrier=130.0,
+                                       barrier_type="up-and-out"))
+        got = fd_price_barrier(opt, "call", 130.0, "up-and-out",
+                               N_S=400, N_t=400, barrier_mode="operator")
+        assert abs(got - truth) < 3e-3
+
+    def test_guards(self):
+        from optpricer_tpu import barrier_price_bs
+
+        with pytest.raises(ValueError, match="barrier_type"):
+            barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=130.0,
+                             barrier_type="sideways-and-out")
+        with pytest.raises(ValueError, match="kind"):
+            barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=130.0,
+                             kind="straddle")
