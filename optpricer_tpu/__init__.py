@@ -58,6 +58,11 @@ from .models.calibration import (
     fit_svi_surface,
     dupire_local_vol,
     dupire_local_vol_func,
+    svi_butterfly_g,
+    svi_density,
+    check_butterfly,
+    check_calendar,
+    arbitrage_report,
 )
 
 # PDE (Finite Difference)
@@ -121,7 +126,8 @@ __all__ = [
     "barrier_price", "asian_price", "digital_price", "lookback_price",
     # Calibration & Dupire
     "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface",
-    "dupire_local_vol", "dupire_local_vol_func",
+    "dupire_local_vol", "dupire_local_vol_func", "svi_butterfly_g",
+    "svi_density", "check_butterfly", "check_calendar", "arbitrage_report",
     # PDE (Finite Difference)
     "fd_price", "fd_price_barrier", "fd_greeks", "fd_price_local_vol",
     # FEM (Finite Element)

@@ -38,6 +38,8 @@ from ..dtypes import canonical
 __all__ = [
     "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface",
     "dupire_local_vol", "dupire_local_vol_func",
+    "svi_butterfly_g", "svi_density", "check_butterfly",
+    "check_calendar", "arbitrage_report",
 ]
 
 
@@ -408,3 +410,105 @@ def dupire_local_vol_func(surface: VolSurface, r: float, q: float) -> Callable:
         return dupire_local_vol(surface, S_arr, t, r, q)
 
     return _sigma_loc
+
+
+# ---------------------------------------------------------------------------
+# Static no-arbitrage diagnostics (Gatheral & Jacquier 2014)
+# ---------------------------------------------------------------------------
+
+def svi_butterfly_g(params: SVIParams, k):
+    """Gatheral's butterfly factor g(k) for a raw-SVI slice.
+
+        g(k) = (1 − k·w′/(2w))² − (w′²/4)(1/w + 1/4) + w″/2
+
+    The slice is free of butterfly arbitrage iff g(k) ≥ 0 for all k —
+    g is the factor by which the Black-Scholes lognormal density is
+    modulated, so g < 0 anywhere means a negative risk-neutral density
+    (a costless butterfly with positive payoff). Broadcasting, jittable.
+
+    The reference fits SVI slices with no arbitrage screen at all
+    (``calibration.py:166-229``); its fitted surfaces can embed static
+    arbitrage silently. This diagnostic closes that gap.
+    """
+    k = jnp.asarray(k)
+    w = jnp.maximum(params.total_var(k), 1e-12)
+    wp = params.dw_dk(k)
+    wpp = params.d2w_dk2(k)
+    return ((1.0 - 0.5 * k * wp / w) ** 2
+            - 0.25 * wp * wp * (1.0 / w + 0.25) + 0.5 * wpp)
+
+
+def svi_density(params: SVIParams, k):
+    """Risk-neutral density of log-moneyness k = ln(K/F) implied by a
+    raw-SVI slice (Breeden-Litzenberger in Gatheral-Jacquier form):
+
+        p(k) = g(k)/√(2π·w(k)) · exp(−d₋(k)²/2),
+        d₋ = −k/√w − √w/2.
+
+    Integrates to 1 and has E[e^k] = 1 (martingale) for an arbitrage-
+    free slice; goes negative exactly where :func:`svi_butterfly_g`
+    does.
+    """
+    k = jnp.asarray(k)
+    w = jnp.maximum(params.total_var(k), 1e-12)
+    sw = jnp.sqrt(w)
+    d_minus = -k / sw - 0.5 * sw
+    g = svi_butterfly_g(params, k)
+    return g / jnp.sqrt(2.0 * jnp.pi * w) * jnp.exp(-0.5 * d_minus ** 2)
+
+
+def check_butterfly(params: SVIParams, *, k_lo: float = -2.0,
+                    k_hi: float = 2.0, n: int = 801) -> dict:
+    """Scan one slice for butterfly arbitrage on a log-moneyness grid.
+
+    Returns ``{"ok", "min_g", "k_at_min"}``; ``ok`` is True when
+    min g(k) ≥ 0 over the scanned band.
+    """
+    k = jnp.linspace(k_lo, k_hi, int(n))
+    g = svi_butterfly_g(params, k)
+    i = int(jnp.argmin(g))
+    return {"ok": bool(g[i] >= 0.0), "min_g": float(g[i]),
+            "k_at_min": float(k[i])}
+
+
+def check_calendar(surface: VolSurface, *, k_lo: float = -2.0,
+                   k_hi: float = 2.0, n: int = 801) -> dict:
+    """Scan a surface for calendar-spread arbitrage.
+
+    Total variance must be non-decreasing in T at fixed log-moneyness
+    (Gatheral-Jacquier Lemma 2.1: crossing slices admit a calendar
+    spread with negative price). Checks every adjacent expiry pair on
+    the grid; returns ``{"ok", "min_gap", "pair", "k_at_min"}`` with
+    ``min_gap`` = min over pairs and k of w(k, T_{i+1}) − w(k, T_i).
+    """
+    Ts = [float(t) for t in surface.expiries]
+    if len(Ts) < 2:
+        return {"ok": True, "min_gap": float("inf"), "pair": None,
+                "k_at_min": float("nan")}
+    k = jnp.linspace(k_lo, k_hi, int(n))
+    worst = (float("inf"), None, float("nan"))
+    for t0, t1 in zip(Ts, Ts[1:]):
+        gap = (surface.slices[t1].total_var(k)
+               - surface.slices[t0].total_var(k))
+        i = int(jnp.argmin(gap))
+        if float(gap[i]) < worst[0]:
+            worst = (float(gap[i]), (t0, t1), float(k[i]))
+    return {"ok": worst[0] >= 0.0, "min_gap": worst[0],
+            "pair": worst[1], "k_at_min": worst[2]}
+
+
+def arbitrage_report(surface: VolSurface, *, k_lo: float = -2.0,
+                     k_hi: float = 2.0, n: int = 801) -> dict:
+    """Full static-arbitrage screen of a fitted surface.
+
+    Returns ``{"ok", "butterfly": {T: check_butterfly(...)},
+    "calendar": check_calendar(...)}``. Run it after
+    :func:`fit_svi_surface` — a least-squares fit to noisy quotes can
+    embed both kinds of arbitrage without any fitting-loss signal.
+    """
+    kw = dict(k_lo=k_lo, k_hi=k_hi, n=n)
+    butterfly = {T: check_butterfly(p, **kw)
+                 for T, p in surface.slices.items()}
+    calendar = check_calendar(surface, **kw)
+    ok = calendar["ok"] and all(b["ok"] for b in butterfly.values())
+    return {"ok": ok, "butterfly": butterfly, "calendar": calendar}

@@ -183,6 +183,24 @@ def main(argv=None):
     Path(ns.output).write_text(json.dumps(report, indent=2))
     print(f"\nFitted params written to {ns.output}")
 
+    # static-arbitrage screen: a least-squares fit to noisy quotes can
+    # embed butterfly/calendar arbitrage without any fitting-loss signal
+    from optpricer_tpu import VolSurface, arbitrage_report
+
+    arb = arbitrage_report(VolSurface(fits, forward_curve=forwards))
+    if arb["ok"]:
+        print("Arbitrage screen: CLEAN (butterfly g>=0 on every slice, "
+              "calendar non-crossing)")
+    else:
+        for T, b in sorted(arb["butterfly"].items()):
+            if not b["ok"]:
+                print(f"  WARNING butterfly arbitrage at T={T:.4f}: "
+                      f"min g = {b['min_g']:.4g} at k={b['k_at_min']:.3f}")
+        cal = arb["calendar"]
+        if not cal["ok"]:
+            print(f"  WARNING calendar arbitrage between T={cal['pair']}: "
+                  f"min dw = {cal['min_gap']:.4g} at k={cal['k_at_min']:.3f}")
+
     if ns.plot:
         render_smiles(ns.plot, fits, strikes, forwards, ivs)
 

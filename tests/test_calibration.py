@@ -176,3 +176,74 @@ class TestVmappedSurfaceFit:
             {0.25: ivs[0.25], 1.0: ivs[1.0][:-1]})
         for T in (0.25, 0.6, 1.0):
             assert abs(surf_v.iv(100.0, T) - surf_r.iv(100.0, T)) < 1e-3
+
+
+class TestArbitrageDiagnostics:
+    """Gatheral-Jacquier static-arbitrage screens: Vogt's classic
+    butterfly-arbitrageable SVI slice must be flagged, benign fitted
+    smiles must pass, the implied density must integrate to one and
+    price the forward, and crossing slices must trip the calendar
+    check."""
+
+    BENIGN = SVIParams(a=0.02, b=0.08, rho=-0.4, m=0.0, sigma=0.3,
+                       expiry=0.5)
+    # Axel Vogt's counterexample (Gatheral & Jacquier 2014 §3): fits a
+    # plausible smile yet has a negative density region
+    VOGT = SVIParams(a=-0.0410, b=0.1331, rho=0.3060, m=0.3586,
+                     sigma=0.4153, expiry=1.0)
+
+    def test_benign_slice_passes(self):
+        from optpricer_tpu import check_butterfly
+
+        rep = check_butterfly(self.BENIGN)
+        assert rep["ok"] and rep["min_g"] >= 0.0
+
+    def test_vogt_slice_is_flagged(self):
+        from optpricer_tpu import check_butterfly, svi_density
+
+        rep = check_butterfly(self.VOGT)
+        assert not rep["ok"] and rep["min_g"] < 0.0
+        # the density is negative exactly where g is
+        k = rep["k_at_min"]
+        assert float(svi_density(self.VOGT, k)) < 0.0
+
+    def test_density_integrates_to_one_and_prices_forward(self):
+        from optpricer_tpu import svi_density
+
+        k = np.linspace(-6.0, 6.0, 20_001)
+        p = np.asarray(svi_density(self.BENIGN, k))
+        mass = np.trapezoid(p, k)
+        fwd = np.trapezoid(np.exp(k) * p, k)
+        assert abs(mass - 1.0) < 1e-4
+        assert abs(fwd - 1.0) < 1e-3   # E[e^k] = 1: martingale
+
+    def test_calendar_crossing_is_flagged(self):
+        from optpricer_tpu import check_calendar
+
+        # flat 30% vol at 6m vs flat 20% at 1y: total variance DROPS
+        bad = VolSurface({
+            0.5: SVIParams(a=0.09 * 0.5, b=1e-6, rho=0.0, m=0.0,
+                           sigma=0.1, expiry=0.5),
+            1.0: SVIParams(a=0.04 * 1.0, b=1e-6, rho=0.0, m=0.0,
+                           sigma=0.1, expiry=1.0)})
+        rep = check_calendar(bad)
+        assert not rep["ok"] and rep["min_gap"] < 0.0
+        assert rep["pair"] == (0.5, 1.0)
+
+    def test_full_report_on_fitted_surface(self):
+        from optpricer_tpu import arbitrage_report
+
+        good = VolSurface({
+            T: SVIParams(a=0.02 * T, b=0.1 * T, rho=-0.3, m=0.0,
+                         sigma=0.25, expiry=T)
+            for T in (0.25, 0.5, 1.0)})
+        rep = arbitrage_report(good)
+        assert rep["ok"]
+        assert set(rep["butterfly"]) == {0.25, 0.5, 1.0}
+        assert rep["calendar"]["ok"]
+
+    def test_single_slice_calendar_is_trivially_ok(self):
+        from optpricer_tpu import check_calendar
+
+        one = VolSurface({1.0: self.VOGT})
+        assert check_calendar(one)["ok"]

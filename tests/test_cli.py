@@ -168,6 +168,8 @@ class TestCalibrateScript:
         fit = json.loads(out.read_text())["0.5"]
         assert fit["rmse"] < 1e-4
         assert abs(fit["b"] - 0.12) < 0.02
+        # the post-fit static-arbitrage screen runs and is clean here
+        assert "Arbitrage screen: CLEAN" in proc.stdout
 
     def test_heston_mode(self, tmp_path):
         from optpricer_tpu import bs_implied_vol_vec, heston_price_cos
