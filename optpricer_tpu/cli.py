@@ -66,8 +66,12 @@ def _run_mc(ns) -> str:
 def _run_fd(ns) -> str:
     from .models.pde import fd_price
 
+    divs = None
+    if ns.dividends:
+        divs = [(float(t), float(d)) for t, d in
+                (pair.split(":") for pair in ns.dividends.split(","))]
     value = fd_price(_spec_of(ns), ns.kind, N_S=ns.N_S, N_t=ns.N_t,
-                     american=ns.american)
+                     american=ns.american, dividends=divs)
     return f"{value:.10f}"
 
 
@@ -223,6 +227,9 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--N-S", dict(dest="N_S", type=int, default=200)),
         ("--N-t", dict(dest="N_t", type=int, default=200)),
         ("--american", dict(action="store_true")),
+        ("--dividends", dict(default="",
+                             help="discrete cash dividends 't:amt,t:amt' "
+                                  "(piecewise-GBM jump conditions)")),
     ), _run_fd),
     "heston": ("Heston price (COS transform, or 2-D ADI PDE)", (
         ("--v0", dict(type=float, default=0.04)),

@@ -107,13 +107,14 @@ def _check_solver(solver: str, valid=_SOLVERS) -> str:
 
 @partial(jax.jit, static_argnames=("N_t", "american", "two_layers",
                                    "sigma_func", "solver", "american_method",
-                                   "psor_sweeps", "barrier_operator"))
+                                   "psor_sweeps", "barrier_operator",
+                                   "has_divs"))
 def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
-              barrier_mask, barrier_value,
+              barrier_mask, barrier_value, div_amts=None,
               *, N_t: int, american: bool, two_layers: bool,
               sigma_func: Callable | None = None, solver: str = "auto",
               american_method: str = "projection", psor_sweeps: int = 30,
-              barrier_operator: bool = False):
+              barrier_operator: bool = False, has_divs: bool = False):
     """Backward θ-scheme march. Returns V (and the n=1 layer when
     ``two_layers`` for theta extraction, reference ``pde.py:214-220``).
 
@@ -203,10 +204,33 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
                                  jnp.broadcast_to(c_lhs, (2, M)), unit)
         w_lo, w_hi = w[0], w[1]
 
+    def div_remap(V, D):
+        """Jump condition at an ex-dividend date: V(S, t⁻) = V(S − D, t⁺)
+        (cash drop; piecewise-GBM dividend model). Linear interpolation
+        of the carried layer at ln(max(S − D, S_min)); D == 0 selects
+        the layer unchanged (log/exp round-trips are NOT identity in
+        f32, so the no-dividend step must bypass the remap exactly)."""
+        x_new = jnp.log(jnp.maximum(S_grid - D, S_min))
+        u = (x_new - x_grid[0]) / dx
+        j = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, N_S - 1)
+        wgt = jnp.clip(u - j.astype(V.dtype), 0.0, 1.0)
+        remapped = V[..., j] * (1.0 - wgt) + V[..., j + 1] * wgt
+        return jnp.where(D > 0.0, remapped, V)
+
     def step(carry, n):
         V, V_dt = carry
         tau = (N_t - n) * dt
         t_now = n * dt
+
+        if has_divs:
+            # the carry is the t_{n+1}⁺ layer; a dividend AT t_{n+1}
+            # remaps it to the t_{n+1}⁻ layer before stepping back
+            V = div_remap(V, div_amts[n.astype(jnp.int32) + 1])
+            if american:
+                # exercising at t⁻ — cum-dividend, the most valuable
+                # instant for a call — must be offered explicitly: the
+                # previous step's projection only saw the t⁺ layer
+                V = jnp.maximum(V, intrinsic)
 
         bc_left, bc_right = _bc_values(tau, K, r, S_min, S_max, is_call)
         V_int = V[..., 1:N_S]
@@ -308,27 +332,55 @@ def _prep_solve(S0, K, T, r, q, sigma, kind, N_S, N_t, theta, S_max_mult,
     return x_grid_np, x_grid, args
 
 
+def _div_schedule(dividends, T, N_t, dtype):
+    """(N_t+1,) per-time-index cash dividend amounts from a
+    [(t, amount), ...] list; each date snaps to its nearest time node
+    (index 1..N_t), coincident dates accumulate."""
+    amts = np.zeros(N_t + 1)
+    for t_d, D in dividends:
+        if not 0.0 < t_d <= T:
+            raise ValueError(f"dividend date {t_d} outside (0, T={T}]")
+        if D < 0.0:
+            raise ValueError(f"negative dividend {D}")
+        amts[max(1, int(round(t_d / T * N_t)))] += D
+    return jnp.asarray(amts, dtype)
+
+
 def fd_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
              N_S: int = 200, N_t: int = 200, theta: float = 0.5,
              S_max_mult: float = 4.0, american: bool = False,
              dtype=None, solver: str = "auto",
              american_method: str = "projection",
-             psor_sweeps: int = 30) -> float:
+             psor_sweeps: int = 30, dividends=None) -> float:
     """European/American vanilla price via the θ-scheme
     (API parity: reference ``pde.py:228-268``).
 
     ``american_method``: "projection" reproduces the reference's
     project-after-solve (``pde.py:205-207``); "psor" solves the LCP with
     projected red-black SOR per step (more accurate near the free
-    boundary)."""
+    boundary).
+
+    ``dividends=[(t, amount), ...]`` prices under the piecewise-GBM
+    DISCRETE-cash-dividend model (the reference has only a continuous
+    yield, ``pde.py:145``): the spot drops by ``amount`` at each ex-date
+    and follows GBM(σ) in between. Each date snaps to its nearest time
+    node and enters as the jump condition V(S, t⁻) = V(S − amount, t⁺)
+    on the marching layer. Combined with ``american=True`` this captures
+    the classic early-exercise-before-dividend premium of American
+    calls."""
     _check_solver(solver)
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
                                      opt.sigma, kind, N_S, N_t, theta,
                                      S_max_mult, dtype)
+    div_kw = {}
+    if dividends:
+        div_kw = dict(has_divs=True,
+                      div_amts=_div_schedule(dividends, opt.T, int(N_t),
+                                             x_grid.dtype))
     V, _ = _fd_solve(**args, barrier_mask=None, barrier_value=0.0,
                      N_t=int(N_t), american=bool(american), two_layers=False,
                      solver=solver, american_method=american_method,
-                     psor_sweeps=int(psor_sweeps))
+                     psor_sweeps=int(psor_sweeps), **div_kw)
     return float(_readout(x_np, V, opt.S0))
 
 

@@ -319,3 +319,10 @@ class TestCLIExtensions:
         px = float(out.split()[0])
         assert abs(px - 3.3329) < 0.08
         assert "stderr" in out
+
+    def test_fd_dividends(self, capsys):
+        _run_cli("fd", *self.COMMON, "--N-S", "200", "--N-t", "200",
+                 "--dividends", "0.5:5")
+        out = capsys.readouterr().out.strip()
+        # exact quadrature oracle: 7.7740 (test_pde.TestDiscreteDividends)
+        assert abs(float(out) - 7.774) < 1e-2

@@ -260,3 +260,81 @@ class TestBarrierOperatorMode:
         far = fd_price_barrier(OPT, CALL, 10_000.0, "up-and-out",
                                barrier_mode="operator")
         assert abs(far - van) < 1e-9
+
+
+class TestDiscreteDividends:
+    """Piecewise-GBM cash dividends via jump conditions on the marching
+    layer. Oracle: exact 1-D quadrature (the inner segment is a BS call
+    in closed form). The reference supports only a continuous yield
+    (pde.py:145) — no dividend test exists to inherit."""
+
+    def _quad_div_call(self, S0, K, D, r, sig, t1, t2):
+        from scipy.stats import norm
+
+        def bs_call(S, Kv, T, rv, sigma):
+            S = np.maximum(S, 1e-300)
+            d1 = (np.log(S / Kv) + (rv + sigma**2 / 2) * T) \
+                / (sigma * np.sqrt(T))
+            return S * norm.cdf(d1) \
+                - Kv * np.exp(-rv * T) * norm.cdf(d1 - sigma * np.sqrt(T))
+
+        z = np.linspace(-10, 10, 100_001)
+        phi = np.exp(-z * z / 2) / np.sqrt(2 * np.pi)
+        S1 = S0 * np.exp((r - sig * sig / 2) * t1 + sig * np.sqrt(t1) * z)
+        vals = bs_call(np.maximum(S1 - D, 1e-12), K, t2, r, sig)
+        return np.exp(-r * t1) * np.trapezoid(vals * phi, z)
+
+    def test_single_dividend_matches_quadrature(self):
+        truth = self._quad_div_call(100.0, 100.0, 5.0, 0.05, 0.2, 0.5, 0.5)
+        got = fd_price(OPT, CALL, N_S=400, N_t=400,
+                       dividends=[(0.5, 5.0)])
+        assert abs(got - truth) < 5e-3, (got, truth)
+
+    def test_zero_dividend_is_exactly_vanilla(self):
+        # D = 0 must bypass the remap bit-exactly (f32 log/exp round
+        # trips are not identity)
+        van = fd_price(OPT, CALL, N_S=200, N_t=200)
+        z = fd_price(OPT, CALL, N_S=200, N_t=200, dividends=[(0.5, 0.0)])
+        assert z == van
+
+    def test_early_dividend_limit_is_shifted_bs(self):
+        # dividend at t→0⁺ ⇒ call on S0 − D
+        got = fd_price(OPT, CALL, N_S=400, N_t=500,
+                       dividends=[(0.002, 5.0)])
+        shifted = fd_price(OptionSpec(S0=95.0, K=100.0, T=1.0, r=0.05,
+                                      sigma=0.2), CALL, N_S=400, N_t=500)
+        assert abs(got - shifted) < 2e-2
+
+    def test_monotone_in_dividend(self):
+        kw = dict(N_S=200, N_t=200)
+        calls = [fd_price(OPT, CALL, dividends=[(0.5, D)], **kw)
+                 for D in (0.0, 2.0, 5.0)]
+        puts = [fd_price(OPT, PUT, dividends=[(0.5, D)], **kw)
+                for D in (0.0, 2.0, 5.0)]
+        assert calls[0] > calls[1] > calls[2]
+        assert puts[0] < puts[1] < puts[2]
+
+    def test_american_call_exercises_before_big_dividend(self):
+        # with a large late dividend the American call is worth nearly
+        # the no-dividend T=0.9 American (exercise cum-dividend), far
+        # above the European on the dropped asset
+        divs = [(0.9, 8.0)]
+        eu = fd_price(OPT, CALL, N_S=400, N_t=400, dividends=divs)
+        am = fd_price(OPT, CALL, N_S=400, N_t=400, dividends=divs,
+                      american=True)
+        pre = fd_price(OptionSpec(S0=100.0, K=100.0, T=0.9, r=0.05,
+                                  sigma=0.2), CALL, N_S=400, N_t=400)
+        assert am > eu + 1.0
+        assert am > pre - 0.05  # can't be worth less than stopping at t1⁻
+
+    def test_multiple_dividends_and_guards(self):
+        multi = fd_price(OPT, CALL, N_S=200, N_t=200,
+                         dividends=[(0.25, 2.0), (0.75, 2.0)])
+        single = fd_price(OPT, CALL, N_S=200, N_t=200,
+                          dividends=[(0.25, 4.0)])
+        assert 0.0 < multi < fd_price(OPT, CALL, N_S=200, N_t=200)
+        assert multi != single
+        with pytest.raises(ValueError, match="outside"):
+            fd_price(OPT, CALL, dividends=[(1.5, 1.0)])
+        with pytest.raises(ValueError, match="negative"):
+            fd_price(OPT, CALL, dividends=[(0.5, -1.0)])
