@@ -41,10 +41,14 @@ __all__ = ["lsmc_price", "lsmc_price_batch", "lsmc_price_sharded"]
 
 
 @partial(jax.jit, static_argnames=("basis_dim",))
-def _lsmc_backward(paths, K, r, dt, is_call, *, basis_dim: int):
+def _lsmc_backward(paths, K, r, dt, is_call, ex_mask=None, *,
+                   basis_dim: int):
     """(price, stderr) from a stored path matrix, one backward scan.
 
-    ``K``/``is_call`` may be scalars or (B,)-batched (vmapped ladder)."""
+    ``K``/``is_call`` may be scalars or (B,)-batched (vmapped ladder).
+    ``ex_mask`` (optional, (n_steps−1,) bool over the interior dates)
+    restricts exercise to the True dates — the BERMUDAN contract;
+    maturity is always exercisable through the terminal payoff."""
     dtype = paths.dtype
     n_paths = paths.shape[1]
     disc = jnp.exp(-jnp.asarray(r, dtype) * dt)
@@ -56,7 +60,8 @@ def _lsmc_backward(paths, K, r, dt, is_call, *, basis_dim: int):
     ridge = jnp.asarray(1e-7, dtype)
     eye = jnp.eye(basis_dim, dtype=dtype)
 
-    def date(cashflow, S_t):
+    def date(cashflow, xs):
+        S_t = xs if ex_mask is None else xs[0]
         cont_realised = disc * cashflow
         ex = intrinsic(S_t)
         w = (ex > 0.0).astype(dtype)
@@ -74,15 +79,22 @@ def _lsmc_backward(paths, K, r, dt, is_call, *, basis_dim: int):
         beta = jnp.linalg.solve(A + ridge * eye, b)
         fitted = jnp.matmul(X, beta, precision=jax.lax.Precision.HIGHEST)
         exercise = (w > 0.0) & (ex > fitted)
+        if ex_mask is not None:
+            exercise = exercise & xs[1]
         return jnp.where(exercise, ex, cont_realised), None
 
     cashflow = intrinsic(paths[-1])
     # exercise dates t = n_steps−1 … 1 (reversed interior rows)
-    cashflow, _ = jax.lax.scan(date, cashflow, paths[1:-1][::-1])
+    xs = paths[1:-1][::-1] if ex_mask is None \
+        else (paths[1:-1][::-1], ex_mask[::-1])
+    cashflow, _ = jax.lax.scan(date, cashflow, xs)
     value = disc * cashflow  # discount the t=1 cashflow to t=0
     mean = jnp.mean(value)
     se = jnp.sqrt(jnp.maximum(
         jnp.sum((value - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    if ex_mask is not None:
+        # Bermudan: t=0 is not an exercise date, no intrinsic floor
+        return mean, se
     # t=0 exercise decision: American value is floored at intrinsic
     return jnp.maximum(mean, intrinsic(paths[0, 0])), se
 
@@ -413,7 +425,8 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                seed: Optional[int] = None, dtype=None,
                return_stderr: bool = True, bound: Optional[str] = None,
                n_inner: int = 256, n_upper_paths: int = 8_192,
-               heston: Optional[dict] = None, lsv=None):
+               heston: Optional[dict] = None, lsv=None,
+               exercise_dates=None):
     """American vanilla price via Longstaff-Schwartz.
 
     Default (``bound=None``): single-pass LSMC, returns ``(price,
@@ -452,9 +465,19 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     on that grid; ``opt.S0/r/q`` must match the model (``opt.sigma`` is
     ignored — the model carries the vol). Same (S, v) regression basis
     and ``bound`` support as ``heston=``.
+
+    ``exercise_dates=[t1, t2, ...]`` prices the BERMUDAN contract:
+    exercise only at the given dates (snapped to the step grid;
+    maturity is always exercisable, t=0 never). An empty list is the
+    European limit; the full grid reproduces the American run exactly.
+    GBM single-pass only.
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
+    if exercise_dates is not None and (heston is not None
+                                       or lsv is not None):
+        raise ValueError("exercise_dates (Bermudan) currently prices "
+                         "under GBM dynamics only")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     if lsv is not None:
@@ -533,6 +556,24 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     paths = gbm_paths(opt.S0, opt.r, opt.q, opt.sigma, opt.T,
                       n_steps, n_paths, antithetic=antithetic,
                       seed=seed_val, dtype=dt_)
+    if exercise_dates is not None:
+        # BERMUDAN: exercise restricted to the given dates (snapped to
+        # the step grid; maturity always exercisable via the terminal
+        # payoff, t=0 never). Single-pass GBM estimator.
+        if bound is not None:
+            raise ValueError("exercise_dates (Bermudan) supports the "
+                             "single-pass estimator only (bound=None)")
+        mask = np.zeros(n_steps - 1, bool)
+        for t_e in exercise_dates:
+            if not 0.0 < t_e <= opt.T:
+                raise ValueError(
+                    f"exercise date {t_e} outside (0, T={opt.T}]")
+            i = int(round(t_e / opt.T * n_steps))
+            if 1 <= i <= n_steps - 1:
+                mask[i - 1] = True
+        price, se = _lsmc_backward(paths, *args, jnp.asarray(mask),
+                                   basis_dim=int(basis_dim))
+        return (float(price), float(se)) if return_stderr else float(price)
     if bound is None:
         price, se = _lsmc_backward(paths, *args, basis_dim=int(basis_dim))
         return (float(price), float(se)) if return_stderr else float(price)

@@ -835,6 +835,7 @@ def exotic_price_mc(
     dtype=None,
     backend: str = "auto",
     control_variate: bool = False,
+    dividends=None,
     mesh=None,
 ):
     """Price a path-dependent option without materialising paths.
@@ -865,6 +866,14 @@ def exotic_price_mc(
     devices (per-device streams from ``fold_in(key, device_idx)``) and the
     payoff statistics ride one ``psum``; ``n_paths`` is rounded up to a
     device multiple.
+
+    ``dividends=[(t, amount), ...]`` (GBM only) prices under the
+    piecewise-GBM discrete-cash-dividend model: the spot drops by
+    ``amount`` at each ex-date (snapped to the step grid — the same
+    schedule convention as :func:`~optpricer_tpu.models.pde.fd_price`,
+    which is the cross-engine oracle for the vanilla leg). Runs on the
+    XLA scan engine; incompatible with ``control_variate`` (no
+    closed-form CV mean under dividends).
     """
     if payoff not in _PAYOFFS:
         raise ValueError(f"payoff must be one of {_PAYOFFS}, got {payoff!r}")
@@ -935,6 +944,20 @@ def exotic_price_mc(
             mean -= np.exp(-float(r) * float(T)) * (fwd - float(K))
         return float(mean), float(se)
 
+    if dividends:
+        # piecewise-GBM cash dividends: XLA scan engine only (the Pallas
+        # kernels have no dividend schedule slot, the QMC bridge assumes
+        # a dividend-free terminal map, and the geometric-Asian CV mean
+        # has no dividend closed form)
+        if sigma is None or merton is not None:
+            raise ValueError("dividends= requires GBM dynamics (sigma=)")
+        if control_variate:
+            raise ValueError("control_variate has no closed-form mean "
+                             "under discrete dividends")
+        if backend in ("pallas", "qmc"):
+            raise ValueError("dividends price on the XLA scan engine "
+                             "(backend='auto'/'xla')")
+
     # Arithmetic-asian GBM pricing upgrades the control variate to the
     # geometric-average payoff: corr(X, Y_geo) ≈ 1 and E[Y_geo] is exact
     # (analytic.geometric_asian_price) — typically a 30-100× stderr
@@ -995,7 +1018,7 @@ def exotic_price_mc(
     # GBM and Heston dynamics are supported in-kernel (Dupire via
     # exotic_price_mc_dupire); traced sigma_loc closures and Merton stay
     # on the XLA scan path.
-    kernel_ok = (sigma_loc is None and merton is None)
+    kernel_ok = (sigma_loc is None and merton is None and not dividends)
     use_pallas = kernel_ok and n_steps % 2 == 0 and (
         backend == "pallas" or (
             backend == "auto" and jax.default_backend() == "tpu"
@@ -1042,6 +1065,10 @@ def exotic_price_mc(
         s_nu=jnp.asarray(sabr["nu"] if sabr else 0.0, dt_),
         s_rho=jnp.asarray(sabr["rho"] if sabr else 0.0, dt_),
     )
+    if dividends:
+        from .pde import _div_schedule
+
+        fixed["div_amts"] = _div_schedule(dividends, T, int(n_steps), dt_)
     if heston is not None:
         model_kind = "heston_qe" if scheme == "qe" else "heston"
     elif sabr is not None:
@@ -1326,6 +1353,13 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             if antithetic:
                 z = jnp.concatenate([z, -z])
             S_new = step_fn(S, z, t_now)
+            if "div_amts" in fixed:
+                # discrete cash dividend at node t_{idx+1}: drop applies
+                # before the node is observed (payoff accumulators and
+                # the barrier monitor see the post-drop spot, matching
+                # the PDE jump-condition convention)
+                S_new = jnp.maximum(
+                    S_new - fixed["div_amts"][t_idx + 1], 1e-12)
         if with_greeks:
             W = W + sqrt_dt * z
             t_new = (t_idx.astype(dt_) + 1.0) * dt

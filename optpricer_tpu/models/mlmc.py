@@ -77,7 +77,12 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
     def hit(S):
         return (S >= fixed["barrier"]) if up else (S <= fixed["barrier"])
 
-    S_init = jnp.full((n_cols,), fixed["S0"], dt_)
+    # Derive the initial carry from the key so its varying-axes type
+    # matches the per-step draws inside shard_map (scan requires carry
+    # agreement; same device-varyance trick as lsv._lsv_paths).
+    vary = jnp.zeros((), dt_) * jax.random.uniform(
+        jax.random.fold_in(key, 2**30), (), dt_)
+    S_init = jnp.full((n_cols,), fixed["S0"], dt_) + vary
     zeros = S_init * 0.0
     # barrier slot carries the Brownian-bridge SURVIVAL probability (the
     # standard MLMC treatment, Giles 2008 §5: the binary grid-crossing
@@ -198,6 +203,28 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
                       jnp.sum(p_f), jnp.sum(p_f * p_f)])
 
 
+def _mlmc_level_stats_sharded(mesh, key, fixed, *, n_paths, **static):
+    """One level chunk sharded over a mesh: each device runs its own
+    ``n_paths // n_dev``-path slice of the chunk on a ``fold_in``-derived
+    stream and the 5-stat vector rides one psum over all mesh axes —
+    the same exact-aggregation contract as every other mesh engine."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import mesh_axes
+
+    axis = mesh_axes(mesh)
+    n_dev = int(mesh.devices.size)
+    n_local = -(-int(n_paths) // n_dev)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+    def shard_fn(dev_ids):
+        local_key = jax.random.fold_in(key, dev_ids[0])
+        s = _mlmc_level_stats(local_key, fixed, n_paths=n_local, **static)
+        return jax.lax.psum(s, axis)
+
+    return shard_fn(jnp.arange(n_dev))
+
+
 def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
                q: float = 0.0, *, sigma: Optional[float] = None,
                heston: Optional[dict] = None, kind: str = "call",
@@ -208,7 +235,7 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
                rebate: float = 0.0, average_type: str = "arithmetic",
                strike_type: str = "fixed", payout: float = 1.0,
                antithetic: bool = True, seed: Optional[int] = None,
-               dtype=None, return_info: bool = False):
+               dtype=None, return_info: bool = False, mesh=None):
     """Adaptive MLMC price of a (path-dependent) option.
 
     ``payoff`` ∈ {"vanilla", "barrier", "asian", "digital", "lookback"}
@@ -235,6 +262,11 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
     the weak (bias) remainder is driven below ``eps/√2`` separately and
     reported in ``info`` with ``return_info=True`` alongside the
     per-level table (n_l, mean_l, V_l, cost_l).
+
+    With ``mesh`` (any-rank ``jax.sharding.Mesh``) every chunk launch
+    splits its paths across the devices (per-device streams from
+    ``fold_in``) and the 5-stat vector rides one psum — the adaptive
+    loop is unchanged, it just consumes device-parallel chunks.
     """
     if payoff not in ("vanilla", "barrier", "asian", "digital",
                       "lookback"):
@@ -276,9 +308,10 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
         n_target = min(int(n_target), int(max_paths_per_level))
         while acc[level][0] < n_target:
             k = jax.random.fold_in(key, (level << 16) | chunks_run[level])
-            s = _mlmc_level_stats(
-                k, fixed, n_coarse=n0_steps * M ** max(level - 1, 0),
-                n_paths=chunk, level0=(level == 0), **static)
+            kw = dict(n_coarse=n0_steps * M ** max(level - 1, 0),
+                      n_paths=chunk, level0=(level == 0), **static)
+            s = _mlmc_level_stats(k, fixed, **kw) if mesh is None else \
+                _mlmc_level_stats_sharded(mesh, k, fixed, **kw)
             acc[level] += np.asarray(jax.device_get(s), np.float64)
             chunks_run[level] += 1
 

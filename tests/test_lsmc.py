@@ -222,3 +222,48 @@ class TestHestonLsmc:
                             basis_dim=7, n_paths=20_000, n_steps=16,
                             seed=2)
         assert np.isfinite(px) and px > 0 and se > 0
+
+
+class TestBermudan:
+    """exercise_dates= restricts the LSMC policy to given dates: the
+    empty set is the European limit, nesting is monotone, the full grid
+    reproduces the American run exactly (same paths, same seed)."""
+
+    OPT = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+    KW = dict(n_paths=40_000, n_steps=24, seed=9)
+
+    def test_empty_set_is_european(self):
+        from optpricer_tpu import bs_price
+
+        eu = float(bs_price(self.OPT, "put"))
+        px, se = lsmc_price(self.OPT, "put", exercise_dates=[], **self.KW)
+        assert abs(px - eu) < 4.0 * se + 1e-3, (px, eu)
+
+    def test_monotone_in_exercise_dates(self):
+        quarterly = [0.25, 0.5, 0.75]
+        monthly = [i / 12 for i in range(1, 12)]
+        pq, _ = lsmc_price(self.OPT, "put", exercise_dates=quarterly,
+                           **self.KW)
+        pm, _ = lsmc_price(self.OPT, "put", exercise_dates=monthly,
+                           **self.KW)
+        pa, _ = lsmc_price(self.OPT, "put", **self.KW)
+        assert pq <= pm + 1e-9
+        assert pm <= pa + 0.02  # independent regressions: small noise
+
+    def test_full_grid_equals_american(self):
+        n = self.KW["n_steps"]
+        full = [i / n for i in range(1, n)]
+        pb, _ = lsmc_price(self.OPT, "put", exercise_dates=full, **self.KW)
+        pa, _ = lsmc_price(self.OPT, "put", **self.KW)
+        assert abs(pb - pa) < 1e-6, (pb, pa)
+
+    def test_guards(self):
+        with pytest.raises(ValueError, match="Bermudan"):
+            lsmc_price(self.OPT, "put", exercise_dates=[0.5],
+                       bound="lower", **self.KW)
+        with pytest.raises(ValueError, match="outside"):
+            lsmc_price(self.OPT, "put", exercise_dates=[1.5], **self.KW)
+        with pytest.raises(ValueError, match="GBM"):
+            lsmc_price(self.OPT, "put", exercise_dates=[0.5],
+                       heston=dict(v0=0.04, kappa=1.0, theta=0.04,
+                                   xi=0.3, rho=-0.5), **self.KW)

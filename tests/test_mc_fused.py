@@ -410,3 +410,49 @@ class TestExactCEV:
             exotic_price_mc("barrier", 100.0, 100.0, 1.0, 0.04, 0.0,
                             sabr=self.SB, scheme="exact", barrier=140.0,
                             rebate=1.0)
+
+
+class TestDiscreteDividendsMC:
+    """Piecewise-GBM cash dividends on the XLA scan engine — the PDE
+    jump-condition solver (pinned to an exact quadrature oracle in
+    test_pde.py) is the cross-engine truth."""
+
+    def test_vanilla_matches_dividend_pde(self):
+        from optpricer_tpu import OptionSpec, exotic_price_mc, fd_price
+
+        divs = [(0.5, 5.0)]
+        opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+        pde = fd_price(opt, "call", N_S=400, N_t=400, dividends=divs)
+        mc, se = exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05,
+                                 sigma=0.2, n_steps=64, n_paths=200_000,
+                                 seed=3, dividends=divs)
+        assert se > 0.0
+        assert abs(mc - pde) < 4.0 * se + 5e-3, (mc, pde)
+
+    def test_dividend_lowers_call_payoffs(self):
+        from optpricer_tpu import exotic_price_mc
+
+        kw = dict(sigma=0.2, n_steps=32, n_paths=100_000, seed=5)
+        for payoff, extra in (("vanilla", {}), ("asian", {}),
+                              ("lookback", dict(strike_type="fixed"))):
+            with_d, _ = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.05,
+                                        dividends=[(0.5, 5.0)], **extra,
+                                        **kw)
+            without, _ = exotic_price_mc(payoff, 100.0, 100.0, 1.0, 0.05,
+                                         **extra, **kw)
+            assert with_d < without, payoff
+
+    def test_guards(self):
+        from optpricer_tpu import exotic_price_mc
+
+        divs = [(0.5, 5.0)]
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.4, rho=-0.5)
+        with pytest.raises(ValueError, match="GBM"):
+            exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05,
+                            heston=hp, dividends=divs)
+        with pytest.raises(ValueError, match="control_variate"):
+            exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.05, sigma=0.2,
+                            control_variate=True, dividends=divs)
+        with pytest.raises(ValueError, match="XLA scan"):
+            exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, sigma=0.2,
+                            backend="pallas", dividends=divs)

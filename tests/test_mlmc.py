@@ -155,3 +155,19 @@ class TestGuards:
         assert abs(px - sum(info["mean"])) < 1e-12
         assert all(b == 2 * a for a, b in zip(info["fine_steps"],
                                               info["fine_steps"][1:]))
+
+
+class TestMesh:
+    def test_sharded_matches_single_statistically(self):
+        import jax
+
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device harness")
+        mesh = get_mesh()
+        ref = _geo_asian_continuous(S0, K, T, R, Q, SIG)
+        px, se = mlmc_price("asian", S0, K, T, R, Q, sigma=SIG, eps=0.02,
+                            average_type="geometric", seed=5, mesh=mesh)
+        assert se > 0.0
+        assert abs(px - ref) < 3.0 * 0.02 + 3.0 * se, (px, ref)
