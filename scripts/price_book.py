@@ -116,6 +116,41 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
                          or "fixed").strip().lower(),
             payout=float(row.get("payout", 1.0) or 1.0))
         result["price"], result["stderr"] = px, se
+    elif method == "fd":
+        # θ-scheme PDE rows: optional american / dividends columns
+        # (dividends cell: 't:amt' pairs, ';'-separated — the
+        # piecewise-GBM cash-dividend model, models/pde.py)
+        from optpricer_tpu import fd_price
+
+        opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
+        divs = None
+        cell = (row.get("dividends", "") or "").strip()
+        if cell:
+            divs = [(float(t), float(d)) for t, d in
+                    (pair.split(":") for pair in cell.split(";"))]
+        result["price"] = fd_price(
+            opt, kind, N_S=int(row.get("N_S", 400) or 400),
+            N_t=int(row.get("N_t", 400) or 400),
+            american=str(row.get("american", "false")).strip().lower()
+            == "true", dividends=divs)
+    elif method == "mlmc":
+        # continuous-monitoring limit at target RMSE (models/mlmc.py):
+        # optional eps / payoff-family columns, same conventions as qmc
+        from optpricer_tpu import mlmc_price
+
+        px, se = mlmc_price(
+            row.get("exotic_type", "vanilla").strip().lower() or "vanilla",
+            S0, K, T, r, q, sigma=sigma, kind=kind,
+            eps=float(row.get("eps", 0.01) or 0.01), seed=1,
+            barrier=float(row.get("barrier", 0.0) or 0.0),
+            barrier_type=(row.get("barrier_type", "up-and-out")
+                          or "up-and-out").strip().lower(),
+            average_type=(row.get("average_type", "arithmetic")
+                          or "arithmetic").strip().lower(),
+            strike_type=(row.get("strike_type", "fixed")
+                         or "fixed").strip().lower(),
+            payout=float(row.get("payout", 1.0) or 1.0))
+        result["price"], result["stderr"] = px, se
     elif method == "heston":
         # stochastic-vol rows: optional v0/kappa/theta/xi/rho columns
         # (defaults sigma^2-flat); 'american' truthy or a barrier column

@@ -99,8 +99,15 @@ class TestPriceBookScript:
         book = tmp_path / "book.csv"
         fields = ["id", "S0", "K", "T", "r", "sigma", "q", "kind",
                   "method", "exotic_type", "barrier", "barrier_type",
-                  "n_paths", "n_steps", "weights", "rho", "basket_payoff"]
+                  "n_paths", "n_steps", "weights", "rho", "basket_payoff",
+                  "eps", "dividends", "N_S", "N_t"]
         rows = [
+            dict(id="f1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="fd", dividends="0.5:5", N_S=200,
+                 N_t=200),
+            dict(id="m1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="mlmc", exotic_type="barrier",
+                 barrier=130, barrier_type="up-and-out", eps=0.03),
             dict(id="l1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="put", method="lsmc", n_paths=20000, n_steps=25),
             dict(id="h1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
@@ -133,13 +140,17 @@ class TestPriceBookScript:
         results = {r["id"]: r for r in json.loads(out.read_text())}
         assert abs(results["l1"]["price"] - 6.09) < 0.15
         assert abs(results["q1"]["price"] - 6.054) < 0.05
+        # fd + discrete dividend row: exact quadrature oracle 7.7740
+        assert abs(results["f1"]["price"] - 7.774) < 1e-2
+        # mlmc continuous up-and-out row: reflection truth 3.3329
+        assert abs(results["m1"]["price"] - 3.3329) < 0.12
         assert results["b1"]["price"] > results["b2"]["price"] > 0
         # heston row (COS, defaults v0=theta=sigma^2): deterministic,
         # close to the BS price at the same total variance
         assert abs(results["h1"]["price"] - 10.45) < 0.6
         for r in results.values():
             assert "error" not in r
-            if r["id"] != "h1":     # semi-analytic rows have no stderr
+            if r["id"] not in ("h1", "f1"):  # deterministic rows
                 assert r["stderr"] is not None
 
 
