@@ -469,8 +469,10 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     ``exercise_dates=[t1, t2, ...]`` prices the BERMUDAN contract:
     exercise only at the given dates (snapped to the step grid;
     maturity is always exercisable, t=0 never). An empty list is the
-    European limit; the full grid reproduces the American run exactly.
-    GBM single-pass only.
+    European limit; the full grid reproduces the American run exactly
+    wherever the American's t=0 intrinsic floor does not bind (the
+    Bermudan, lacking a t=0 right, is never floored). GBM single-pass
+    only.
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
@@ -494,14 +496,16 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                     f"calibrated model's {name}={getattr(lsv, name)}")
         from .lsv import lsv_path_matrix
 
-        n_use = int(round(opt.T / (lsv.T / lsv.n_steps)))
+        # generate first: lsv_path_matrix validates that opt.T lands on
+        # the leverage grid (n_use ≥ 1), so the dt below is well-defined
+        S, v = lsv_path_matrix(lsv, n_paths=n_paths, T=opt.T,
+                               antithetic=antithetic, seed=seed_val,
+                               dtype=dt_)
+        n_use = S.shape[0] - 1
         k_sv = max(int(basis_dim), 6)
         args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
                 jnp.asarray(opt.T / n_use, dt_),
                 jnp.asarray(is_call_mask(kind)))
-        S, v = lsv_path_matrix(lsv, n_paths=n_paths, T=opt.T,
-                               antithetic=antithetic, seed=seed_val,
-                               dtype=dt_)
         if bound is None:
             price, se = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv)
             return (float(price), float(se)) if return_stderr \
@@ -568,8 +572,11 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
             if not 0.0 < t_e <= opt.T:
                 raise ValueError(
                     f"exercise date {t_e} outside (0, T={opt.T}]")
-            i = int(round(t_e / opt.T * n_steps))
-            if 1 <= i <= n_steps - 1:
+            # clamp to node 1: a date that rounds to 0 must still grant
+            # its exercise right at the first representable grid time,
+            # not be silently dropped (same convention as _div_schedule)
+            i = max(1, int(round(t_e / opt.T * n_steps)))
+            if i <= n_steps - 1:
                 mask[i - 1] = True
         price, se = _lsmc_backward(paths, *args, jnp.asarray(mask),
                                    basis_dim=int(basis_dim))

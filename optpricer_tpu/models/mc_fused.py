@@ -128,6 +128,20 @@ def _ad_exotic_greeks(payoff, S0, K, T, r, q, *, kind, strike_type,
             "bump-and-reprice with common random numbers")
     import numpy as np
 
+    if dividends:
+        # piecewise-GBM cash dividends: XLA scan engine only (the Pallas
+        # kernels have no dividend schedule slot, the QMC bridge assumes
+        # a dividend-free terminal map, and the geometric-Asian CV mean
+        # has no dividend closed form)
+        if sigma is None or merton is not None:
+            raise ValueError("dividends= requires GBM dynamics (sigma=)")
+        if control_variate:
+            raise ValueError("control_variate has no closed-form mean "
+                             "under discrete dividends")
+        if backend in ("pallas", "qmc"):
+            raise ValueError("dividends price on the XLA scan engine "
+                             "(backend='auto'/'xla')")
+
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     key = jax.random.key(seed_val)
@@ -911,6 +925,20 @@ def exotic_price_mc(
         if mesh is not None or backend == "pallas":
             raise ValueError("scheme='exact' runs on the single-device "
                              "XLA engine (Poisson/Gamma sampling)")
+    if dividends:
+        # piecewise-GBM cash dividends: XLA scan engine only (the Pallas
+        # kernels have no dividend schedule slot, the QMC bridge assumes
+        # a dividend-free terminal map, and the geometric-Asian CV mean
+        # has no dividend closed form)
+        if sigma is None or merton is not None:
+            raise ValueError("dividends= requires GBM dynamics (sigma=)")
+        if control_variate:
+            raise ValueError("control_variate has no closed-form mean "
+                             "under discrete dividends")
+        if backend in ("pallas", "qmc"):
+            raise ValueError("dividends price on the XLA scan engine "
+                             "(backend='auto'/'xla')")
+
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     key = jax.random.key(seed_val)
@@ -943,20 +971,6 @@ def exotic_price_mc(
             fwd = float(S0) * np.exp((float(r) - float(q)) * float(T))
             mean -= np.exp(-float(r) * float(T)) * (fwd - float(K))
         return float(mean), float(se)
-
-    if dividends:
-        # piecewise-GBM cash dividends: XLA scan engine only (the Pallas
-        # kernels have no dividend schedule slot, the QMC bridge assumes
-        # a dividend-free terminal map, and the geometric-Asian CV mean
-        # has no dividend closed form)
-        if sigma is None or merton is not None:
-            raise ValueError("dividends= requires GBM dynamics (sigma=)")
-        if control_variate:
-            raise ValueError("control_variate has no closed-form mean "
-                             "under discrete dividends")
-        if backend in ("pallas", "qmc"):
-            raise ValueError("dividends price on the XLA scan engine "
-                             "(backend='auto'/'xla')")
 
     # Arithmetic-asian GBM pricing upgrades the control variate to the
     # geometric-average payoff: corr(X, Y_geo) ≈ 1 and E[Y_geo] is exact

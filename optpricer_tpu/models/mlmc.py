@@ -59,8 +59,7 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
     Level l>0 (``level0=False``): coupled estimator Y = df·(P_f − P_c),
     fine grid n_coarse·M steps / coarse grid n_coarse steps, coarse
     normals = scaled sums of the fine ones. Level 0: Y = df·P_f on the
-    n_coarse(=n0) grid, no coarse track. Returns
-    ``[n, ΣY, ΣY², ΣP_f·df, Σ(P_f·df)²]``.
+    n_coarse(=n0) grid, no coarse track. Returns ``[n, ΣY, ΣY²]``.
     """
     dt_ = dtype
     n_f = n_coarse * (M if not level0 else 1)
@@ -199,8 +198,7 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
     p_f = df * payoff_of(fine, n_f)
     y = p_f if level0 else p_f - df * payoff_of(coarse, n_coarse)
     n = jnp.asarray(y.size, dt_)
-    return jnp.stack([n, jnp.sum(y), jnp.sum(y * y),
-                      jnp.sum(p_f), jnp.sum(p_f * p_f)])
+    return jnp.stack([n, jnp.sum(y), jnp.sum(y * y)])
 
 
 def _mlmc_level_stats_sharded(mesh, key, fixed, *, n_paths, **static):
@@ -273,8 +271,19 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
         raise ValueError(f"unknown payoff {payoff!r}")
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
+    if barrier_type not in ("up-and-out", "up-and-in", "down-and-out",
+                            "down-and-in"):
+        raise ValueError(f"unknown barrier_type {barrier_type!r}")
+    if average_type not in ("arithmetic", "geometric"):
+        raise ValueError(f"unknown average_type {average_type!r}")
+    if strike_type not in ("fixed", "floating"):
+        raise ValueError(f"unknown strike_type {strike_type!r}")
     if (sigma is None) == (heston is None):
         raise ValueError("provide exactly one of sigma / heston")
+    if heston is not None:
+        missing = {"v0", "kappa", "theta", "xi", "rho"} - set(heston)
+        if missing:
+            raise ValueError(f"heston= missing keys {sorted(missing)}")
     if M < 2:
         raise ValueError("M must be >= 2")
     if not 0 <= L_min <= L_max:
@@ -297,17 +306,20 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
     chunk = int(chunk)
     pair_mult = 2 if antithetic else 1
 
-    # per-level accumulators (host float64): [n, Σy, Σy², Σp, Σp²]
+    # per-level accumulators (host float64): [n, Σy, Σy²]
     acc: list[np.ndarray] = []
     chunks_run: list[int] = []
 
     def ensure(level: int, n_target: int):
         while len(acc) <= level:
-            acc.append(np.zeros(5))
+            acc.append(np.zeros(3))
             chunks_run.append(0)
         n_target = min(int(n_target), int(max_paths_per_level))
         while acc[level][0] < n_target:
-            k = jax.random.fold_in(key, (level << 16) | chunks_run[level])
+            # two folds, not (level << k) | chunk: a bit-packed id would
+            # alias into the next level's stream past 2^k chunks
+            k = jax.random.fold_in(jax.random.fold_in(key, level),
+                                   chunks_run[level])
             kw = dict(n_coarse=n0_steps * M ** max(level - 1, 0),
                       n_paths=chunk, level0=(level == 0), **static)
             s = _mlmc_level_stats(k, fixed, **kw) if mesh is None else \
@@ -357,6 +369,8 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
     info = dict(levels=L + 1, eps=eps,
                 n=[int(x) for x in n], mean=list(map(float, m)),
                 var=list(map(float, v)),
+                cost=[n0_steps * M ** max(l - 1, 0)
+                      * (1 if l == 0 else M + 1) for l in range(L + 1)],
                 fine_steps=[n0_steps * M ** l for l in range(L + 1)],
                 weak_remainder=float(tail if L >= 1 else np.nan))
     return price, se, info

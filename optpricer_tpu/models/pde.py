@@ -204,6 +204,17 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
                                  jnp.broadcast_to(c_lhs, (2, M)), unit)
         w_lo, w_hi = w[0], w[1]
 
+    if has_divs:
+        # PV of the dividends still to come as seen from each time node:
+        # pv[n] = Σ_{k>n} D_k·e^{−r(k−n)dt} — the far-field boundary
+        # asymptotes must carry the forward stock NET of future drops,
+        # otherwise the call's upper Dirichlet value overstates the
+        # boundary layer by ~PV(divs) and the error diffuses inward
+        ks = jnp.arange(N_t + 1, dtype=x_grid.dtype)
+        wts = div_amts * jnp.exp(-r * dt * ks)
+        pv_divs = (jnp.cumsum(wts[::-1])[::-1] - wts) \
+            * jnp.exp(r * dt * ks)
+
     def div_remap(V, D):
         """Jump condition at an ex-dividend date: V(S, t⁻) = V(S − D, t⁺)
         (cash drop; piecewise-GBM dividend model). Linear interpolation
@@ -233,6 +244,14 @@ def _fd_solve(x_grid, dt, K, r, q, sigma, is_call, theta,
                 V = jnp.maximum(V, intrinsic)
 
         bc_left, bc_right = _bc_values(tau, K, r, S_min, S_max, is_call)
+        if has_divs:
+            pv = pv_divs[n.astype(jnp.int32)]
+            disc_K = K * jnp.exp(-r * tau)
+            bc_left = jnp.where(
+                is_call, 0.0,
+                jnp.maximum(disc_K - jnp.maximum(S_min - pv, 0.0), 0.0))
+            bc_right = jnp.where(
+                is_call, jnp.maximum(S_max - pv - disc_K, 0.0), 0.0)
         V_int = V[..., 1:N_S]
 
         if use_prop:

@@ -267,3 +267,16 @@ class TestBermudan:
             lsmc_price(self.OPT, "put", exercise_dates=[0.5],
                        heston=dict(v0=0.04, kappa=1.0, theta=0.04,
                                    xi=0.3, rho=-0.5), **self.KW)
+
+    def test_date_rounding_to_zero_clamps_to_first_node(self):
+        # a tiny early date must keep its exercise right at node 1, not
+        # be silently dropped (review fix)
+        p_tiny, _ = lsmc_price(self.OPT, "put", exercise_dates=[1e-3],
+                               **self.KW)
+        p_none, _ = lsmc_price(self.OPT, "put", exercise_dates=[],
+                               **self.KW)
+        p_first, _ = lsmc_price(self.OPT, "put",
+                                exercise_dates=[1.0 / self.KW["n_steps"]],
+                                **self.KW)
+        assert abs(p_tiny - p_first) < 1e-9
+        assert p_tiny >= p_none - 1e-9

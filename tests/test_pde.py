@@ -338,3 +338,17 @@ class TestDiscreteDividends:
             fd_price(OPT, CALL, dividends=[(1.5, 1.0)])
         with pytest.raises(ValueError, match="negative"):
             fd_price(OPT, CALL, dividends=[(0.5, -1.0)])
+
+    def test_boundary_asymptotes_carry_future_dividends(self):
+        # on a TIGHT domain the call's upper Dirichlet value must be the
+        # forward NET of remaining dividend PV; unadjusted it overstated
+        # the boundary layer by ~PV(D) and biased the price high
+        opt3 = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.3)
+        divs = [(0.9, 20.0)]
+        tight = fd_price(opt3, CALL, N_S=300, N_t=300, S_max_mult=2.0,
+                         dividends=divs)
+        wide = fd_price(opt3, CALL, N_S=600, N_t=600, S_max_mult=5.0,
+                        dividends=divs)
+        # residual ~2e-3 is the plain 2σ√T domain-truncation error;
+        # the unadjusted boundary was off by two orders more
+        assert abs(tight - wide) < 5e-3, (tight, wide)
