@@ -66,19 +66,26 @@ def _run_mc(ns) -> str:
 def _run_fd(ns) -> str:
     from .models.pde import fd_price
 
-    divs = None
-    if ns.dividends:
-        divs = [(float(t), float(d)) for t, d in
-                (pair.split(":") for pair in ns.dividends.split(","))]
     value = fd_price(_spec_of(ns), ns.kind, N_S=ns.N_S, N_t=ns.N_t,
-                     american=ns.american, dividends=divs)
+                     american=ns.american,
+                     dividends=_parse_dividends(ns.dividends))
     return f"{value:.10f}"
+
+
+def _parse_dividends(cell: str):
+    if not cell:
+        return None
+    return [(float(t), float(d)) for t, d in
+            (pair.split(":") for pair in cell.split(","))]
 
 
 def _run_heston(ns) -> str:
     kind = "call" if ns.kind == CALL else "put"
     hp = dict(v0=ns.v0, kappa=ns.kappa, theta=ns.theta, xi=ns.xi,
               rho=ns.rho)
+    divs = _parse_dividends(getattr(ns, "dividends", ""))
+    if divs is not None and ns.barrier > 0.0:
+        raise SystemExit("--dividends is not supported with --barrier")
     if ns.barrier > 0.0:
         from .models.heston_pde import heston_fd_price_barrier
 
@@ -86,11 +93,12 @@ def _run_heston(ns) -> str:
             ns.S0, ns.K, ns.T, ns.r, ns.q, **hp, kind=kind,
             barrier=ns.barrier, barrier_type=ns.barrier_type,
             american=ns.american)
-    elif ns.engine == "adi" or ns.american:
+    elif ns.engine == "adi" or ns.american or divs is not None:
         from .models.heston_pde import heston_fd_price
 
         value = heston_fd_price(ns.S0, ns.K, ns.T, ns.r, ns.q, **hp,
-                                kind=kind, american=ns.american)
+                                kind=kind, american=ns.american,
+                                dividends=divs)
     else:
         from .models.analytic import heston_price_cos
 
@@ -245,6 +253,9 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
                                 "continuous monitoring)")),
         ("--barrier-type", dict(dest="barrier_type",
                                 default="up-and-out")),
+        ("--dividends", dict(default="",
+                             help="discrete cash dividends 't:amt,t:amt' "
+                                  "(forces the ADI PDE)")),
     ), _run_heston),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),

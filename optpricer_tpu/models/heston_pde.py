@@ -118,10 +118,11 @@ def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s,
 
 
 @partial(jax.jit, static_argnames=("n_t", "american", "is_call", "dtype",
-                                   "inv_theta", "has_barrier"))
+                                   "inv_theta", "has_barrier", "has_divs"))
 def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
-               ko_mask=None, rebate=0.0, *, n_t, american, is_call, dtype,
-               inv_theta, has_barrier=False):
+               ko_mask=None, rebate=0.0, div_per_iter=None, x_grid=None,
+               *, n_t, american, is_call, dtype, inv_theta,
+               has_barrier=False, has_divs=False):
     """Douglas ADI time march: one scan, (n_v, n_x) carry.
 
     ``Ax``/``Av`` arrive pre-scaled by θ_sΔt (so the implicit RHS terms
@@ -131,6 +132,13 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
     values at τ_{n+1}. ``ko_mask`` ((n_x,) bool) marks knocked-out spot
     nodes pinned to ``rebate`` after every step — continuous-monitoring
     knock-out, same scheme as ``pde._fd_solve``'s barrier override.
+
+    ``has_divs``: ``div_per_iter`` ((n_t,)) carries the cash dividend
+    paid AT the carried layer's time at each scan iteration; the jump
+    condition V(S, t⁻) = V(S − D, t⁺) remaps every variance row along x
+    (the drop is v-independent) before the implicit step — the 2-D twin
+    of ``pde._fd_solve``'s ``div_remap``, with the same cum-dividend
+    American projection straight after.
     """
     theta_dt_Ax = Ax
     theta_dt_Av = Av
@@ -143,8 +151,29 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
         cross = cross.at[:, 0].set(0.0).at[:, -1].set(0.0)
         return mix_c[:, None] * cross
 
+    if has_divs:
+        n_x = U0.shape[1]
+        dx = x_grid[1] - x_grid[0]
+        S_row = jnp.exp(x_grid)
+
+        def div_remap(U, D):
+            x_new = jnp.log(jnp.maximum(S_row - D, S_row[0]))
+            u = (x_new - x_grid[0]) / dx
+            j = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n_x - 2)
+            w = jnp.clip(u - j.astype(U.dtype), 0.0, 1.0)
+            remapped = U[:, j] * (1.0 - w) + U[:, j + 1] * w
+            # D == 0 bypasses exactly (f32 log/exp is not an identity)
+            return jnp.where(D > 0.0, remapped, U)
+
     def step(U, xs):
-        bl, br = xs
+        if has_divs:
+            bl, br, dv = xs
+            U = div_remap(U, dv)
+            if american:
+                # the cum-dividend exercise right at t⁻ (see pde.py)
+                U = jnp.maximum(U, intrinsic)
+        else:
+            bl, br = xs
         AxU = jnp.einsum("jik,jk->ji", theta_dt_Ax, U)
         AvU = theta_dt_Av @ U
         Y0 = U + inv_theta * (AxU + AvU) + mixed(U)
@@ -157,7 +186,9 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
             Y2 = jnp.where(ko_mask[None, :], rebate, Y2)
         return Y2, None
 
-    U, _ = jax.lax.scan(step, U0, (bc_left, bc_right))
+    xs = (bc_left, bc_right, div_per_iter) if has_divs \
+        else (bc_left, bc_right)
+    U, _ = jax.lax.scan(step, U0, xs)
     return U
 
 
@@ -167,7 +198,7 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
                    x_mult: float = 6.0, v_mult: float = 10.0,
                    theta_scheme: float = 0.5, dtype=None,
                    barrier: float = 0.0, barrier_up: bool = True,
-                   rebate: float = 0.0):
+                   rebate: float = 0.0, dividends=None):
     """Solve the Heston PDE; returns ``(x_grid, v_grid, V)`` with V the
     full (n_v, n_x) t=0 surface — delta/gamma/vega come from the same
     solve (:func:`heston_fd_greeks`).
@@ -230,13 +261,32 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
 
     # Dirichlet x boundaries at τ_{n+1}: discounted-forward asymptotics
     tau = (np.arange(n_t) + 1.0) * dt
+    pv_divs = np.zeros(n_t)
+    div_per_iter = None
+    if dividends:
+        from .pde import _div_schedule_np
+
+        amts = _div_schedule_np(dividends, T, n_t)
+        # scan iteration k carries the t_{n_t−k}⁺ layer: remap with the
+        # dividend paid at that node (m = n_t … 1 over the march)
+        div_per_iter = amts[::-1][:n_t].copy()
+        # PV of dividends still ahead of the layer PRODUCED at iteration
+        # k (time index n_t−k−1): the far-field boundary asymptotes must
+        # carry the forward NET of future drops (see pde._fd_solve)
+        ks = np.arange(n_t + 1)
+        w = amts * np.exp(-r * dt * ks)
+        suffix = np.cumsum(w[::-1])[::-1] - w
+        pv_divs = (suffix * np.exp(r * dt * ks))[n_t - 1::-1]
     if is_call:
         bc_left = np.zeros(n_t)
-        bc_right = S_grid[-1] * np.exp(-q * tau) - K * np.exp(-r * tau)
+        bc_right = np.maximum(
+            S_grid[-1] * np.exp(-q * tau) - pv_divs - K * np.exp(-r * tau),
+            0.0)
         if american:
             bc_right = np.maximum(bc_right, S_grid[-1] - K)
     else:
-        bc_left = K * np.exp(-r * tau) - S_grid[0] * np.exp(-q * tau)
+        bc_left = K * np.exp(-r * tau) \
+            - np.maximum(S_grid[0] * np.exp(-q * tau) - pv_divs, 0.0)
         if american:
             bc_left = np.maximum(bc_left, K - S_grid[0])
         bc_right = np.zeros(n_t)
@@ -246,6 +296,10 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
     mix_c = np.zeros(n_v)
     mix_c[1:-1] = rho * xi * v[1:-1] / (2.0 * dx * (v[2:] - v[:-2]))
     th = theta_scheme
+    div_kw = {}
+    if dividends:
+        div_kw = dict(div_per_iter=jnp.asarray(div_per_iter, dt_),
+                      x_grid=jnp.asarray(x, dt_), has_divs=True)
     U = _adi_march(
         jnp.asarray(U0, dt_),
         jnp.asarray(th * dt * Ax, dt_), jnp.asarray(Px, dt_),
@@ -255,7 +309,7 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
         jnp.asarray(np.broadcast_to(payoff, (n_v, n_x)), dt_),
         jnp.asarray(ko_mask), jnp.asarray(rebate, dt_),
         n_t=int(n_t), american=bool(american), is_call=is_call, dtype=dt_,
-        inv_theta=1.0 / th, has_barrier=bool(has_barrier))
+        inv_theta=1.0 / th, has_barrier=bool(has_barrier), **div_kw)
     return x, v, np.asarray(jax.device_get(U), np.float64)
 
 
@@ -392,19 +446,23 @@ def heston_fd_price(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
                     kind: str = "call", american: bool = False,
                     n_x: int = 256, n_v: int = 96, n_t: int = 512,
                     x_mult: float = 6.0, v_mult: float = 10.0,
-                    theta_scheme: float = 0.5, dtype=None) -> float:
+                    theta_scheme: float = 0.5, dtype=None,
+                    dividends=None) -> float:
     """Heston price by the Douglas ADI march (European or American).
 
     The European case is cross-checked against the COS oracle
     (`heston_price_cos`) in tests; the American case extends the
     framework past both the reference (MC-only Heston) and the 1-D FD
-    solver (GBM/local vol only).
+    solver (GBM/local vol only). ``dividends=[(t, amount), ...]``
+    prices under discrete cash dividends — the same jump-condition
+    model as ``pde.fd_price`` (ξ→0 degenerate-limit cross-check in
+    tests), applied as an x-remap of every variance row.
     """
     x, v, V = heston_fd_grid(
         S0, K, T, r, q, v0=v0, kappa=kappa, theta=theta, xi=xi, rho=rho,
         kind=kind, american=american, n_x=n_x, n_v=n_v, n_t=n_t,
         x_mult=x_mult, v_mult=v_mult, theta_scheme=theta_scheme,
-        dtype=dtype)
+        dtype=dtype, dividends=dividends)
     return _bilinear_readout(x, v, V, S0, v0)
 
 

@@ -128,20 +128,6 @@ def _ad_exotic_greeks(payoff, S0, K, T, r, q, *, kind, strike_type,
             "bump-and-reprice with common random numbers")
     import numpy as np
 
-    if dividends:
-        # piecewise-GBM cash dividends: XLA scan engine only (the Pallas
-        # kernels have no dividend schedule slot, the QMC bridge assumes
-        # a dividend-free terminal map, and the geometric-Asian CV mean
-        # has no dividend closed form)
-        if sigma is None or merton is not None:
-            raise ValueError("dividends= requires GBM dynamics (sigma=)")
-        if control_variate:
-            raise ValueError("control_variate has no closed-form mean "
-                             "under discrete dividends")
-        if backend in ("pallas", "qmc"):
-            raise ValueError("dividends price on the XLA scan engine "
-                             "(backend='auto'/'xla')")
-
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     key = jax.random.key(seed_val)
@@ -282,6 +268,13 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
     if payoff not in _PATHWISE_OK + _LR_OK:
         raise ValueError(f"unknown payoff {payoff!r}; expected one of "
                          f"{_PATHWISE_OK + _LR_OK}")
+    if kwargs.get("dividends"):
+        # the pathwise/LR chains assume dividend-free dynamics (degree-1
+        # homogeneity in S0 breaks at each cash drop) — silent wrong
+        # Greeks otherwise; bump-and-reprice exotic_price_mc instead
+        raise ValueError(
+            "exotic_greeks_mc does not support dividends=; use CRN "
+            "bump-and-reprice around exotic_price_mc(dividends=...)")
     if any(kwargs.get(m) is not None
            for m in ("heston", "sabr", "merton", "sigma_loc")):
         # Non-GBM dynamics: pathwise-AD Jacobian through the fused scan

@@ -47,19 +47,23 @@ from .monte_carlo import resolve_seed
 __all__ = ["mlmc_price"]
 
 
-@partial(jax.jit, static_argnames=(
-    "payoff", "kind", "model_kind", "n_coarse", "M", "n_paths",
-    "antithetic", "barrier_type", "average_type", "strike_type",
-    "dtype", "level0"))
-def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
-                      M, n_paths, antithetic, barrier_type, average_type,
-                      strike_type, dtype, level0):
-    """Sufficient statistics of one MLMC level from one path chunk.
+def _level_y(key, fixed, *, payoff, kind, model_kind, n_coarse,
+             M, n_paths, antithetic, barrier_type, average_type,
+             strike_type, dtype, level0, sigma_loc=None,
+             scheme="euler"):
+    """Per-path level estimator Y of one MLMC level from one chunk.
 
     Level l>0 (``level0=False``): coupled estimator Y = df·(P_f − P_c),
     fine grid n_coarse·M steps / coarse grid n_coarse steps, coarse
     normals = scaled sums of the fine ones. Level 0: Y = df·P_f on the
-    n_coarse(=n0) grid, no coarse track. Returns ``[n, ΣY, ΣY²]``.
+    n_coarse(=n0) grid, no coarse track. Traceable in every ``fixed``
+    entry — pathwise MLMC Greeks forward-differentiate through it.
+
+    ``model_kind="localvol"``: traceable ``sigma_loc(S, t)`` dynamics
+    under log-Euler or (``scheme="milstein"``) explicit Milstein — the
+    scalar-SDE case needs no Lévy areas, so the coarse track runs the
+    SAME scheme on the aggregated increments and Giles' O(h²)
+    strong-coupling variance applies (Giles 2008 §4).
     """
     dt_ = dtype
     n_f = n_coarse * (M if not level0 else 1)
@@ -96,7 +100,7 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
         # (S, run_sum, run_logsum, run_max, run_min, surv, v)
         return (S_init, zeros, zeros, S_init, S_init, surv0, v_init)
 
-    def asset_step(S, v, z1, z2, dt, sqrt_dt):
+    def asset_step(S, v, z1, z2, dt, sqrt_dt, t_now):
         """One transition; returns (S_new, v_new, step diffusion vol)."""
         if model_kind == "heston":
             v_eff = jnp.maximum(v, 0.0)  # full truncation
@@ -109,6 +113,28 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
                 v + fixed["h_kappa"] * (fixed["h_theta"] - v_eff) * dt
                 + fixed["h_xi"] * _sqrt0(v_eff) * sqrt_dt * z2, 0.0)
             return S_n, v_n, jnp.maximum(_sqrt0(v_eff), 1e-8)
+        if model_kind == "localvol":
+            mu_dt = (fixed["r"] - fixed["q"]) * dt
+            if scheme == "milstein":
+                # explicit Milstein, σ′ from the same central dS-bump as
+                # mc_fused._fused_paths' lv_milstein_step
+                sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_),
+                               1e-8, 10.0)
+                eps = fixed["bump"] * S
+                S_up = S + eps
+                S_dn = jnp.maximum(S - eps, 1e-10)
+                sig_up = jnp.asarray(sigma_loc(S_up, t_now), dt_)
+                sig_dn = jnp.asarray(sigma_loc(S_dn, t_now), dt_)
+                da_dS = (sig_up * S_up - sig_dn * S_dn) / (S_up - S_dn)
+                a_t = sig * S
+                S_n = (S + mu_dt * S + a_t * sqrt_dt * z1
+                       + 0.5 * a_t * da_dS * (z1 * z1 - 1.0) * dt)
+                return jnp.maximum(S_n, 1e-10), v, sig
+            sig = jnp.clip(jnp.asarray(sigma_loc(S, t_now), dt_),
+                           0.0, jnp.inf)
+            return (S * exp_(mu_dt - 0.5 * sig * sig * dt
+                             + sig * sqrt_dt * z1), v,
+                    jnp.maximum(sig, 1e-8))
         mu = (fixed["r"] - fixed["q"] - 0.5 * fixed["sigma"] ** 2) * dt
         return (S * exp_(mu + fixed["sigma"] * sqrt_dt * z1), v,
                 fixed["sigma"])
@@ -163,8 +189,9 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
         z2_sum = zeros
         for j in range(sub):
             z1, z2 = draw(t_idx * sub + j)
+            t_j = (t_idx * sub + j).astype(dt_) * dt_f
             S_n, v_n, sig = asset_step(fine[0], fine[6], z1, z2,
-                                       dt_f, sqrt_f)
+                                       dt_f, sqrt_f, t_j)
             fine = accumulate(fine, S_n, v_n, sig, dt_f)
             z1_sum = z1_sum + z1
             z2_sum = z2_sum + z2
@@ -172,7 +199,8 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
             inv = 1.0 / np.sqrt(M)
             S_n, v_n, sig = asset_step(coarse[0], coarse[6],
                                        z1_sum * inv, z2_sum * inv,
-                                       dt_c, sqrt_c)
+                                       dt_c, sqrt_c,
+                                       t_idx.astype(dt_) * dt_c)
             coarse = accumulate(coarse, S_n, v_n, sig, dt_c)
         return (fine, coarse), None
 
@@ -196,9 +224,47 @@ def _mlmc_level_stats(key, fixed, *, payoff, kind, model_kind, n_coarse,
 
     df = exp_(-fixed["r"] * fixed["T"])
     p_f = df * payoff_of(fine, n_f)
-    y = p_f if level0 else p_f - df * payoff_of(coarse, n_coarse)
-    n = jnp.asarray(y.size, dt_)
-    return jnp.stack([n, jnp.sum(y), jnp.sum(y * y)])
+    return p_f if level0 else p_f - df * payoff_of(coarse, n_coarse)
+
+
+@partial(jax.jit, static_argnames=(
+    "payoff", "kind", "model_kind", "n_coarse", "M", "n_paths",
+    "antithetic", "barrier_type", "average_type", "strike_type",
+    "dtype", "level0", "sigma_loc", "scheme", "greek_params"))
+def _mlmc_level_stats(key, fixed, *, greek_params=(), **static):
+    """Sufficient statistics of one MLMC level from one path chunk.
+
+    Returns ``[n, ΣY, ΣY²]``, extended to
+    ``[n, ΣY, ΣY², Σ∂Y/∂θ₁, Σ(∂Y/∂θ₁)², ...]`` when ``greek_params``
+    names entries of ``fixed`` to differentiate against: ONE primal
+    pass through :func:`_level_y` via :func:`jax.linearize`, then one
+    cheap replay of the linearised scan per parameter (forward mode —
+    the per-level Greek corrections telescope exactly like the price,
+    Burgos & Giles 2012). The bridge-survival barrier weighting keeps
+    even barrier payoffs pathwise-smooth; only digital's indicator
+    payoff is excluded (guarded at :func:`mlmc_price`).
+    """
+    dt_ = static["dtype"]
+    if not greek_params:
+        y = _level_y(key, fixed, **static)
+        n = jnp.asarray(y.size, dt_)
+        return jnp.stack([n, jnp.sum(y), jnp.sum(y * y)])
+
+    def y_of(theta):
+        f = dict(fixed)
+        f.update(dict(zip(greek_params, theta)))
+        return _level_y(key, f, **static)
+
+    theta0 = [fixed[p] for p in greek_params]
+    y, lin = jax.linearize(y_of, theta0)
+    parts = [jnp.asarray(y.size, dt_), jnp.sum(y), jnp.sum(y * y)]
+    one = jnp.ones((), dt_)
+    zero = jnp.zeros((), dt_)
+    for i in range(len(greek_params)):
+        dy = lin([one if j == i else zero
+                  for j in range(len(greek_params))])
+        parts += [jnp.sum(dy), jnp.sum(dy * dy)]
+    return jnp.stack(parts)
 
 
 def _mlmc_level_stats_sharded(mesh, key, fixed, *, n_paths, **static):
@@ -225,7 +291,9 @@ def _mlmc_level_stats_sharded(mesh, key, fixed, *, n_paths, **static):
 
 def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
                q: float = 0.0, *, sigma: Optional[float] = None,
-               heston: Optional[dict] = None, kind: str = "call",
+               heston: Optional[dict] = None, sigma_loc=None,
+               scheme: str = "euler", dS_bump: float = 0.01,
+               kind: str = "call",
                eps: float = 0.01, n0_steps: int = 8, M: int = 2,
                L_min: int = 2, L_max: int = 7, n_init: int = 4_096,
                chunk: int = 16_384, max_paths_per_level: int = 1 << 22,
@@ -233,7 +301,8 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
                rebate: float = 0.0, average_type: str = "arithmetic",
                strike_type: str = "fixed", payout: float = 1.0,
                antithetic: bool = True, seed: Optional[int] = None,
-               dtype=None, return_info: bool = False, mesh=None):
+               dtype=None, return_info: bool = False, mesh=None,
+               greeks: bool = False):
     """Adaptive MLMC price of a (path-dependent) option.
 
     ``payoff`` ∈ {"vanilla", "barrier", "asian", "digital", "lookback"}
@@ -244,10 +313,18 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
     Heston transition — at root-mean-square error ``eps``.
 
     Dynamics: constant ``sigma`` (exact GBM transition at every level —
-    only the monitoring bias telescopes) or
+    only the monitoring bias telescopes),
     ``heston={'v0','kappa','theta','xi','rho'}`` (full-truncation Euler,
     whose O(Δt) transition bias telescopes too; same discretisation as
-    :func:`~optpricer_tpu.models.processes.heston_paths`).
+    :func:`~optpricer_tpu.models.processes.heston_paths`), or a
+    traceable ``sigma_loc(S, t)`` local-vol callable (e.g. from
+    :func:`~optpricer_tpu.models.calibration.dupire_local_vol_func`).
+    Local vol accepts ``scheme="euler"`` (log-Euler, as
+    :func:`~optpricer_tpu.models.processes.local_vol_paths`) or
+    ``"milstein"`` (explicit Milstein with a central ``dS_bump``·S σ′
+    stencil, as :func:`~optpricer_tpu.models.processes.milstein_local_vol_paths`)
+    — Milstein's O(h) strong order makes the level-correction variance
+    decay O(h²) (Giles 2008), so nearly all work stays on coarse grids.
 
     The standard Giles loop: sample ``n_init`` pairs on levels
     0..``L_min``, allocate N_l ∝ √(V_l/C_l) for the ``eps²/2`` variance
@@ -265,6 +342,19 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
     splits its paths across the devices (per-device streams from
     ``fold_in``) and the 5-stat vector rides one psum — the adaptive
     loop is unchanged, it just consumes device-parallel chunks.
+
+    ``greeks=True`` returns ``(price, stderr, greeks)`` (or
+    ``(price, stderr, greeks, info)`` with ``return_info``): pathwise
+    sensitivities of the SAME telescoped estimator — each level's
+    correction is forward-differentiated alongside its price (Burgos &
+    Giles 2012), so the Greeks inherit MLMC's continuous-monitoring
+    limit and the per-level chunks are shared (one primal pass plus one
+    linearised replay per parameter). Parameters by dynamics: GBM →
+    delta/vega/rho, Heston → delta/rho/d_v0, local vol → delta/rho
+    (each with a ``*_stderr``). The digital payoff's indicator has no
+    pathwise derivative and raises; barriers are smooth here because
+    the estimator carries bridge-survival PROBABILITIES, not crossing
+    indicators.
     """
     if payoff not in ("vanilla", "barrier", "asian", "digital",
                       "lookback"):
@@ -278,41 +368,65 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
         raise ValueError(f"unknown average_type {average_type!r}")
     if strike_type not in ("fixed", "floating"):
         raise ValueError(f"unknown strike_type {strike_type!r}")
-    if (sigma is None) == (heston is None):
-        raise ValueError("provide exactly one of sigma / heston")
+    if sum(x is not None for x in (sigma, heston, sigma_loc)) != 1:
+        raise ValueError(
+            "provide exactly one of sigma / heston / sigma_loc")
     if heston is not None:
         missing = {"v0", "kappa", "theta", "xi", "rho"} - set(heston)
         if missing:
             raise ValueError(f"heston= missing keys {sorted(missing)}")
+    if scheme not in ("euler", "milstein"):
+        raise ValueError(f"unknown scheme {scheme!r}")
+    if scheme == "milstein" and sigma_loc is None:
+        raise ValueError("scheme='milstein' requires sigma_loc=")
     if M < 2:
         raise ValueError("M must be >= 2")
     if not 0 <= L_min <= L_max:
         raise ValueError("need 0 <= L_min <= L_max")
     dt_ = canonical(dtype)
     key = jax.random.key(resolve_seed(seed))
-    model_kind = "heston" if heston is not None else "gbm"
+    model_kind = ("heston" if heston is not None else
+                  "localvol" if sigma_loc is not None else "gbm")
     hp = heston or {}
     fixed = {k: jnp.asarray(v, dt_) for k, v in (
         ("S0", S0), ("K", K), ("T", T), ("r", r), ("q", q),
         ("sigma", sigma if sigma is not None else 0.0),
         ("barrier", barrier), ("rebate", rebate), ("payout", payout),
+        ("bump", dS_bump),
         ("h_v0", hp.get("v0", 0.0)), ("h_kappa", hp.get("kappa", 0.0)),
         ("h_theta", hp.get("theta", 0.0)), ("h_xi", hp.get("xi", 0.0)),
         ("h_rho", hp.get("rho", 0.0)))}
+    greek_names: tuple = ()
+    greek_params: tuple = ()
+    if greeks:
+        if payoff == "digital":
+            raise ValueError(
+                "greeks=True needs a pathwise-differentiable payoff; "
+                "the digital indicator has none (use CRN bump-and-"
+                "reprice around mlmc_price)")
+        greek_names, greek_params = {
+            "gbm": (("delta", "vega", "rho"), ("S0", "sigma", "r")),
+            "heston": (("delta", "rho", "d_v0"), ("S0", "r", "h_v0")),
+            "localvol": (("delta", "rho"), ("S0", "r")),
+        }[model_kind]
     static = dict(payoff=payoff, kind=kind, model_kind=model_kind,
                   M=int(M), antithetic=bool(antithetic),
                   barrier_type=barrier_type, average_type=average_type,
-                  strike_type=strike_type, dtype=dt_)
+                  strike_type=strike_type, dtype=dt_,
+                  sigma_loc=sigma_loc, scheme=scheme,
+                  greek_params=greek_params)
     chunk = int(chunk)
     pair_mult = 2 if antithetic else 1
+    n_stats = 3 + 2 * len(greek_params)
 
-    # per-level accumulators (host float64): [n, Σy, Σy²]
+    # per-level accumulators (host float64):
+    # [n, Σy, Σy², (Σ∂y, Σ(∂y)²) per greek param]
     acc: list[np.ndarray] = []
     chunks_run: list[int] = []
 
     def ensure(level: int, n_target: int):
         while len(acc) <= level:
-            acc.append(np.zeros(3))
+            acc.append(np.zeros(n_stats))
             chunks_run.append(0)
         n_target = min(int(n_target), int(max_paths_per_level))
         while acc[level][0] < n_target:
@@ -364,8 +478,19 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
     n, m, v = tables()
     price = float(np.sum(m))
     se = float(np.sqrt(np.sum(v / n)))
+    out = (price, se)
+    if greeks:
+        gdict = {}
+        for i, name in enumerate(greek_names):
+            mg = np.array([a[3 + 2 * i] / a[0] for a in acc])
+            vg = np.maximum(
+                np.array([a[4 + 2 * i] / a[0] for a in acc]) - mg * mg,
+                0.0)
+            gdict[name] = float(np.sum(mg))
+            gdict[name + "_stderr"] = float(np.sqrt(np.sum(vg / n)))
+        out = out + (gdict,)
     if not return_info:
-        return price, se
+        return out
     info = dict(levels=L + 1, eps=eps,
                 n=[int(x) for x in n], mean=list(map(float, m)),
                 var=list(map(float, v)),
@@ -373,4 +498,4 @@ def mlmc_price(payoff: str, S0: float, K: float, T: float, r: float,
                       * (1 if l == 0 else M + 1) for l in range(L + 1)],
                 fine_steps=[n0_steps * M ** l for l in range(L + 1)],
                 weak_remainder=float(tail if L >= 1 else np.nan))
-    return price, se, info
+    return out + (info,)

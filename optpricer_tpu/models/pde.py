@@ -351,10 +351,10 @@ def _prep_solve(S0, K, T, r, q, sigma, kind, N_S, N_t, theta, S_max_mult,
     return x_grid_np, x_grid, args
 
 
-def _div_schedule(dividends, T, N_t, dtype):
+def _div_schedule_np(dividends, T, N_t) -> np.ndarray:
     """(N_t+1,) per-time-index cash dividend amounts from a
     [(t, amount), ...] list; each date snaps to its nearest time node
-    (index 1..N_t), coincident dates accumulate."""
+    (index 1..N_t), coincident dates accumulate. Host float64."""
     amts = np.zeros(N_t + 1)
     for t_d, D in dividends:
         if not 0.0 < t_d <= T:
@@ -362,7 +362,11 @@ def _div_schedule(dividends, T, N_t, dtype):
         if D < 0.0:
             raise ValueError(f"negative dividend {D}")
         amts[max(1, int(round(t_d / T * N_t)))] += D
-    return jnp.asarray(amts, dtype)
+    return amts
+
+
+def _div_schedule(dividends, T, N_t, dtype):
+    return jnp.asarray(_div_schedule_np(dividends, T, N_t), dtype)
 
 
 def fd_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
@@ -476,14 +480,20 @@ def fd_greeks(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
     S_max_mult = kwargs.pop("S_max_mult", 4.0)
     american = kwargs.pop("american", False)
     dtype = kwargs.pop("dtype", None)
+    dividends = kwargs.pop("dividends", None)
     solver = _check_solver(kwargs.pop("solver", "auto"))
 
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
                                      opt.sigma, kind, N_S, N_t, theta_scheme,
                                      S_max_mult, dtype)
+    div_kw = {}
+    if dividends:
+        div_kw = dict(has_divs=True,
+                      div_amts=_div_schedule(dividends, opt.T, int(N_t),
+                                             x_grid.dtype))
     V_0, V_dt = _fd_solve(**args, barrier_mask=None, barrier_value=0.0,
                           N_t=int(N_t), american=bool(american),
-                          two_layers=True, solver=solver)
+                          two_layers=True, solver=solver, **div_kw)
     dx = x_np[1] - x_np[0]
     dt = opt.T / N_t
     x0 = np.log(opt.S0)

@@ -44,6 +44,16 @@ from optpricer_tpu.ops.black_scholes import (  # noqa: E402
 GREEK_KEYS = ("delta", "gamma", "vega", "theta", "rho")
 
 
+def _parse_div_cell(row: dict):
+    """[(t, amount), ...] from a ';'-separated 't:amt' dividends cell
+    (the piecewise-GBM cash-dividend model); None when absent/empty."""
+    cell = (row.get("dividends", "") or "").strip()
+    if not cell:
+        return None
+    return [(float(t), float(d)) for t, d in
+            (pair.split(":") for pair in cell.split(";"))]
+
+
 def _price_row(row: dict, compute_greeks: bool) -> dict:
     rid = row.get("id", "")
     method = row["method"].strip().lower()
@@ -123,11 +133,7 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
         from optpricer_tpu import fd_price
 
         opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
-        divs = None
-        cell = (row.get("dividends", "") or "").strip()
-        if cell:
-            divs = [(float(t), float(d)) for t, d in
-                    (pair.split(":") for pair in cell.split(";"))]
+        divs = _parse_div_cell(row)
         result["price"] = fd_price(
             opt, kind, N_S=int(row.get("N_S", 400) or 400),
             N_t=int(row.get("N_t", 400) or 400),
@@ -164,6 +170,10 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
         american = str(row.get("american", "")).strip().lower() in (
             "1", "true", "yes")
         barrier = float(row.get("barrier", 0.0) or 0.0)
+        divs = _parse_div_cell(row)
+        if divs is not None and barrier > 0.0:
+            raise ValueError("dividends with barrier not supported on "
+                             "heston rows")
         if barrier > 0.0:
             from optpricer_tpu import heston_fd_price_barrier
 
@@ -172,11 +182,12 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
                 barrier_type=(row.get("barrier_type", "up-and-out")
                               or "up-and-out").strip().lower(),
                 american=american)
-        elif american:
+        elif american or divs is not None:
             from optpricer_tpu import heston_fd_price
 
             result["price"] = heston_fd_price(S0, K, T, r, q, **hp,
-                                              kind=kind, american=True)
+                                              kind=kind, american=american,
+                                              dividends=divs)
         else:
             from optpricer_tpu import heston_price_cos
 

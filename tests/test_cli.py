@@ -112,6 +112,8 @@ class TestPriceBookScript:
                  kind="put", method="lsmc", n_paths=20000, n_steps=25),
             dict(id="h1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="heston"),
+            dict(id="h2", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="heston", dividends="0.5:5"),
             dict(id="q1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="qmc", exotic_type="asian",
                  n_paths=4096, n_steps=16),
@@ -148,9 +150,12 @@ class TestPriceBookScript:
         # heston row (COS, defaults v0=theta=sigma^2): deterministic,
         # close to the BS price at the same total variance
         assert abs(results["h1"]["price"] - 10.45) < 0.6
+        # heston + dividends routes to the ADI; near the BS+div 7.774
+        assert abs(results["h2"]["price"] - 7.774) < 0.6
+        assert results["h2"]["price"] < results["h1"]["price"]
         for r in results.values():
             assert "error" not in r
-            if r["id"] not in ("h1", "f1"):  # deterministic rows
+            if r["id"] not in ("h1", "h2", "f1"):  # deterministic rows
                 assert r["stderr"] is not None
 
 
@@ -337,3 +342,15 @@ class TestCLIExtensions:
         out = capsys.readouterr().out.strip()
         # exact quadrature oracle: 7.7740 (test_pde.TestDiscreteDividends)
         assert abs(float(out) - 7.774) < 1e-2
+
+    def test_heston_dividends_forces_adi(self, capsys):
+        _run_cli("heston", *self.COMMON)
+        base = float(capsys.readouterr().out.strip())
+        _run_cli("heston", *self.COMMON, "--dividends", "0.5:5")
+        px = float(capsys.readouterr().out.strip())
+        assert 0.0 < px < base  # cash dividend lowers the call
+
+    def test_heston_dividends_with_barrier_rejected(self):
+        with pytest.raises(SystemExit, match="not supported"):
+            _run_cli("heston", *self.COMMON, "--dividends", "0.5:5",
+                     "--barrier", "130")

@@ -223,3 +223,56 @@ class TestBarrier:
                                       barrier=10_000.0,
                                       barrier_type="up-and-out", **COARSE)
         assert abs(far - van) < 1e-9
+
+
+class TestDiscreteDividendsADI:
+    """Discrete cash dividends in the 2-D ADI march: jump-condition
+    x-remaps per variance row. Oracle: the 1-D θ-scheme dividend solver
+    (itself pinned to an exact quadrature, test_pde.py) in the ξ→0
+    degenerate limit where Heston IS Black-Scholes."""
+
+    DEG = dict(v0=0.04, kappa=1.5, theta=0.04, xi=1e-4, rho=0.0)
+    COARSE = dict(n_x=192, n_v=48, n_t=192)
+
+    def test_degenerate_limit_matches_1d_dividend_solver(self):
+        from optpricer_tpu import OptionSpec, fd_price, heston_fd_price
+
+        divs = [(0.5, 5.0)]
+        opt = OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2)
+        ref = fd_price(opt, "call", N_S=400, N_t=400, dividends=divs)
+        got = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **self.DEG,
+                              kind="call", dividends=divs, **self.COARSE)
+        assert abs(got - ref) < 2e-2, (got, ref)
+
+    def test_no_dividend_unchanged_and_monotone(self):
+        from optpricer_tpu import heston_fd_price
+
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+        base = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **hp,
+                               kind="call", **self.COARSE)
+        same = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **hp,
+                               kind="call", dividends=None, **self.COARSE)
+        assert got_equal(base, same)
+        small = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **hp,
+                                kind="call", dividends=[(0.5, 2.0)],
+                                **self.COARSE)
+        big = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **hp,
+                              kind="call", dividends=[(0.5, 5.0)],
+                              **self.COARSE)
+        assert base > small > big > 0.0
+
+    def test_american_call_cum_dividend_premium(self):
+        from optpricer_tpu import heston_fd_price
+
+        hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+        divs = [(0.9, 8.0)]
+        eu = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **hp,
+                             kind="call", dividends=divs, **self.COARSE)
+        am = heston_fd_price(100.0, 100.0, 1.0, 0.05, 0.0, **hp,
+                             kind="call", dividends=divs, american=True,
+                             **self.COARSE)
+        assert am > eu + 1.0, (am, eu)
+
+
+def got_equal(a, b):
+    return abs(a - b) < 1e-12

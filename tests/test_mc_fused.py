@@ -456,3 +456,12 @@ class TestDiscreteDividendsMC:
         with pytest.raises(ValueError, match="XLA scan"):
             exotic_price_mc("vanilla", 100.0, 100.0, 1.0, 0.05, sigma=0.2,
                             backend="pallas", dividends=divs)
+
+    def test_greeks_reject_dividends(self):
+        # the pathwise/LR chains assume dividend-free dynamics: a silent
+        # ignore would return Greeks for the WRONG model
+        from optpricer_tpu import exotic_greeks_mc
+
+        with pytest.raises(ValueError, match="dividends"):
+            exotic_greeks_mc("vanilla", 100.0, 100.0, 1.0, 0.05,
+                             sigma=0.2, dividends=[(0.5, 5.0)])

@@ -132,6 +132,124 @@ class TestHeston:
         assert info["var"][1] > info["var"][-1]
 
 
+class TestLocalVol:
+    """sigma_loc(S, t) dynamics: constant callable collapses to GBM
+    oracles; a CEV-like smile is pinned to the fine-grid 1-D FD
+    local-vol solver (itself BS-validated in test_dupire.py)."""
+
+    def test_flat_callable_matches_bs(self):
+        ref = float(bs_price(OptionSpec(S0=S0, K=K, T=T, r=R, sigma=SIG),
+                             "call"))
+        for scheme in ("euler", "milstein"):
+            px, se = mlmc_price("vanilla", S0, K, T, R, Q,
+                                sigma_loc=lambda s, t: 0.2 * s / s,
+                                scheme=scheme, eps=0.015, seed=21)
+            assert abs(px - ref) < 3.0 * 0.015 + 3.0 * se, (scheme, px)
+
+    def test_cev_smile_matches_fd_local_vol(self):
+        from optpricer_tpu import fd_price_local_vol
+
+        def sig(s, t):
+            import jax.numpy as jnp
+
+            return 0.2 * (jnp.maximum(s, 1e-8) / 100.0) ** -0.3
+
+        ref = fd_price_local_vol(S0, K, T, R, Q, sig, "call",
+                                 N_S=400, N_t=400)
+        px, se, info = mlmc_price("vanilla", S0, K, T, R, Q,
+                                  sigma_loc=sig, scheme="milstein",
+                                  eps=0.015, seed=23, return_info=True)
+        assert abs(px - ref) < 3.0 * 0.015 + 3.0 * se, (px, ref, info)
+        # Milstein coupling: correction variance must decay with level
+        assert info["var"][1] > info["var"][-1]
+
+    def test_geometric_asian_local_vol_euler(self):
+        # flat callable + continuous geometric-Asian closed form: the
+        # Euler track's bias telescopes alongside the monitoring bias
+        ref = _geo_asian_continuous(S0, K, T, R, Q, SIG)
+        px, se = mlmc_price("asian", S0, K, T, R, Q,
+                            sigma_loc=lambda s, t: 0.2 * s / s,
+                            average_type="geometric", eps=0.02, seed=25)
+        assert abs(px - ref) < 3.0 * 0.02 + 3.0 * se, (px, ref)
+
+
+class TestGreeks:
+    """Pathwise MLMC Greeks (Burgos & Giles 2012): the telescoped
+    estimator is forward-differentiated level by level, so each Greek
+    inherits the continuous-monitoring / exact-transition limit its
+    price has. Oracles: closed-form BS Greeks (GBM vanilla, where every
+    correction level is exactly zero), a central bump of the
+    reflection-formula barrier price (continuous-monitoring delta), and
+    the AD-COS Heston Greek set."""
+
+    @staticmethod
+    def _bs_greeks(S, K_, T_, r, sig):
+        d1 = (np.log(S / K_) + (r + 0.5 * sig * sig) * T_) \
+            / (sig * np.sqrt(T_))
+        d2 = d1 - sig * np.sqrt(T_)
+        return dict(delta=norm.cdf(d1),
+                    vega=S * norm.pdf(d1) * np.sqrt(T_),
+                    rho=K_ * T_ * np.exp(-r * T_) * norm.cdf(d2))
+
+    def test_gbm_vanilla_matches_closed_form(self):
+        ref = self._bs_greeks(S0, K, T, R, SIG)
+        px, se, g = mlmc_price("vanilla", S0, K, T, R, Q, sigma=SIG,
+                               eps=0.01, seed=31, greeks=True)
+        for name in ("delta", "vega", "rho"):
+            tol = 4.0 * g[name + "_stderr"] + 1e-3
+            assert abs(g[name] - ref[name]) < tol, (name, g, ref)
+
+    def test_barrier_delta_matches_reflection_bump(self):
+        # continuous-monitoring delta: the bridge-survival weights are
+        # differentiable in S0, unlike crossing indicators
+        h = 0.05
+        ref = (_haug_uoc(S0 + h, K, 130.0, T, R, Q, SIG)
+               - _haug_uoc(S0 - h, K, 130.0, T, R, Q, SIG)) / (2 * h)
+        px, se, g = mlmc_price("barrier", S0, K, T, R, Q, sigma=SIG,
+                               eps=0.02, barrier=130.0,
+                               barrier_type="up-and-out", seed=33,
+                               greeks=True)
+        tol = 4.0 * g["delta_stderr"] + 0.01
+        assert abs(g["delta"] - ref) < tol, (g, ref)
+
+    def test_heston_vanilla_delta_and_v0(self):
+        hp = dict(v0=0.04, kappa=2.0, theta=0.04, xi=0.3, rho=-0.5)
+        from optpricer_tpu import heston_greeks_cos
+
+        ref = heston_greeks_cos(S0, K, T, R, Q, **hp, kind="call")
+        px, se, g, info = mlmc_price("vanilla", S0, K, T, R, Q,
+                                     heston=hp, eps=0.015, seed=35,
+                                     greeks=True, return_info=True)
+        assert abs(g["delta"] - ref["delta"]) \
+            < 4.0 * g["delta_stderr"] + 0.01, (g, ref)
+        assert abs(g["d_v0"] - ref["vega_v0"]) \
+            < 4.0 * g["d_v0_stderr"] + 0.1 * abs(ref["vega_v0"]), \
+            (g, ref)
+
+    def test_localvol_flat_delta(self):
+        ref = self._bs_greeks(S0, K, T, R, SIG)
+        px, se, g = mlmc_price("vanilla", S0, K, T, R, Q,
+                               sigma_loc=lambda s, t: 0.2 * s / s,
+                               scheme="milstein", eps=0.015, seed=37,
+                               greeks=True)
+        assert abs(g["delta"] - ref["delta"]) \
+            < 4.0 * g["delta_stderr"] + 0.01, (g, ref)
+
+    def test_digital_greeks_rejected(self):
+        with pytest.raises(ValueError, match="pathwise"):
+            mlmc_price("digital", S0, K, T, R, Q, sigma=SIG,
+                       greeks=True)
+
+    def test_price_unchanged_by_greeks_flag(self):
+        # the primal pass is shared: greeks=True must not perturb the
+        # price path (same chunks, same keys)
+        p0, s0_ = mlmc_price("asian", S0, K, T, R, Q, sigma=SIG,
+                             eps=0.02, seed=39)
+        p1, s1_, g = mlmc_price("asian", S0, K, T, R, Q, sigma=SIG,
+                                eps=0.02, seed=39, greeks=True)
+        assert abs(p0 - p1) < 1e-9 and abs(s0_ - s1_) < 1e-9
+
+
 class TestGuards:
     def test_bad_inputs_raise(self):
         with pytest.raises(ValueError, match="payoff"):
@@ -146,6 +264,12 @@ class TestGuards:
         with pytest.raises(ValueError, match="kind"):
             mlmc_price("vanilla", S0, K, T, R, Q, sigma=SIG,
                        kind="straddle")
+        with pytest.raises(ValueError, match="scheme"):
+            mlmc_price("vanilla", S0, K, T, R, Q, sigma=SIG,
+                       scheme="heun")
+        with pytest.raises(ValueError, match="milstein"):
+            mlmc_price("vanilla", S0, K, T, R, Q, sigma=SIG,
+                       scheme="milstein")
 
     def test_info_table_is_consistent(self):
         px, se, info = mlmc_price("asian", S0, K, T, R, Q, sigma=SIG,

@@ -352,3 +352,20 @@ class TestDiscreteDividends:
         # residual ~2e-3 is the plain 2σ√T domain-truncation error;
         # the unadjusted boundary was off by two orders more
         assert abs(tight - wide) < 5e-3, (tight, wide)
+
+    def test_fd_greeks_with_dividends(self):
+        # grid Greeks from the dividend march vs central bump-and-reprice
+        divs = [(0.5, 5.0)]
+        kw = dict(N_S=400, N_t=400)
+        g = fd_greeks(OPT, CALL, dividends=divs, **kw)
+        h = 0.5
+        up = fd_price(OptionSpec(S0=100.0 + h, K=100.0, T=1.0, r=0.05,
+                                 sigma=0.2), CALL, dividends=divs, **kw)
+        dn = fd_price(OptionSpec(S0=100.0 - h, K=100.0, T=1.0, r=0.05,
+                                 sigma=0.2), CALL, dividends=divs, **kw)
+        base = fd_price(OPT, CALL, dividends=divs, **kw)
+        assert abs(g["delta"] - (up - dn) / (2 * h)) < 1e-3
+        # bump gamma re-interpolates three separate grids — noisier than
+        # the in-grid second difference; 3e-3 brackets both
+        assert abs(g["gamma"] - (up - 2 * base + dn) / h**2) < 3e-3
+        assert 0.0 < g["delta"] < 1.0 and g["gamma"] > 0.0
