@@ -111,6 +111,9 @@ from .models.basket import (basket_price_mc, basket_greeks_mc,
                             margrabe_price)
 from .models.lsv import (LSVModel, lsv_calibrate, lsv_greeks_mc,
                          lsv_path_matrix, lsv_price_mc)
+from .models.forward_pde import (ForwardSurface, dupire_forward_surface,
+                                 dupire_forward_price, forward_surface_iv,
+                                 reprice_surface_forward)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -157,6 +160,8 @@ __all__ = [
     "margrabe_price",
     "LSVModel", "lsv_calibrate", "lsv_greeks_mc", "lsv_path_matrix",
     "lsv_price_mc",
+    "ForwardSurface", "dupire_forward_surface", "dupire_forward_price",
+    "forward_surface_iv", "reprice_surface_forward",
     "ad_greeks", "portfolio_risk_fast",
 ]
 
