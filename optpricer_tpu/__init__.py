@@ -95,8 +95,8 @@ from .validation import (
 from .models.mlmc import mlmc_price
 from .models.mc_fused import (exotic_price_mc, exotic_price_mc_dupire,
                               exotic_greeks_mc)
-from .models.american_mc import (lsmc_price, lsmc_price_batch,
-                                 lsmc_price_sharded)
+from .models.american_mc import (lsmc_price, lsmc_price_basket,
+                                 lsmc_price_batch, lsmc_price_sharded)
 from .models.pde import fd_price_batch, fd_price_local_vol_batch
 from .models.analytic import (merton_price, heston_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
@@ -147,7 +147,7 @@ __all__ = [
     "exotic_price_mc", "exotic_price_mc_dupire", "fd_price_batch",
     "mlmc_price",
     "fd_price_local_vol_batch", "lsmc_price", "lsmc_price_batch",
-    "lsmc_price_sharded",
+    "lsmc_price_sharded", "lsmc_price_basket",
     "euro_greeks_mc", "exotic_greeks_mc",
     "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
     "sabr_implied_vol",

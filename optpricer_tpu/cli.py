@@ -204,16 +204,27 @@ def _run_basket(ns) -> str:
     sigmas = _csv_floats(ns.sigmas)
     weights = _csv_floats(ns.weights) if ns.weights else [1.0 / a] * a
     corr = ns.rho * np.ones((a, a)) + (1.0 - ns.rho) * np.eye(a)
+    qs = _csv_floats(ns.qs) if ns.qs else None
     common = dict(sigmas=sigmas, corr=corr, kind=ns.kind,
                   n_paths=ns.n_paths, seed=ns.seed)
+    if ns.american:
+        if ns.payoff not in ("basket", "rainbow_max", "rainbow_min"):
+            raise SystemExit("--american supports basket/rainbow_max/"
+                             "rainbow_min payoffs")
+        from .models.american_mc import lsmc_price_basket
+
+        value, stderr = lsmc_price_basket(
+            S0s, weights, ns.K, ns.T, ns.r, qs, payoff=ns.payoff,
+            n_steps=ns.n_steps, **common)
+        return f"{value:.10f}  (stderr {stderr:.10f})"
     if ns.payoff in ("asian_basket", "worstof_barrier", "basket_barrier"):
         value, stderr = basket_exotic_mc(
-            S0s, weights, ns.K, ns.T, ns.r, payoff=ns.payoff,
+            S0s, weights, ns.K, ns.T, ns.r, qs, payoff=ns.payoff,
             barrier=ns.barrier, barrier_type=ns.barrier_type,
             n_steps=ns.n_steps, **common)
     else:
         value, stderr = basket_price_mc(S0s, weights, ns.K, ns.T, ns.r,
-                                        payoff=ns.payoff, **common)
+                                        qs, payoff=ns.payoff, **common)
     return f"{value:.10f}  (stderr {stderr:.10f})"
 
 
@@ -351,6 +362,11 @@ _BASKET_FLAGS = (
     ("--n-steps", dict(dest="n_steps", type=int, default=64)),
     ("--n-paths", dict(dest="n_paths", type=int, default=262_144)),
     ("--seed", dict(type=int, default=None)),
+    ("--qs", dict(default="", help="comma-separated dividend yields "
+                                   "(default zero)")),
+    ("--american", dict(action="store_true",
+                        help="LSMC early exercise over n-steps dates "
+                             "(basket/rainbow payoffs)")),
 )
 
 

@@ -210,18 +210,32 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
         rho = float(row.get("rho", 0.3) or 0.3)
         corr = rho * _np.ones((a, a)) + (1.0 - rho) * _np.eye(a)
         bp = (row.get("basket_payoff", "basket") or "basket").strip().lower()
+        qcell = str(row.get("qs", "") or "").strip()
+        qs_b = [float(x) for x in qcell.split(";")] if qcell else None
+        american = str(row.get("american", "")).strip().lower() in (
+            "1", "true", "yes")
         common = dict(sigmas=sigs, corr=corr, kind=kind,
                       n_paths=int(row.get("n_paths", 262_144) or 262_144),
                       seed=1)
-        if bp in ("asian_basket", "worstof_barrier", "basket_barrier"):
+        if american:
+            if bp not in ("basket", "rainbow_max", "rainbow_min"):
+                raise ValueError("american basket rows support basket/"
+                                 "rainbow payoffs only")
+            from optpricer_tpu import lsmc_price_basket
+
+            px, se = lsmc_price_basket(
+                S0s, w, K, T, r, qs_b, payoff=bp,
+                n_steps=int(row.get("n_steps", 50) or 50), **common)
+        elif bp in ("asian_basket", "worstof_barrier", "basket_barrier"):
             px, se = basket_exotic_mc(
-                S0s, w, K, T, r, payoff=bp,
+                S0s, w, K, T, r, qs_b, payoff=bp,
                 barrier=float(row.get("barrier", 0.0) or 0.0),
                 barrier_type=(row.get("barrier_type", "down-and-in")
                               or "down-and-in").strip().lower(),
                 n_steps=int(row.get("n_steps", 64) or 64), **common)
         else:
-            px, se = basket_price_mc(S0s, w, K, T, r, payoff=bp, **common)
+            px, se = basket_price_mc(S0s, w, K, T, r, qs_b, payoff=bp,
+                                     **common)
         result["price"], result["stderr"] = px, se
     else:
         raise ValueError(f"Unknown method: {method!r}")

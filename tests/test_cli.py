@@ -100,7 +100,7 @@ class TestPriceBookScript:
         fields = ["id", "S0", "K", "T", "r", "sigma", "q", "kind",
                   "method", "exotic_type", "barrier", "barrier_type",
                   "n_paths", "n_steps", "weights", "rho", "basket_payoff",
-                  "eps", "dividends", "N_S", "N_t"]
+                  "eps", "dividends", "N_S", "N_t", "american", "qs"]
         rows = [
             dict(id="f1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="fd", dividends="0.5:5", N_S=200,
@@ -124,6 +124,10 @@ class TestPriceBookScript:
                  sigma="0.2;0.25", q=0, kind="call", method="basket",
                  n_paths=16384, n_steps=16, rho=0.3,
                  basket_payoff="asian_basket"),
+            dict(id="b3", S0="100;100", K=100, T=3, r=0.05,
+                 sigma="0.2;0.2", q=0, kind="call", method="basket",
+                 n_paths=100000, n_steps=9, rho=0.0, american="true",
+                 qs="0.1;0.1", basket_payoff="rainbow_max"),
         ]
         with open(book, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)
@@ -147,6 +151,8 @@ class TestPriceBookScript:
         # mlmc continuous up-and-out row: reflection truth 3.3329
         assert abs(results["m1"]["price"] - 3.3329) < 0.12
         assert results["b1"]["price"] > results["b2"]["price"] > 0
+        # american rainbow_max row: Andersen-Broadie anchor 13.902
+        assert abs(results["b3"]["price"] - 13.902) < 0.25
         # heston row (COS, defaults v0=theta=sigma^2): deterministic,
         # close to the BS price at the same total variance
         assert abs(results["h1"]["price"] - 10.45) < 0.6
@@ -293,6 +299,16 @@ class TestCLIExtensions:
         out = capsys.readouterr().out.strip()
         px = float(out.split()[0])
         assert 5.0 < px < 10.0
+
+    def test_basket_american(self, capsys):
+        # Andersen-Broadie 2-asset Bermudan max-call anchor (13.902)
+        _run_cli("basket", "--S0s", "100,100", "--sigmas", "0.2,0.2",
+                 "--rho", "0", "--K", "100", "--T", "3", "--r", "0.05",
+                 "--qs", "0.1,0.1", "--payoff", "rainbow_max",
+                 "--american", "--n-steps", "9", "--n-paths", "100000",
+                 "--seed", "11", "--kind", "call")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out.split()[0]) - 13.902) < 0.2
 
     def test_basket_path_dependent(self, capsys):
         _run_cli("basket", "--S0s", "100,95", "--sigmas", "0.2,0.25",
