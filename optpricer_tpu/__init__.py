@@ -114,6 +114,9 @@ from .models.lsv import (LSVModel, lsv_calibrate, lsv_greeks_mc,
 from .models.forward_pde import (ForwardSurface, dupire_forward_surface,
                                  dupire_forward_price, forward_surface_iv,
                                  reprice_surface_forward)
+from .models.varswap import (varswap_strike_replication,
+                             varswap_strike_heston, varswap_strike_mc,
+                             volswap_strike_mc)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -162,6 +165,8 @@ __all__ = [
     "lsv_price_mc",
     "ForwardSurface", "dupire_forward_surface", "dupire_forward_price",
     "forward_surface_iv", "reprice_surface_forward",
+    "varswap_strike_replication", "varswap_strike_heston",
+    "varswap_strike_mc", "volswap_strike_mc",
     "ad_greeks", "portfolio_risk_fast",
 ]
 

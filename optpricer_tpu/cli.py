@@ -370,6 +370,56 @@ _BASKET_FLAGS = (
 )
 
 
+def _run_varswap(ns) -> str:
+    from .models.varswap import (varswap_strike_heston, varswap_strike_mc,
+                                 varswap_strike_replication,
+                                 volswap_strike_mc)
+
+    use_heston = ns.v0 > 0.0
+    if use_heston:
+        k_cont = varswap_strike_heston(ns.v0, ns.kappa, ns.theta, ns.T)
+    else:
+        k_cont = varswap_strike_replication(ns.sigma, ns.S0, ns.r, ns.q,
+                                            ns.T)
+    lines = [f"fair variance (continuous): {k_cont:.8f}  "
+             f"(vol strike {100.0 * k_cont ** 0.5:.4f})"]
+    if ns.mc:
+        dyn = (dict(heston=dict(v0=ns.v0, kappa=ns.kappa, theta=ns.theta,
+                                xi=ns.xi, rho=ns.rho))
+               if use_heston else dict(sigma=ns.sigma))
+        kw = dict(n_steps=ns.n_steps, n_paths=ns.n_paths, seed=ns.seed)
+        kd, se = varswap_strike_mc(ns.S0, ns.r, ns.q, ns.T, **dyn, **kw)
+        vs, vse = volswap_strike_mc(ns.S0, ns.r, ns.q, ns.T, **dyn, **kw)
+        lines.append(f"fair variance ({ns.n_steps} fixings): "
+                     f"{kd:.8f}  (stderr {se:.2e})")
+        lines.append(f"fair volatility ({ns.n_steps} fixings): "
+                     f"{100.0 * vs:.4f}  (stderr {100.0 * vse:.2e}; "
+                     f"convexity gap {100.0 * (k_cont ** 0.5 - vs):.4f})")
+    return "\n".join(lines)
+
+
+_VARSWAP_FLAGS = (
+    ("--S0", dict(type=float, required=True)),
+    ("--T", dict(type=float, required=True, help="years")),
+    ("--r", dict(type=float, required=True)),
+    ("--q", dict(type=float, default=0.0)),
+    ("--sigma", dict(type=float, default=0.2,
+                     help="flat vol (GBM route; ignored when --v0 > 0)")),
+    ("--v0", dict(type=float, default=0.0,
+                  help="Heston v0 (> 0 switches to the Heston routes)")),
+    ("--kappa", dict(type=float, default=1.5)),
+    ("--theta", dict(type=float, default=0.04)),
+    ("--xi", dict(type=float, default=0.4)),
+    ("--rho", dict(type=float, default=-0.6)),
+    ("--mc", dict(action="store_true",
+                  help="also print the discretely-monitored MC strike "
+                       "and the vol-swap strike")),
+    ("--n-steps", dict(dest="n_steps", type=int, default=252)),
+    ("--n-paths", dict(dest="n_paths", type=int, default=65_536)),
+    ("--seed", dict(type=int, default=None)),
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     root = argparse.ArgumentParser(prog="optpricer-tpu",
                                    description="TPU options pricing CLI")
@@ -388,6 +438,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_argument("--kind", type=_parse_kind, default=CALL,
                      help="call|put")
     sub.set_defaults(runner=_run_basket)
+    sub = subs.add_parser("varswap", help="variance-swap fair strike "
+                          "(log-contract / Heston closed form / MC)")
+    for flag, kw in _VARSWAP_FLAGS:
+        sub.add_argument(flag, **kw)
+    sub.set_defaults(runner=_run_varswap)
     return root
 
 

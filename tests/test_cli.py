@@ -300,6 +300,14 @@ class TestCLIExtensions:
         px = float(out.split()[0])
         assert 5.0 < px < 10.0
 
+    def test_varswap(self, capsys):
+        _run_cli("varswap", "--S0", "100", "--T", "1", "--r", "0.03",
+                 "--q", "0.01", "--v0", "0.09", "--kappa", "2",
+                 "--theta", "0.04")
+        out = capsys.readouterr().out
+        # exact Heston integrated variance for these params
+        assert abs(float(out.split(":")[1].split()[0]) - 0.0616166) < 1e-5
+
     def test_basket_american(self, capsys):
         # Andersen-Broadie 2-asset Bermudan max-call anchor (13.902)
         _run_cli("basket", "--S0s", "100,100", "--sigmas", "0.2,0.2",
