@@ -117,6 +117,7 @@ from .models.forward_pde import (ForwardSurface, dupire_forward_surface,
 from .models.varswap import (varswap_strike_replication,
                              varswap_strike_heston, varswap_strike_mc,
                              volswap_strike_mc)
+from .models.rough import rbergomi_paths, rbergomi_price
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -167,6 +168,7 @@ __all__ = [
     "forward_surface_iv", "reprice_surface_forward",
     "varswap_strike_replication", "varswap_strike_heston",
     "varswap_strike_mc", "volswap_strike_mc",
+    "rbergomi_paths", "rbergomi_price",
     "ad_greeks", "portfolio_risk_fast",
 ]
 
