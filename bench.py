@@ -460,6 +460,58 @@ def bench_mlmc() -> None:
         f"|err vs closed form|={abs(pg-truth_g):.1e} se={seg:.1e}")
 
 
+def bench_forward_pde() -> None:
+    """Diagnostic: Dupire forward march — the WHOLE call surface (every
+    strike × every maturity) from one θ-scheme solve; throughput counted
+    in (K, T) European prices per second (models/forward_pde.py)."""
+    from optpricer_tpu import dupire_forward_surface
+
+    n_y, n_t = 1024, 512
+    run = lambda: dupire_forward_surface(100.0, 0.05, 0.01, T=2.0,
+                                         sigma=0.2, n_y=n_y, n_t=n_t)
+    fs = run()
+    best, times = best_of(run, 5)
+    ref = _bs_call_f64(100.0, 100.0, 2.0, 0.05, 0.01, 0.2)
+    err = abs(fs.price(100.0, 2.0) - ref)
+    n_prices = 2 * (n_y + 1) * n_t  # calls AND puts ride the march
+    log(f"[forward-pde] {n_y}×{n_t} surface march: {_spread(times)} "
+        f"best={best*1e3:.1f} ms → {n_prices/best:.2e} (K,T)-prices/s, "
+        f"|ATM err|={err:.1e}")
+
+
+def bench_american_basket() -> None:
+    """Diagnostic: Andersen-Broadie 2-asset Bermudan max-call (the
+    published 13.902 benchmark), 400k paths × 9 dates, single-pass
+    (models/american_mc.py lsmc_price_basket)."""
+    from optpricer_tpu import lsmc_price_basket
+
+    run = lambda: lsmc_price_basket(
+        [100.0, 100.0], [0.5, 0.5], 100.0, 3.0, 0.05,
+        [0.10, 0.10], sigmas=[0.2, 0.2], corr=np.eye(2),
+        payoff="rainbow_max", kind="call", n_steps=9,
+        n_paths=400_000, seed=11)
+    px, se = run()
+    best, times = best_of(run, 5)
+    log(f"[american-basket] AB max-call 400k×9: {_spread(times)} "
+        f"best={best*1e3:.0f} ms, price={px:.3f}±{se:.3f} "
+        f"(published 13.902, |err|={abs(px-13.902):.3f})")
+
+
+def bench_rbergomi() -> None:
+    """Diagnostic: rBergomi vanilla under the BFG parameter set —
+    exact-covariance Volterra simulation, one MXU matmul per path batch
+    (models/rough.py)."""
+    from optpricer_tpu import rbergomi_price
+
+    run = lambda: rbergomi_price(100.0, 100.0, 0.5, 0.0, xi0=0.0552,
+                                 eta=1.9, H=0.07, rho=-0.9, n_steps=128,
+                                 n_paths=262_144, seed=7)
+    px, se = run()
+    best, times = best_of(run, 5)
+    log(f"[rbergomi] BFG ATM 256k×128 (exact Volterra): {_spread(times)} "
+        f"best={best*1e3:.0f} ms, price={px:.4f}±{se:.4f}")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -477,7 +529,10 @@ def main():
                      ("basket-path", bench_basket_path),
                      ("lsv", bench_lsv), ("mlmc", bench_mlmc),
                      ("heston-cos", bench_heston_cos),
-                     ("heston-adi", bench_heston_adi)):
+                     ("heston-adi", bench_heston_adi),
+                     ("forward-pde", bench_forward_pde),
+                     ("american-basket", bench_american_basket),
+                     ("rbergomi", bench_rbergomi)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:
