@@ -118,6 +118,8 @@ from .models.varswap import (varswap_strike_replication,
                              varswap_strike_heston, varswap_strike_mc,
                              volswap_strike_mc)
 from .models.rough import rbergomi_paths, rbergomi_price
+from .models.cliquet import (forward_start_price, cliquet_price_bs,
+                             cliquet_price_mc)
 from .risk import ad_greeks, portfolio_risk_fast
 
 __all__ = [
@@ -169,6 +171,7 @@ __all__ = [
     "varswap_strike_replication", "varswap_strike_heston",
     "varswap_strike_mc", "volswap_strike_mc",
     "rbergomi_paths", "rbergomi_price",
+    "forward_start_price", "cliquet_price_bs", "cliquet_price_mc",
     "ad_greeks", "portfolio_risk_fast",
 ]
 
