@@ -99,10 +99,12 @@ from .models.american_mc import (lsmc_price, lsmc_price_basket,
                                  lsmc_price_batch, lsmc_price_sharded)
 from .models.pde import fd_price_batch, fd_price_local_vol_batch
 from .models.analytic import (merton_price, heston_price_cos,
+                              bates_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos, cev_price,
                               barrier_price_bs)
+from .models.processes import bates_paths
 from .models.heston_pde import (heston_fd_price, heston_fd_grid,
                                 heston_fd_greeks, heston_fd_price_batch,
                                 heston_fd_price_barrier)
@@ -156,6 +158,7 @@ __all__ = [
     "lsmc_price_sharded", "lsmc_price_basket",
     "euro_greeks_mc", "exotic_greeks_mc",
     "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
+    "bates_price_cos", "bates_paths",
     "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",

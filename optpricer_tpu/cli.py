@@ -86,6 +86,16 @@ def _run_heston(ns) -> str:
     divs = _parse_dividends(getattr(ns, "dividends", ""))
     if divs is not None and ns.barrier > 0.0:
         raise SystemExit("--dividends is not supported with --barrier")
+    if ns.lam > 0.0:
+        if ns.barrier > 0.0 or ns.american or divs is not None:
+            raise SystemExit("--lam (Bates jumps) prices European via "
+                             "COS only")
+        from .models.analytic import bates_price_cos
+
+        value = float(bates_price_cos(ns.S0, ns.K, ns.T, ns.r, ns.q,
+                                      **hp, lam=ns.lam, mJ=ns.mJ,
+                                      sJ=ns.sJ, kind=kind))
+        return f"{value:.10f}"
     if ns.barrier > 0.0:
         from .models.heston_pde import heston_fd_price_barrier
 
@@ -267,6 +277,10 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--dividends", dict(default="",
                              help="discrete cash dividends 't:amt,t:amt' "
                                   "(forces the ADI PDE)")),
+        ("--lam", dict(type=float, default=0.0,
+                       help="jump intensity (> 0 prices BATES via COS)")),
+        ("--mJ", dict(type=float, default=0.0, help="mean log jump")),
+        ("--sJ", dict(type=float, default=0.0, help="log-jump stdev")),
     ), _run_heston),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),

@@ -35,6 +35,7 @@ __all__ = [
     "gbm_paths",
     "merton_jump_paths",
     "heston_paths",
+    "bates_paths",
     "sabr_paths",
     "local_vol_paths",
     "gbm_milstein_paths",
@@ -264,6 +265,53 @@ def heston_paths(S0, r, q, v0, kappa, theta, xi, rho, T, n_steps, n_paths,
     core = _heston_qe_core if scheme == "qe" else _heston_core
     S, v = core(_key(seed), *args, n_steps=int(n_steps),
                 n_paths=int(n_paths), antithetic=bool(antithetic), dtype=dt)
+    return (S, v) if return_variance else S
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "dtype"))
+def _jump_factor(key, lam, mJ, sJ, T, *, n_steps, n_paths, dtype):
+    """exp(compensated compound-Poisson log-jumps), (n_steps+1, n_paths).
+
+    Per step, conditional on the Poisson count n the summed lognormal
+    jump is N(n·mJ, n·sJ²) — one poisson + one normal draw per
+    (step, path) instead of simulating individual jumps."""
+    dt = T / n_steps
+    k1, k2 = jax.random.split(key)
+    nj = jax.random.poisson(k1, lam * dt, (n_steps, n_paths)).astype(dtype)
+    zj = jax.random.normal(k2, (n_steps, n_paths), dtype)
+    jumps = nj * mJ + jnp.sqrt(nj) * sJ * zj
+    kbar = jnp.exp(mJ + 0.5 * sJ * sJ) - 1.0
+    cum = jnp.cumsum(jumps - lam * kbar * dt, axis=0)
+    return jnp.concatenate(
+        [jnp.zeros((1, n_paths), dtype), cum], axis=0)
+
+
+def bates_paths(S0, r, q, v0, kappa, theta, xi, rho, T, n_steps, n_paths,
+                *, lam, mJ, sJ, antithetic: bool = True,
+                seed: Optional[int] = None,
+                return_variance: bool = False, dtype=None,
+                scheme: str = "qe"):
+    """Bates (1996) paths: Heston stochastic vol × independent
+    compensated lognormal jumps (intensity ``lam``, log-size
+    N(``mJ``, ``sJ``²)).  The diffusion rides :func:`heston_paths`
+    (Andersen-QE by default); jumps multiply in as
+    exp(Σ log-jumps − λκ̄t), keeping the discounted spot a martingale.
+    The jump stream folds a constant into the path key so it is
+    independent of the diffusion draws at any (seed, shape).
+    Oracle: :func:`~optpricer_tpu.models.analytic.bates_price_cos`."""
+    if lam < 0 or sJ < 0:
+        raise ValueError("lam and sJ must be non-negative.")
+    dt = canonical(dtype)
+    out = heston_paths(S0, r, q, v0, kappa, theta, xi, rho, T, n_steps,
+                       n_paths, antithetic=antithetic, seed=seed,
+                       return_variance=return_variance, dtype=dt,
+                       scheme=scheme)
+    S, v = out if return_variance else (out, None)
+    jk = jax.random.fold_in(_key(seed), 0x9E3779B9)
+    J = _jump_factor(jk, jnp.asarray(lam, dt), jnp.asarray(mJ, dt),
+                     jnp.asarray(sJ, dt), jnp.asarray(T, dt),
+                     n_steps=int(n_steps), n_paths=S.shape[1], dtype=dt)
+    S = S * jnp.exp(J)
     return (S, v) if return_variance else S
 
 
