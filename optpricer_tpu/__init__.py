@@ -122,7 +122,7 @@ from .models.varswap import (varswap_strike_replication,
 from .models.rough import rbergomi_paths, rbergomi_price
 from .models.cliquet import (forward_start_price, cliquet_price_bs,
                              cliquet_price_mc)
-from .risk import ad_greeks, portfolio_risk_fast
+from .risk import ad_greeks, exposure_profile, portfolio_risk_fast
 
 __all__ = [
     # Legacy
@@ -175,7 +175,7 @@ __all__ = [
     "varswap_strike_mc", "volswap_strike_mc",
     "rbergomi_paths", "rbergomi_price",
     "forward_start_price", "cliquet_price_bs", "cliquet_price_mc",
-    "ad_greeks", "portfolio_risk_fast",
+    "ad_greeks", "portfolio_risk_fast", "exposure_profile",
 ]
 
 __version__ = "0.1.0"

@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "numerical_greeks", "scenario_grid", "portfolio_risk",
     "portfolio_risk_fast", "var_historical", "cvar_historical", "ad_greeks",
+    "exposure_profile",
 ]
 
 
@@ -207,3 +208,100 @@ def cvar_historical(returns, confidence: float = 0.99, horizon: int = 1) -> floa
         n_tail > 0, jnp.sum(jnp.where(mask, returns, 0.0)) /
         jnp.maximum(n_tail, 1), q)
     return float(-tail_mean * np.sqrt(horizon))
+
+
+def _exposure_core(S_paths, t_grid, Ks, Ts, pos, is_call, r, q, sigma):
+    """(n_times, n_paths) netted book value V_t along simulated spots.
+
+    One broadcast Black-Scholes evaluation over (time × path × contract):
+    expired contracts contribute nothing (settled), alive ones their
+    mark-to-market at the remaining maturity.
+    """
+    from .ops.black_scholes import price_core
+
+    tau = jnp.maximum(Ts[None, None, :] - t_grid[:, None, None], 0.0)
+    alive = tau > 0.0
+    px = price_core(S_paths[:, :, None], Ks[None, None, :],
+                    jnp.maximum(tau, 1e-8), r, q, sigma, is_call)
+    vals = jnp.where(alive, px, 0.0)
+    return jnp.sum(vals * pos[None, None, :], axis=-1)
+
+
+def exposure_profile(instruments: list, *, n_paths: int = 65_536,
+                     n_times: int = 25, horizon: float | None = None,
+                     quantile: float = 0.975, antithetic: bool = True,
+                     seed=None, dtype=None) -> dict:
+    """Counterparty exposure profile of a netted vanilla book under GBM.
+
+    ``instruments`` uses :func:`portfolio_risk`'s schema (dicts with
+    S/K/T/r/q/sigma/kind/position, one shared underlying).  Simulates the
+    underlying to the latest expiry (or ``horizon``), marks the whole
+    book to market at every node with ONE broadcast Black-Scholes call
+    over (time × path × contract), and reduces to the standard XVA
+    metrics:
+
+    * ``EE(t)``  = E[max(V_t, 0)]      (expected exposure + stderr)
+    * ``ENE(t)`` = E[min(V_t, 0)]      (liability side)
+    * ``PFE(t)`` = quantile_q of V_t⁺  (potential future exposure)
+    * ``EPE``    = time-average of EE  (the CVA workhorse number)
+
+    Expired contracts drop out (settled).  Exact oracle used in tests:
+    under the risk-neutral measure every discounted book value is a
+    martingale, so an always-positive book (e.g. one long call) must
+    show EE(t) = V_0·e^{rt} — a property bump-based engines can't even
+    express.  Beyond the reference's whole risk scope (its ``risk.py``
+    stops at spot-date Greeks and historical VaR).
+    """
+    if not instruments:
+        raise ValueError("instruments must be a non-empty list")
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    from .dtypes import canonical
+    from .models.monte_carlo import resolve_seed
+    from .models.processes import gbm_paths
+
+    dt_ = canonical(dtype)
+    S0 = float(instruments[0]["S"])
+    r = float(instruments[0]["r"])
+    q = float(instruments[0].get("q", 0.0))
+    sigma = float(instruments[0]["sigma"])
+    for inst in instruments[1:]:
+        for name, ref in (("S", S0), ("r", r), ("q", q), ("sigma", sigma)):
+            if abs(float(inst.get(name, 0.0)) - ref) > 1e-12:
+                raise ValueError(
+                    "exposure_profile nets ONE underlying: all "
+                    f"instruments must share {name}")
+    Ts = np.asarray([float(i["T"]) for i in instruments])
+    T_end = float(horizon) if horizon is not None else float(Ts.max())
+    if T_end <= 0.0:
+        raise ValueError("horizon must be positive")
+    n_steps = int(n_times) - 1
+    if n_steps < 1:
+        raise ValueError("need n_times >= 2")
+
+    paths = gbm_paths(S0, r, q, sigma, T_end, n_steps, int(n_paths),
+                      antithetic=antithetic, seed=resolve_seed(seed),
+                      dtype=dt_)
+    t_grid = jnp.linspace(0.0, T_end, n_steps + 1).astype(dt_)
+    V = _exposure_core(
+        paths, t_grid, jnp.asarray([float(i["K"]) for i in instruments],
+                                   dt_),
+        jnp.asarray(Ts, dt_),
+        jnp.asarray([float(i["position"]) for i in instruments], dt_),
+        jnp.asarray([i["kind"] == "call" for i in instruments]),
+        jnp.asarray(r, dt_), jnp.asarray(q, dt_),
+        jnp.asarray(sigma, dt_))
+    V = np.asarray(jax.device_get(V), np.float64)
+    pos_part = np.maximum(V, 0.0)
+    n = V.shape[1]
+    ee = pos_part.mean(axis=1)
+    t_np = np.asarray(t_grid, np.float64)
+    return {
+        "t": t_np,
+        "EE": ee,
+        "EE_stderr": pos_part.std(axis=1, ddof=1) / np.sqrt(n),
+        "ENE": np.minimum(V, 0.0).mean(axis=1),
+        "PFE": np.quantile(pos_part, quantile, axis=1),
+        "EPE": float(np.trapezoid(ee, t_np) / (t_np[-1] - t_np[0])),
+        "quantile": float(quantile),
+    }

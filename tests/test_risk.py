@@ -4,6 +4,7 @@ Mirrors reference test_risk.py (greeks key sets, monotonicity, CVaR≥VaR,
 VaR of N(0,1) ≈ 2.326).
 """
 import numpy as np
+import pytest
 
 from optpricer_tpu import (
     CALL, PUT, bs_greeks, bs_price_vec, cvar_historical, numerical_greeks,
@@ -137,3 +138,71 @@ class TestPortfolioRiskFast:
         assert abs(out["total_delta"] - (2 * g1["delta"] - 1.5 * g2["delta"])) < 1e-9
         assert abs(out["total_vega"] - (2 * g1["vega"] - 1.5 * g2["vega"])) < 1e-7
         assert len(out["instrument_greeks"]) == 2
+
+
+class TestExposureProfile:
+    """Counterparty exposure metrics against the martingale oracle:
+    discounted book values are martingales, so an always-positive book
+    must show EE(t) = V0 * exp(r t) exactly (in expectation)."""
+
+    INST = dict(S=100., K=100., T=1., r=0.05, q=0.01, sigma=0.2,
+                kind="call", position=1.0)
+
+    def test_long_call_ee_is_forward_value(self):
+        from optpricer_tpu import bs_price_vec, exposure_profile
+
+        prof = exposure_profile([self.INST], n_paths=200_000, n_times=11,
+                                seed=3)
+        C0 = float(bs_price_vec(100., 100., 1., 0.05, 0.01, 0.2, "call"))
+        ref = C0 * np.exp(0.05 * prof["t"])
+        # interior nodes (t=0 is exact, t=T settles to zero by convention)
+        z = np.abs(prof["EE"][1:-1] - ref[1:-1]) / prof["EE_stderr"][1:-1]
+        assert np.max(z) < 4.0
+        assert prof["EE"][0] == pytest.approx(C0, rel=1e-9)
+        assert prof["EE"][-1] == 0.0  # settled at expiry
+
+    def test_pfe_dominates_ee_and_short_side(self):
+        from optpricer_tpu import exposure_profile
+
+        prof = exposure_profile([self.INST], n_paths=50_000, n_times=9,
+                                seed=5)
+        assert np.all(prof["PFE"][1:-1] > prof["EE"][1:-1])
+        assert prof["EPE"] > 0.0
+        short = exposure_profile([dict(self.INST, position=-1.0)],
+                                 n_paths=20_000, n_times=5, seed=5)
+        assert short["EE"].max() == 0.0          # pure liability
+        assert np.all(short["ENE"][:-1] < 0.0)
+
+    def test_netting_cancels(self):
+        from optpricer_tpu import exposure_profile
+
+        book = [self.INST, dict(self.INST, position=-1.0)]
+        prof = exposure_profile(book, n_paths=10_000, n_times=5, seed=7)
+        assert np.allclose(prof["EE"], 0.0)
+        assert np.allclose(prof["ENE"], 0.0)
+
+    def test_staggered_expiries_roll_off(self):
+        from optpricer_tpu import exposure_profile
+
+        book = [self.INST,
+                dict(self.INST, T=0.5, K=105., position=2.0)]
+        prof = exposure_profile(book, n_paths=50_000, n_times=9, seed=9)
+        # after the 6m contract settles only the 1y call remains: the
+        # profile steps DOWN across t = 0.5
+        t = prof["t"]
+        before = prof["EE"][np.searchsorted(t, 0.5) - 1]
+        after = prof["EE"][np.searchsorted(t, 0.5) + 1]
+        assert after < before
+
+    def test_validation(self):
+        from optpricer_tpu import exposure_profile
+
+        with pytest.raises(ValueError):
+            exposure_profile([])
+        with pytest.raises(ValueError):
+            exposure_profile([self.INST], quantile=1.5)
+        with pytest.raises(ValueError):
+            exposure_profile([self.INST,
+                              dict(self.INST, sigma=0.3)])  # mixed vol
+        with pytest.raises(ValueError):
+            exposure_profile([self.INST], n_times=1)
