@@ -314,6 +314,112 @@ def _lsmc_dual_upper(key, betas, S0, K, T, r, q, sigma, is_call, *,
     return mean, se
 
 
+@partial(jax.jit, static_argnames=("basis_dim", "n_inner", "n_steps",
+                                   "n_paths"))
+def _lsmc_dual_upper_sv(key, betas, S0, v0, kappa, theta_h, xi, rho,
+                        K, T, r, q, is_call, *, basis_dim: int,
+                        n_inner: int, n_steps: int,
+                        n_paths: int = 8_192):
+    """Andersen-Broadie dual upper bound under HESTON dynamics.
+
+    Same stopping-rule-martingale construction as the GBM dual
+    (:func:`_lsmc_dual_upper`): M compensates the policy's lower-bound
+    value process, inner continuation values come from antithetic policy
+    rollouts — here over the (S, v) state with the SAME Andersen-QE
+    transition as the outer paths (``processes.qe_transition``), so the
+    inner and outer measures agree exactly.  No closed-form European
+    control variate exists under Heston, so the inner estimate is
+    plain-antithetic: the bound stays VALID (inner noise only raises
+    E[max]) but is looser than the GBM dual at equal ``n_inner`` —
+    budget more inner sims, and read the gap as conservative.
+    """
+    from .processes import qe_transition
+
+    dtype = betas.dtype
+    dt = jnp.asarray(T / n_steps, dtype)
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    r_ = jnp.asarray(r, dtype)
+    hi = jax.lax.Precision.HIGHEST
+    qe_kw = dict(r=r_, q=jnp.asarray(q, dtype), kappa=kappa,
+                 theta=theta_h, xi=xi, rho=rho, dt=dt)
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def policy_stop(S, v, beta):
+        ex = intrinsic(S)
+        X = _sv_basis(S, v, K, basis_dim)
+        fitted = jnp.matmul(X, beta, precision=hi)
+        return (ex > 0.0) & (ex > fitted), ex
+
+    betas_pad = jnp.concatenate([betas,
+                                 jnp.zeros((1, basis_dim), dtype)])
+    js = jnp.arange(1, n_steps + 1)
+    half = max(n_inner // 2, 1)
+
+    def continuation(key_k, S_k, v_k, k):
+        """Ĉ_k = E[Z_τ | S_k, v_k], τ > k under the policy — antithetic
+        QE rollouts per outer path, masked to dates j > k."""
+        def inner_date(carry, inp):
+            S, v, alive, val = carry
+            beta_j, j = inp
+            active = j > k
+            kj = jax.random.fold_in(key_k, j)
+            zi = jax.random.normal(kj, (2, half, S.shape[1]), dtype)
+            zv = jnp.concatenate([zi[0], -zi[0]], axis=0)
+            zs = jnp.concatenate([zi[1], -zi[1]], axis=0)
+            S_new, v_new = qe_transition(S, v, zv, zs, **qe_kw)
+            S_new = jnp.where(active, S_new, S)
+            v_new = jnp.where(active, v_new, v)
+            stop_j, ex = policy_stop(S_new, v_new, beta_j)
+            stop = active & alive & (stop_j | (j == n_steps))
+            df = jnp.exp(-r_ * dt * j.astype(dtype))
+            val = val + jnp.where(stop, df * ex, 0.0)
+            return (S_new, v_new, alive & ~stop, val), None
+
+        S_in = jnp.broadcast_to(S_k[None, :], (2 * half, S_k.shape[0]))
+        v_in = jnp.broadcast_to(v_k[None, :], (2 * half, v_k.shape[0]))
+        (_, _, _, val), _ = jax.lax.scan(
+            inner_date,
+            (S_in, v_in, jnp.ones(S_in.shape, bool),
+             jnp.zeros(S_in.shape, dtype)),
+            (betas_pad, js))
+        return jnp.mean(val, axis=0)
+
+    key_paths, key_inner = jax.random.split(key)
+    zo = jax.random.normal(key_paths, (n_steps, 2, n_paths), dtype)
+    S0v = jnp.full((n_paths,), S0, dtype)
+    v0v = jnp.full((n_paths,), jnp.maximum(v0, 0.0), dtype)
+
+    L0 = continuation(jax.random.fold_in(key_inner, 0), S0v, v0v, 0)
+    U0 = jnp.full((n_paths,), intrinsic(jnp.asarray(S0, dtype)), dtype)
+
+    def outer_date(carry, inp):
+        S_prev, v_prev, L_prev, C_prev, stop_prev, M, U = carry
+        z_k, beta, k = inp
+        S_k, v_k = qe_transition(S_prev, v_prev, z_k[0], z_k[1], **qe_kw)
+        df = jnp.exp(-r_ * dt * k.astype(dtype))
+        stop_k, ex = policy_stop(S_k, v_k, beta)
+        stop_k = stop_k | (k == n_steps)
+        Z_k = df * ex
+        C_k = continuation(jax.random.fold_in(key_inner, k), S_k, v_k, k)
+        L_k = jnp.where(stop_k, Z_k, C_k)
+        E_L = jnp.where(stop_prev, C_prev, L_prev)
+        M = M + L_k - E_L
+        U = jnp.maximum(U, Z_k - M)
+        return (S_k, v_k, L_k, C_k, stop_k, M, U), None
+
+    zerosb = jnp.zeros((n_paths,), bool)
+    (_, _, _, _, _, _, U), _ = jax.lax.scan(
+        outer_date,
+        (S0v, v0v, L0, L0, zerosb, jnp.zeros((n_paths,), dtype), U0),
+        (zo, betas_pad, js))
+    mean = jnp.mean(U)
+    se = jnp.sqrt(jnp.maximum(
+        jnp.sum((U - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    return mean, se
+
+
 def _sv_basis(S_t, v_t, K_ref, k: int):
     """The stochastic-vol regression design matrix, shared by every
     Heston-LSMC pass (fit, fixed-policy forward, sharded): powers of
@@ -450,12 +556,14 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     under HESTON dynamics instead of GBM (``opt.sigma`` is ignored): the
     exercise policy regresses on the (S, v) state with the extended
     basis [1, x, x², x³, v, v·x] — omitting v biases the policy low
-    wherever vol-of-vol is material. Supports ``bound=None`` (single
-    pass) and ``bound="lower"`` (two-pass, honest low bias); the dual
-    upper bound needs nested Heston rollouts and is not implemented —
-    use the ADI PDE (:func:`~optpricer_tpu.models.heston_pde.
-    heston_fd_price` ``american=True``) as the deterministic
-    cross-check, which is exactly what tests/test_american_mc.py does.
+    wherever vol-of-vol is material. ``bound="both"`` runs the
+    Andersen-Broadie dual with nested QE rollouts over the (S, v) state
+    (:func:`_lsmc_dual_upper_sv`) — no closed-form inner control
+    variate exists under Heston, so the upper bound is valid but looser
+    than the GBM dual at equal ``n_inner``; the ADI PDE
+    (:func:`~optpricer_tpu.models.heston_pde.heston_fd_price`
+    ``american=True``) remains the deterministic cross-check inside the
+    bracket in tests.
 
     ``lsv=LSVModel`` prices the American under the CALIBRATED
     local-stochastic-vol dynamics — the leverage-scaled Heston paths of
@@ -520,11 +628,6 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                                                   basis_dim=k_sv)
         return float(lo), float(lo_se)
     if heston is not None:
-        if bound == "both":
-            raise ValueError(
-                "bound='both' (the Andersen-Broadie dual) is GBM-only; "
-                "cross-check Heston LSMC against heston_fd_price("
-                "american=True) instead")
         from .processes import heston_paths
 
         k_sv = max(int(basis_dim), 6)
@@ -554,7 +657,21 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                               dtype=dt_, scheme="qe")
         lo, lo_se = _lsmc_forward_fixed_policy_sv(S2, v2, betas, *args,
                                                   basis_dim=k_sv)
-        return float(lo), float(lo_se)
+        if bound == "lower":
+            return float(lo), float(lo_se)
+        up, up_se = _lsmc_dual_upper_sv(
+            jax.random.key(seed_val + 0xD0A1), betas,
+            jnp.asarray(opt.S0, dt_), jnp.asarray(hp["v0"], dt_),
+            jnp.asarray(hp["kappa"], dt_), jnp.asarray(hp["theta"], dt_),
+            jnp.asarray(hp["xi"], dt_), jnp.asarray(hp["rho"], dt_),
+            *args[:1], jnp.asarray(opt.T, dt_), *args[1:2],
+            jnp.asarray(opt.q, dt_), args[3], basis_dim=k_sv,
+            n_inner=int(n_inner), n_steps=int(n_steps),
+            n_paths=int(n_upper_paths))
+        lo_f, up_f = float(lo), float(up)
+        return {"lower": (lo_f, float(lo_se)),
+                "upper": (up_f, float(up_se)),
+                "gap": up_f - lo_f}
     args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
             jnp.asarray(opt.T / n_steps, dt_),
             jnp.asarray(is_call_mask(kind)))

@@ -160,6 +160,58 @@ def _heston_core(key, S0, r, q, v0, kappa, theta, xi, rho, T,
     return S, v
 
 
+def qe_transition(S_t, v_t, zv, zs, *, r, q, kappa, theta, xi, rho, dt):
+    """ONE Andersen-QE (S, v) → (S', v') transition (traceable, any
+    shape).  Extracted from the path generator so nested-simulation
+    consumers (the Heston Andersen-Broadie dual, ``american_mc.py``)
+    share the exact same discretisation as the outer paths.  ``zv``
+    drives the variance (its Φ supplies the exponential-branch uniform),
+    ``zs`` the asset — one pair of standard normals per step."""
+    dtype = jnp.result_type(S_t)
+    emkt = jnp.exp(-kappa * dt)
+    c1 = xi * xi * emkt * (1.0 - emkt) / kappa
+    c2 = theta * xi * xi * (1.0 - emkt) ** 2 / (2.0 * kappa)
+    psi_c = 1.5
+    # Andersen's K constants (γ1 = γ2 = ½ central weighting)
+    g1 = g2 = 0.5
+    K0 = -rho * kappa * theta * dt / xi
+    K1 = g1 * dt * (kappa * rho / xi - 0.5) - rho / xi
+    K2 = g2 * dt * (kappa * rho / xi - 0.5) + rho / xi
+    K3 = g1 * dt * (1.0 - rho * rho)
+    K4 = g2 * dt * (1.0 - rho * rho)
+    tiny = jnp.asarray(1e-12, dtype)
+
+    m = theta + (v_t - theta) * emkt
+    s2 = v_t * c1 + c2
+    psi = s2 / jnp.maximum(m * m, tiny)
+    # quadratic branch (ψ ≤ ψ_c): v⁺ = a(b+Z)², matches (m, s²)
+    psi_q = jnp.minimum(psi, psi_c)
+    two_over = 2.0 / jnp.maximum(psi_q, tiny)
+    b2 = (two_over - 1.0
+          + jnp.sqrt(two_over) * jnp.sqrt(jnp.maximum(two_over - 1.0,
+                                                      0.0)))
+    a = m / (1.0 + b2)
+    bz = jnp.sqrt(jnp.maximum(b2, 0.0)) + zv
+    v_quad = a * bz * bz
+    # exponential branch (ψ > ψ_c): P(v=0) = p, else Exp tail;
+    # the uniform is Φ(Z_v) so both branches ride one draw
+    from jax.scipy.stats import norm as _norm
+
+    u = _norm.cdf(zv)
+    psi_e = jnp.maximum(psi, psi_c)
+    p = (psi_e - 1.0) / (psi_e + 1.0)
+    beta = (1.0 - p) / jnp.maximum(m, tiny)
+    v_exp = jnp.where(
+        u <= p, 0.0,
+        jnp.log((1.0 - p) / jnp.maximum(1.0 - u, tiny)) / beta)
+    v_n = jnp.where(psi <= psi_c, v_quad, v_exp)
+    # asset: central discretisation of ∫v with ρ via the v-increment
+    vbar_k3 = K3 * v_t + K4 * v_n
+    X = (jnp.log(S_t) + (r - q) * dt + K0 + K1 * v_t + K2 * v_n
+         + jnp.sqrt(jnp.maximum(vbar_k3, 0.0)) * zs)
+    return jnp.exp(X), v_n
+
+
 @partial(jax.jit, static_argnames=("n_steps", "n_paths", "antithetic",
                                    "dtype"))
 def _heston_qe_core(key, S0, r, q, v0, kappa, theta, xi, rho, T,
@@ -190,51 +242,12 @@ def _heston_qe_core(key, S0, r, q, v0, kappa, theta, xi, rho, T,
     v_init = jnp.full((n_cols,), jnp.maximum(v0, 0.0), dtype=dtype)
     s_init = jnp.full((n_cols,), S0, dtype=dtype)
 
-    emkt = jnp.exp(-kappa * dt)
-    c1 = xi * xi * emkt * (1.0 - emkt) / kappa
-    c2 = theta * xi * xi * (1.0 - emkt) ** 2 / (2.0 * kappa)
-    psi_c = 1.5
-    # Andersen's K constants (γ1 = γ2 = ½ central weighting)
-    g1 = g2 = 0.5
-    K0 = -rho * kappa * theta * dt / xi
-    K1 = g1 * dt * (kappa * rho / xi - 0.5) - rho / xi
-    K2 = g2 * dt * (kappa * rho / xi - 0.5) + rho / xi
-    K3 = g1 * dt * (1.0 - rho * rho)
-    K4 = g2 * dt * (1.0 - rho * rho)
-    tiny = jnp.asarray(1e-12, dtype)
-
     def step(carry, zs):
         S_t, v_t = carry
         zv, zs_ = zs
-        m = theta + (v_t - theta) * emkt
-        s2 = v_t * c1 + c2
-        psi = s2 / jnp.maximum(m * m, tiny)
-        # quadratic branch (ψ ≤ ψ_c): v⁺ = a(b+Z)², matches (m, s²)
-        psi_q = jnp.minimum(psi, psi_c)
-        two_over = 2.0 / jnp.maximum(psi_q, tiny)
-        b2 = (two_over - 1.0
-              + jnp.sqrt(two_over) * jnp.sqrt(jnp.maximum(two_over - 1.0,
-                                                          0.0)))
-        a = m / (1.0 + b2)
-        bz = jnp.sqrt(jnp.maximum(b2, 0.0)) + zv
-        v_quad = a * bz * bz
-        # exponential branch (ψ > ψ_c): P(v=0) = p, else Exp tail;
-        # the uniform is Φ(Z_v) so both branches ride one draw
-        from jax.scipy.stats import norm as _norm
-
-        u = _norm.cdf(zv)
-        psi_e = jnp.maximum(psi, psi_c)
-        p = (psi_e - 1.0) / (psi_e + 1.0)
-        beta = (1.0 - p) / jnp.maximum(m, tiny)
-        v_exp = jnp.where(
-            u <= p, 0.0,
-            jnp.log((1.0 - p) / jnp.maximum(1.0 - u, tiny)) / beta)
-        v_n = jnp.where(psi <= psi_c, v_quad, v_exp)
-        # asset: central discretisation of ∫v with ρ via the v-increment
-        vbar_k3 = K3 * v_t + K4 * v_n
-        X = (jnp.log(S_t) + (r - q) * dt + K0 + K1 * v_t + K2 * v_n
-             + jnp.sqrt(jnp.maximum(vbar_k3, 0.0)) * zs_)
-        S_n = jnp.exp(X)
+        S_n, v_n = qe_transition(S_t, v_t, zv, zs_, r=r, q=q,
+                                 kappa=kappa, theta=theta, xi=xi,
+                                 rho=rho, dt=dt)
         return (S_n, v_n), (S_n, v_n)
 
     (_, _), (S_rows, v_rows) = jax.lax.scan(step, (s_init, v_init),

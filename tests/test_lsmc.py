@@ -159,6 +159,25 @@ class TestHestonLsmc:
     HP = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
     OPT = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.2)
 
+    def test_dual_bracket_contains_adi(self):
+        # bound="both": two-pass lower + Andersen-Broadie dual upper via
+        # nested QE rollouts; the deterministic ADI American price must
+        # sit inside [lower - 2se, upper + 2se] (no inner CV exists
+        # under Heston, so the gap is conservative, not tight)
+        from optpricer_tpu import heston_fd_price
+
+        ref = float(heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0,
+                                    **self.HP, kind="put",
+                                    american=True))
+        br = lsmc_price(self.OPT, "put", heston=self.HP, n_paths=20_000,
+                        n_steps=9, seed=2, bound="both", n_inner=64,
+                        n_upper_paths=1_024)
+        lo, lo_se = br["lower"]
+        up, up_se = br["upper"]
+        assert lo - 2 * lo_se <= ref <= up + 2 * up_se, (lo, ref, up)
+        assert br["gap"] >= -(lo_se + up_se)
+        assert br["gap"] < 0.15 * ref  # loose but not useless
+
     def test_brackets_adi_pde(self):
         from optpricer_tpu import heston_fd_price
 
@@ -197,9 +216,19 @@ class TestHestonLsmc:
                              n_paths=100_000, n_steps=25, seed=2)
         assert abs(ph - pg) < 4 * (seg + seh) + 0.02
 
-    def test_dual_upper_rejected(self):
+    def test_lsv_dual_upper_rejected(self):
+        # the Heston dual landed (test_dual_bracket_contains_adi); the
+        # LSV dual still needs leverage-aware nested rollouts
+        import jax.numpy as jnp
+
+        from optpricer_tpu import LSVModel
+
+        model = LSVModel(S0=100.0, r=0.05, q=0.0, T=1.0, v0=0.04,
+                         kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                         x_bins=jnp.linspace(-1.0, 1.0, 5),
+                         leverage=jnp.ones((4, 5)))
         with pytest.raises(ValueError, match="GBM-only"):
-            lsmc_price(self.OPT, "put", heston=self.HP, bound="both")
+            lsmc_price(self.OPT, "put", bound="both", lsv=model)
 
     def test_sharded_heston_matches_single(self):
         from optpricer_tpu import lsmc_price_sharded
