@@ -18,6 +18,11 @@ if not _ON_TPU:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
 
+if _ON_TPU and os.environ.get("PYTEST_XDIST_WORKER"):
+    raise RuntimeError(
+        "OPTPRICER_TEST_TPU=1 runs must be serial (one chip, one "
+        "process): pass -n0 to override the default xdist workers")
+
 import jax  # noqa: E402
 
 if not _ON_TPU:
