@@ -58,6 +58,7 @@ from .models.calibration import (
     fit_svi_surface,
     dupire_local_vol,
     dupire_local_vol_func,
+    fit_essvi,
     svi_butterfly_g,
     svi_density,
     check_butterfly,
@@ -136,7 +137,7 @@ __all__ = [
     # Exotics
     "barrier_price", "asian_price", "digital_price", "lookback_price",
     # Calibration & Dupire
-    "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface",
+    "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface", "fit_essvi",
     "dupire_local_vol", "dupire_local_vol_func", "svi_butterfly_g",
     "svi_density", "check_butterfly", "check_calendar", "arbitrage_report",
     # PDE (Finite Difference)

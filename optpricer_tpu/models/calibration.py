@@ -37,6 +37,7 @@ from ..dtypes import canonical
 
 __all__ = [
     "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface",
+    "fit_essvi",
     "dupire_local_vol", "dupire_local_vol_func",
     "svi_butterfly_g", "svi_density", "check_butterfly",
     "check_calendar", "arbitrage_report",
@@ -324,6 +325,133 @@ def fit_svi_surface(strikes_by_expiry: dict, forwards: dict,
         slices[T] = fit_svi(strikes_by_expiry[T], forwards[T], T,
                             market_ivs_by_expiry[T])
     return VolSurface(slices, forward_curve=forwards)
+
+
+def _essvi_unpack(x, n_exp):
+    """Raw optimiser vector → (θ (n,), ρ, η, γ), all constraints BUILT IN:
+    θ strictly increasing via cumulative softplus (calendar monotonicity),
+    ρ ∈ (−0.99, 0.99), η > 0, γ ∈ (0, 0.5) (power-law wing decay)."""
+    theta = jnp.cumsum(jax.nn.softplus(x[:n_exp]) + 1e-8)
+    rho = 0.99 * jnp.tanh(x[n_exp])
+    eta = jax.nn.softplus(x[n_exp + 1]) + 1e-8
+    gam = 0.5 * jax.nn.sigmoid(x[n_exp + 2])
+    return theta, rho, eta, gam
+
+
+def _essvi_w(theta_i, rho, phi_i, k):
+    return 0.5 * theta_i * (1.0 + rho * phi_i * k + jnp.sqrt(
+        (phi_i * k + rho) ** 2 + 1.0 - rho * rho))
+
+
+@partial(jax.jit, static_argnames=("n_exp", "max_iter"))
+def _essvi_fit_core(k_pad, w_pad, wt_pad, x0, *, n_exp: int,
+                    max_iter: int = 400):
+    """Joint LM over every quote of every expiry + soft no-butterfly
+    penalties (Gatheral-Jacquier: θφ(1+|ρ|) ≤ 4 and θφ²(1+|ρ|) ≤ 4)."""
+
+    def residuals(x):
+        theta, rho, eta, gam = _essvi_unpack(x, n_exp)
+        phi = eta / theta**gam
+        w = _essvi_w(theta[:, None], rho, phi[:, None], k_pad)
+        fit_res = ((w - w_pad) * wt_pad).ravel()
+        cap = theta * phi * (1.0 + jnp.abs(rho))
+        pen1 = 10.0 * jnp.maximum(cap - 4.0, 0.0)
+        pen2 = 10.0 * jnp.maximum(cap * phi - 4.0, 0.0)
+        return jnp.concatenate([fit_res, pen1, pen2])
+
+    dim = n_exp + 3
+    lower = jnp.full((dim,), -25.0, x0.dtype)
+    upper = jnp.full((dim,), 25.0, x0.dtype)
+    return _lm_loop(residuals, x0, lower, upper, max_iter)
+
+
+def fit_essvi(strikes_by_expiry: dict, forwards: dict,
+              market_ivs_by_expiry: dict, *, dtype=None,
+              max_iter: int = 400) -> tuple[VolSurface, dict]:
+    """GLOBAL arbitrage-free surface fit — eSSVI (Gatheral 2014 SSVI /
+    Hendriks-Martini extended SSVI with power-law φ).
+
+    One Levenberg-Marquardt solve over EVERY quote of EVERY expiry
+    jointly, with the no-arbitrage structure built into the
+    parameterisation rather than checked after the fact:
+
+    * calendar: θ_T (ATM total variance) is strictly increasing by
+      construction (cumulative softplus), ρ is shared, and the power-law
+      φ(θ) = η/θ^γ with γ ∈ (0, ½) makes θφ(θ) increasing and φ
+      decreasing — the Hendriks-Martini sufficient conditions;
+    * butterfly: the Gatheral-Jacquier bounds θφ(1+|ρ|) ≤ 4 and
+      θφ²(1+|ρ|) ≤ 4 enter the LM residuals as hinge penalties.
+
+    Each fitted expiry is then EXPORTED as exact raw-SVI parameters
+    (eSSVI at fixed T *is* SVI: a = θ(1−ρ²)/2, b = θφ/2, m = −ρ/φ,
+    σ = √(1−ρ²)/φ), so the returned :class:`VolSurface` drives every
+    downstream consumer — Dupire, the forward PDE, the arbitrage
+    screens — unchanged.  Per-slice :func:`fit_svi_surface` fits tighter
+    on noiseless single-slice data but can embed calendar crossings;
+    this is the production surface when arbitrage-freeness matters.
+
+    Returns ``(surface, info)`` with ``info`` carrying the eSSVI
+    parameters, per-expiry θ/φ, the butterfly margins and the fit RMSE
+    in total variance.  Reference baseline: per-slice scipy fits with no
+    cross-expiry structure at all (``calibration.py:232-261``).
+    """
+    dt = canonical(dtype)
+    Ts = sorted(strikes_by_expiry.keys())
+    n_exp = len(Ts)
+    if n_exp < 1:
+        raise ValueError("need at least one expiry")
+    m_max = max(len(np.asarray(strikes_by_expiry[T])) for T in Ts)
+    k_pad = np.zeros((n_exp, m_max))
+    w_pad = np.zeros((n_exp, m_max))
+    wt_pad = np.zeros((n_exp, m_max))
+    atm_w = np.zeros(n_exp)
+    for i, T in enumerate(Ts):
+        strikes = np.asarray(strikes_by_expiry[T], dtype=float)
+        ivs = np.asarray(market_ivs_by_expiry[T], dtype=float)
+        if strikes.shape != ivs.shape:
+            raise ValueError(f"expiry {T}: strikes/ivs shape mismatch")
+        m = strikes.size
+        k = np.log(strikes / forwards[T])
+        w = ivs**2 * T
+        k_pad[i, :m] = k
+        w_pad[i, :m] = w
+        wt_pad[i, :m] = 1.0
+        atm_w[i] = w[np.argmin(np.abs(k))]
+
+    # raw init: θ from the ATM quotes (inverse of the cumulative
+    # softplus), ρ = 0, η = 1, γ = 0.3
+    inc = np.maximum(np.diff(atm_w, prepend=0.0), 1e-4)
+    inv_softplus = lambda y: np.log(np.expm1(np.maximum(y, 1e-8)))
+    x0 = np.concatenate([inv_softplus(inc),
+                         [0.0, inv_softplus(1.0), -0.35]])
+
+    x, cost = _essvi_fit_core(jnp.asarray(k_pad, dt),
+                              jnp.asarray(w_pad, dt),
+                              jnp.asarray(wt_pad, dt),
+                              jnp.asarray(x0, dt), n_exp=n_exp,
+                              max_iter=int(max_iter))
+    theta, rho, eta, gam = (np.asarray(jax.device_get(v), np.float64)
+                            for v in _essvi_unpack(x, n_exp))
+    rho, eta, gam = float(rho), float(eta), float(gam)
+    phi = eta / theta**gam
+
+    slices = {}
+    for i, T in enumerate(Ts):
+        th, ph = float(theta[i]), float(phi[i])
+        slices[T] = SVIParams(
+            a=0.5 * th * (1.0 - rho * rho), b=0.5 * th * ph,
+            rho=rho, m=-rho / ph,
+            sigma=np.sqrt(1.0 - rho * rho) / ph, expiry=T)
+    surface = VolSurface(slices, forward_curve=dict(forwards))
+    n_quotes = int(wt_pad.sum())
+    info = {
+        "theta": theta, "rho": rho, "eta": eta, "gamma": gam,
+        "phi": phi,
+        "rmse_w": float(np.sqrt(2.0 * float(cost) / max(n_quotes, 1))),
+        "butterfly_margin": 4.0 - theta * phi * (1.0 + abs(rho)),
+        "butterfly_margin2": 4.0 - theta * phi**2 * (1.0 + abs(rho)),
+    }
+    return surface, info
 
 
 # ---------------------------------------------------------------------------
