@@ -146,10 +146,13 @@ def main(argv=None):
     ap.add_argument("--input", required=True, help="market data CSV")
     ap.add_argument("--output", required=True, help="output JSON")
     ap.add_argument("--plot", default=None, help="save smile plot PNG")
-    ap.add_argument("--model", default="svi", choices=("svi", "heston"),
+    ap.add_argument("--model", default="svi",
+                    choices=("svi", "heston", "essvi"),
                     help="svi: per-slice raw SVI (reference contract); "
                          "heston: one global (v0,kappa,theta,xi,rho) via "
-                         "LM through the COS transform")
+                         "LM through the COS transform; essvi: one "
+                         "global arbitrage-free-by-construction surface "
+                         "(slices exported as raw SVI)")
     ap.add_argument("--rate", type=float, default=0.0,
                     help="risk-free rate for the heston model (the carry "
                          "r−q is inferred from the forward curve)")
@@ -172,7 +175,16 @@ def main(argv=None):
                           label="Heston fit")
         return
 
-    fits = fit_all_slices(strikes, forwards, ivs)
+    if ns.model == "essvi":
+        from optpricer_tpu import fit_essvi
+
+        surface, info = fit_essvi(strikes, forwards, ivs)
+        fits = surface.slices
+        print("  eSSVI: rho={rho:.4f} eta={eta:.4f} gamma={gamma:.4f} "
+              "RMSE_w={rmse_w:.2e}".format(**info))
+        print("  theta:", " ".join(f"{t:.5f}" for t in info["theta"]))
+    else:
+        fits = fit_all_slices(strikes, forwards, ivs)
     report = {}
     for T in sorted(fits):
         rep = slice_report(fits[T], strikes[T], forwards[T], ivs[T])

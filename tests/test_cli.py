@@ -193,6 +193,38 @@ class TestCalibrateScript:
         # the post-fit static-arbitrage screen runs and is clean here
         assert "Arbitrage screen: CLEAN" in proc.stdout
 
+    def test_essvi_mode(self, tmp_path):
+        # quotes generated from an eSSVI truth; the global fit must
+        # recover it and report the clean arbitrage screen
+        rho_t, eta_t, gam_t = -0.5, 0.9, 0.35
+        quotes = tmp_path / "quotes.csv"
+        with open(quotes, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["expiry", "strike", "forward", "iv"])
+            for T in (0.25, 0.5, 1.0):
+                F = 100.0 * np.exp(0.02 * T)
+                th = 0.04 * T
+                ph = eta_t / th**gam_t
+                for k in np.linspace(-0.3, 0.3, 11):
+                    wv = 0.5 * th * (1 + rho_t * ph * k + np.sqrt(
+                        (ph * k + rho_t) ** 2 + 1 - rho_t**2))
+                    w.writerow([T, F * np.exp(k), F,
+                                float(np.sqrt(wv / T))])
+        out = tmp_path / "fit.json"
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts/calibrate_surface.py"),
+             "--input", str(quotes), "--output", str(out),
+             "--model", "essvi"],
+            capture_output=True, text=True, cwd=REPO,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": str(REPO)},
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "eSSVI: rho=-0.5" in proc.stdout
+        assert "Arbitrage screen: CLEAN" in proc.stdout
+        fit = json.loads(out.read_text())
+        assert all(fit[str(T)]["rmse"] < 1e-4 for T in (0.25, 0.5, 1.0))
+
     def test_heston_mode(self, tmp_path):
         from optpricer_tpu import bs_implied_vol_vec, heston_price_cos
 
