@@ -420,6 +420,21 @@ def _lsmc_dual_upper_sv(key, betas, S0, v0, kappa, theta_h, xi, rho,
     return mean, se
 
 
+def _bermudan_mask(exercise_dates, T: float, n_steps: int) -> np.ndarray:
+    """(n_steps−1,) bool over interior dates: True where the Bermudan
+    contract grants exercise. Dates snap to the step grid; a date that
+    rounds to 0 is clamped to node 1 (the first representable grid time,
+    same convention as ``_div_schedule``), never silently dropped."""
+    mask = np.zeros(n_steps - 1, bool)
+    for t_e in exercise_dates:
+        if not 0.0 < t_e <= T:
+            raise ValueError(f"exercise date {t_e} outside (0, T={T}]")
+        i = max(1, int(round(t_e / T * n_steps)))
+        if i <= n_steps - 1:
+            mask[i - 1] = True
+    return mask
+
+
 def _sv_basis(S_t, v_t, K_ref, k: int):
     """The stochastic-vol regression design matrix, shared by every
     Heston-LSMC pass (fit, fixed-policy forward, sharded): powers of
@@ -433,13 +448,18 @@ def _sv_basis(S_t, v_t, K_ref, k: int):
 
 
 @partial(jax.jit, static_argnames=("basis_dim", "two_pass"))
-def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, *,
+def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, ex_mask=None, *,
                       basis_dim: int, two_pass: bool = False):
     """Stochastic-vol LSMC backward pass: the regression state is
     (S_t, v_t), basis [1, x, x², x³, v, v·x] with x = S/K − 1 — the
     standard Longstaff-Schwartz basis extension for Heston (continuation
     value depends on the variance state, not just moneyness; omitting v
     biases the policy low wherever vol-of-vol is material).
+
+    ``ex_mask`` (optional, (n_steps−1,) bool over interior dates)
+    restricts exercise to the True dates — the BERMUDAN contract under
+    Heston; maturity is always exercisable through the terminal payoff
+    and t=0 carries no exercise right (no intrinsic floor).
 
     ``two_pass=True`` returns the per-date betas instead (fit half), so
     an independent (paths, v_paths) set can be priced under the frozen
@@ -461,7 +481,10 @@ def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, *,
         return _sv_basis(S_t, v_t, K, k)
 
     def date(cashflow, xs):
-        S_t, v_t = xs
+        if ex_mask is None:
+            S_t, v_t = xs
+        else:
+            S_t, v_t, allowed = xs
         cont = disc * cashflow
         ex = intrinsic(S_t)
         w = (ex > 0.0).astype(dtype)
@@ -472,16 +495,23 @@ def _lsmc_backward_sv(paths, v_paths, K, r, dt, is_call, *,
         b = jnp.matmul(Xw.T, cont, precision=hi) / n_itm
         beta = jnp.linalg.solve(A + ridge * eye, b)
         fitted = jnp.matmul(X, beta, precision=hi)
-        return jnp.where((w > 0.0) & (ex > fitted), ex, cont), beta
+        exercise = (w > 0.0) & (ex > fitted)
+        if ex_mask is not None:
+            exercise = exercise & allowed
+        return jnp.where(exercise, ex, cont), beta
 
-    cashflow, betas_rev = jax.lax.scan(
-        date, intrinsic(paths[-1]), (paths[1:-1][::-1], v_paths[1:-1][::-1]))
+    xs = (paths[1:-1][::-1], v_paths[1:-1][::-1]) if ex_mask is None \
+        else (paths[1:-1][::-1], v_paths[1:-1][::-1], ex_mask[::-1])
+    cashflow, betas_rev = jax.lax.scan(date, intrinsic(paths[-1]), xs)
     if two_pass:
         return betas_rev[::-1]
     value = disc * cashflow
     mean = jnp.mean(value)
     se = jnp.sqrt(jnp.maximum(
         jnp.sum((value - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    if ex_mask is not None:
+        # Bermudan: t=0 is not an exercise date, no intrinsic floor
+        return mean, se
     return jnp.maximum(mean, intrinsic(paths[0, 0])), se
 
 
@@ -580,15 +610,14 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     maturity is always exercisable, t=0 never). An empty list is the
     European limit; the full grid reproduces the American run exactly
     wherever the American's t=0 intrinsic floor does not bind (the
-    Bermudan, lacking a t=0 right, is never floored). GBM single-pass
-    only.
+    Bermudan, lacking a t=0 right, is never floored). GBM or ``heston=``
+    dynamics, single-pass only.
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
-    if exercise_dates is not None and (heston is not None
-                                       or lsv is not None):
-        raise ValueError("exercise_dates (Bermudan) currently prices "
-                         "under GBM dynamics only")
+    if exercise_dates is not None and lsv is not None:
+        raise ValueError("exercise_dates (Bermudan) prices under GBM or "
+                         "heston= dynamics (not lsv=)")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     if lsv is not None:
@@ -644,6 +673,17 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                             n_steps, n_paths, antithetic=antithetic,
                             seed=seed_val, return_variance=True, dtype=dt_,
                             scheme="qe")
+        if exercise_dates is not None:
+            if bound is not None:
+                raise ValueError("exercise_dates (Bermudan) supports "
+                                 "the single-pass estimator only "
+                                 "(bound=None)")
+            mask = _bermudan_mask(exercise_dates, opt.T, n_steps)
+            price, se = _lsmc_backward_sv(S, v, *args,
+                                          jnp.asarray(mask),
+                                          basis_dim=k_sv)
+            return (float(price), float(se)) if return_stderr \
+                else float(price)
         if bound is None:
             price, se = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv)
             return (float(price), float(se)) if return_stderr \
@@ -685,17 +725,7 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
         if bound is not None:
             raise ValueError("exercise_dates (Bermudan) supports the "
                              "single-pass estimator only (bound=None)")
-        mask = np.zeros(n_steps - 1, bool)
-        for t_e in exercise_dates:
-            if not 0.0 < t_e <= opt.T:
-                raise ValueError(
-                    f"exercise date {t_e} outside (0, T={opt.T}]")
-            # clamp to node 1: a date that rounds to 0 must still grant
-            # its exercise right at the first representable grid time,
-            # not be silently dropped (same convention as _div_schedule)
-            i = max(1, int(round(t_e / opt.T * n_steps)))
-            if i <= n_steps - 1:
-                mask[i - 1] = True
+        mask = _bermudan_mask(exercise_dates, opt.T, n_steps)
         price, se = _lsmc_backward(paths, *args, jnp.asarray(mask),
                                    basis_dim=int(basis_dim))
         return (float(price), float(se)) if return_stderr else float(price)

@@ -216,6 +216,25 @@ class TestHestonLsmc:
                              n_paths=100_000, n_steps=25, seed=2)
         assert abs(ph - pg) < 4 * (seg + seh) + 0.02
 
+    def test_heston_bermudan_limits(self):
+        # empty date set = the European COS price; the full grid equals
+        # the single-pass American exactly (no binding t=0 floor at
+        # K=110); sparse dates land strictly between
+        from optpricer_tpu import heston_price_cos
+
+        kw = dict(heston=self.HP, n_paths=100_000, n_steps=20, seed=4)
+        pe, se = lsmc_price(self.OPT, "put", exercise_dates=[], **kw)
+        eu = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                    **self.HP, kind="put"))
+        assert abs(pe - eu) < 4.0 * se
+        full = list(np.linspace(0.05, 1.0, 20))
+        pf, _ = lsmc_price(self.OPT, "put", exercise_dates=full, **kw)
+        pa, _ = lsmc_price(self.OPT, "put", **kw)
+        assert pf == pa
+        pq, _ = lsmc_price(self.OPT, "put",
+                           exercise_dates=[0.25, 0.5, 0.75], **kw)
+        assert pe - 2 * se < pq < pa + 2 * se
+
     def test_lsv_dual_upper_rejected(self):
         # the Heston dual landed (test_dual_bracket_contains_adi); the
         # LSV dual still needs leverage-aware nested rollouts
@@ -292,10 +311,18 @@ class TestBermudan:
                        bound="lower", **self.KW)
         with pytest.raises(ValueError, match="outside"):
             lsmc_price(self.OPT, "put", exercise_dates=[1.5], **self.KW)
-        with pytest.raises(ValueError, match="GBM"):
+        # heston= Bermudan landed (TestHestonLsmc); lsv= stays GBM/Heston
+        import jax.numpy as jnp
+
+        from optpricer_tpu import LSVModel
+
+        model = LSVModel(S0=100.0, r=0.05, q=0.0, T=1.0, v0=0.04,
+                         kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                         x_bins=jnp.linspace(-1.0, 1.0, 5),
+                         leverage=jnp.ones((4, 5)))
+        with pytest.raises(ValueError, match="Bermudan"):
             lsmc_price(self.OPT, "put", exercise_dates=[0.5],
-                       heston=dict(v0=0.04, kappa=1.0, theta=0.04,
-                                   xi=0.3, rho=-0.5), **self.KW)
+                       lsv=model, **self.KW)
 
     def test_date_rounding_to_zero_clamps_to_first_node(self):
         # a tiny early date must keep its exercise right at node 1, not
