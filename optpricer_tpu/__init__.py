@@ -106,6 +106,7 @@ from .models.analytic import (merton_price, heston_price_cos,
                               heston_greeks_cos, cev_price,
                               barrier_price_bs)
 from .models.processes import bates_paths
+from .models.binomial import american_implied_vol
 from .models.heston_pde import (heston_fd_price, heston_fd_grid,
                                 heston_fd_greeks, heston_fd_price_batch,
                                 heston_fd_price_barrier)
@@ -159,7 +160,7 @@ __all__ = [
     "lsmc_price_sharded", "lsmc_price_basket",
     "euro_greeks_mc", "exotic_greeks_mc",
     "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
-    "bates_price_cos", "bates_paths",
+    "bates_price_cos", "bates_paths", "american_implied_vol",
     "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",

@@ -25,7 +25,7 @@ from ..core import CALL, OptionSpec
 from ..dtypes import canonical
 from ..ops.black_scholes import is_call_mask
 
-__all__ = ["crr", "crr_vec"]
+__all__ = ["crr", "crr_vec", "american_implied_vol"]
 
 
 def _tree_params(T: float, r: float, q: float, sigma: float, N: int):
@@ -113,3 +113,98 @@ def crr_vec(S0: float, K, T: float, r: float, q: float, sigma: float,
         N=int(N), american=bool(american), dtype=dt,
     )
     return out.reshape(np.shape(K_arr))
+
+
+@partial(jax.jit, static_argnames=("N", "american"))
+def _crr_sigma_batch(S0, K, T, r, q, sigma, is_call, *, N: int,
+                     american: bool):
+    """CRR prices for a batch where EVERY entry carries its own σ
+    (the inverse-pricing workhorse): per-entry tree constants broadcast
+    against the node axis, same backward scan as ``_crr_core``."""
+    dtype = sigma.dtype
+    dt = T / N
+    ssd = sigma * jnp.sqrt(dt)                       # (batch,)
+    u = jnp.exp(ssd)
+    d = 1.0 / u
+    a = jnp.exp((r - q) * dt)
+    p = jnp.clip((a - d) / jnp.maximum(u - d, 1e-12), 0.0, 1.0)[:, None]
+    disc = jnp.exp(-r * dt)
+    j = jnp.arange(N + 1, dtype=dtype)
+
+    def payoff(S_nodes):
+        pay_c = jnp.maximum(S_nodes - K[:, None], 0.0)
+        pay_p = jnp.maximum(K[:, None] - S_nodes, 0.0)
+        return jnp.where(is_call[:, None], pay_c, pay_p)
+
+    V = payoff(S0 * jnp.exp(ssd[:, None] * (2.0 * j - N)[None, :]))
+
+    def step(V, k):
+        cont = disc * (p * V[:, 1:] + (1.0 - p) * V[:, :-1])
+        V_new = jnp.concatenate([cont, jnp.zeros_like(V[:, :1])], axis=1)
+        if american:
+            S_k = S0 * jnp.exp(ssd[:, None] * (2.0 * j - k)[None, :])
+            V_new = jnp.maximum(V_new, payoff(S_k))
+        return V_new, None
+
+    ks = jnp.arange(N - 1, -1, -1, dtype=dtype)
+    V, _ = jax.lax.scan(step, V, ks)
+    return V[:, 0]
+
+
+@partial(jax.jit, static_argnames=("N", "n_iter"))
+def _amer_iv_bisect(target, S0, K, T, r, q, is_call, lo, hi, *, N: int,
+                    n_iter: int = 48):
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        px = _crr_sigma_batch(S0, K, T, r, q, mid, is_call, N=N,
+                              american=True)
+        too_low = px < target
+        return jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def american_implied_vol(price, S0: float, K, T: float, r: float,
+                         q: float = 0.0, kind="put", *, N: int = 500,
+                         sigma_lo: float = 1e-3, sigma_hi: float = 5.0,
+                         dtype=None):
+    """DE-AMERICANISATION: implied vol from American option prices.
+
+    Listed single-stock options are American; quoting them through the
+    European Black-Scholes inverse misprices the early-exercise premium
+    (worst for ITM puts and high carry).  This inverts the CRR lattice
+    instead — 48 bisections, each pricing the WHOLE chain in one
+    per-entry-σ batched tree (``_crr_sigma_batch``), so a full strike
+    board costs ~48 lattice passes regardless of chain length.
+
+    Entries whose price is at or below intrinsic (immediate exercise —
+    σ unidentifiable) or above the no-arbitrage cap come back NaN,
+    matching ``bs_implied_vol_vec``'s convention.  Scalar in → float
+    out; the reference has no American inverse at all (its
+    ``implied_volatility`` is European-only, ``black_scholes.py``).
+    """
+    dt_ = canonical(dtype)
+    price_arr = np.atleast_1d(np.asarray(price, np.float64))
+    K_arr = np.atleast_1d(np.asarray(K, np.float64))
+    kind_mask = np.broadcast_to(np.atleast_1d(is_call_mask(kind)),
+                                np.broadcast_shapes(price_arr.shape,
+                                                    K_arr.shape))
+    price_arr, K_arr = np.broadcast_arrays(
+        price_arr, np.broadcast_to(K_arr, kind_mask.shape))
+    intrinsic = np.where(kind_mask, np.maximum(S0 - K_arr, 0.0),
+                         np.maximum(K_arr - S0, 0.0))
+    cap = np.where(kind_mask, S0, K_arr)
+
+    iv = _amer_iv_bisect(
+        jnp.asarray(price_arr, dt_), jnp.asarray(S0, dt_),
+        jnp.asarray(K_arr, dt_), jnp.asarray(T, dt_),
+        jnp.asarray(r, dt_), jnp.asarray(q, dt_),
+        jnp.asarray(kind_mask),
+        jnp.full(price_arr.shape, sigma_lo, dt_),
+        jnp.full(price_arr.shape, sigma_hi, dt_), N=int(N))
+    iv = np.asarray(jax.device_get(iv), np.float64)
+    bad = (price_arr <= intrinsic + 1e-12) | (price_arr >= cap)
+    iv = np.where(bad, np.nan, iv)
+    return iv if np.ndim(price) or np.ndim(K) else float(iv[0])

@@ -71,3 +71,67 @@ class TestCRRVec:
                                 american=True))
         assert px.shape == (1000,)
         assert np.all(np.diff(px) > 0)  # put price increasing in strike
+
+
+class TestAmericanImpliedVol:
+    """De-Americanisation: invert the CRR lattice for listed-style quotes."""
+
+    def test_round_trips_a_skewed_put_chain(self):
+        from optpricer_tpu import american_implied_vol, crr_vec
+
+        S0, T, r, q = 100.0, 1.0, 0.05, 0.02
+        Ks = np.array([80.0, 90.0, 100.0, 110.0, 120.0])
+        sig = np.array([0.32, 0.27, 0.22, 0.20, 0.19])
+        px = np.array([float(np.asarray(crr_vec(
+            S0, k, T, r, q, s, "put", N=500, american=True)).ravel()[0])
+            for k, s in zip(Ks, sig)])
+        iv = american_implied_vol(px, S0, Ks, T, r, q, kind="put", N=500)
+        np.testing.assert_allclose(iv, sig, atol=1e-8)
+
+    def test_no_dividend_call_matches_european_inverse(self):
+        # q=0 American call never exercises early -> the American
+        # inverse agrees with the BS inverse up to lattice error
+        from optpricer_tpu import (
+            american_implied_vol, bs_implied_vol_vec, crr_vec,
+        )
+
+        px = float(np.asarray(crr_vec(100.0, 105.0, 1.0, 0.05, 0.0, 0.25,
+                                      "call", N=500,
+                                      american=True)).ravel()[0])
+        ia = american_implied_vol(px, 100.0, 105.0, 1.0, 0.05, 0.0,
+                                  kind="call", N=500)
+        ib = float(bs_implied_vol_vec(100.0, 105.0, 1.0, 0.05, 0.0, px,
+                                      "call"))
+        assert abs(ia - ib) < 5e-5
+
+    def test_american_iv_below_naive_european_iv(self):
+        # pricing an American put quote through the EUROPEAN inverse
+        # overstates the vol (the early-exercise premium masquerades as
+        # vol) — the American inverse strips it
+        from optpricer_tpu import (
+            american_implied_vol, bs_implied_vol_vec, crr_vec,
+        )
+
+        S0, K, T, r = 100.0, 115.0, 1.0, 0.06
+        px = float(np.asarray(crr_vec(S0, K, T, r, 0.0, 0.25, "put",
+                                      N=500, american=True)).ravel()[0])
+        ia = american_implied_vol(px, S0, K, T, r, 0.0, kind="put")
+        ie = float(bs_implied_vol_vec(S0, K, T, r, 0.0, px, "put"))
+        assert abs(ia - 0.25) < 1e-6
+        assert ie > ia + 0.01
+
+    def test_unidentifiable_marked_nan(self):
+        from optpricer_tpu import american_implied_vol
+
+        # at intrinsic (immediate exercise) and above the price cap
+        assert np.isnan(american_implied_vol(40.0, 100.0, 140.0, 1.0,
+                                             0.05, 0.02, kind="put"))
+        assert np.isnan(american_implied_vol(101.0, 100.0, 90.0, 1.0,
+                                             0.05, 0.0, kind="call"))
+
+    def test_scalar_in_float_out(self):
+        from optpricer_tpu import american_implied_vol
+
+        out = american_implied_vol(8.0, 100.0, 100.0, 1.0, 0.05, 0.0,
+                                   kind="put")
+        assert isinstance(out, float) and 0.1 < out < 0.4
