@@ -100,7 +100,8 @@ from .models.american_mc import (lsmc_price, lsmc_price_basket,
                                  lsmc_price_batch, lsmc_price_sharded)
 from .models.pde import fd_price_batch, fd_price_local_vol_batch
 from .models.analytic import (merton_price, heston_price_cos,
-                              bates_price_cos,
+                              bates_price_cos, quanto_price,
+                              quanto_adjusted_carry,
                               sabr_implied_vol, sabr_price_hagan,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos, cev_price,
@@ -161,6 +162,7 @@ __all__ = [
     "euro_greeks_mc", "exotic_greeks_mc",
     "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
     "bates_price_cos", "bates_paths", "american_implied_vol",
+    "quanto_price", "quanto_adjusted_carry",
     "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",
     "heston_greeks_cos",

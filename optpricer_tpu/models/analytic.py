@@ -28,6 +28,7 @@ from ..dtypes import canonical
 from ..ops.black_scholes import is_call_mask, price_core
 
 __all__ = ["merton_price", "heston_price_cos", "bates_price_cos",
+           "quanto_price", "quanto_adjusted_carry",
            "sabr_implied_vol",
            "sabr_price_hagan", "geometric_asian_price", "fit_heston",
            "heston_greeks_cos", "barrier_price_bs"]
@@ -664,3 +665,40 @@ def barrier_price_bs(S0, K, T, r, q=0.0, *, sigma, barrier,
         return jnp.where(already, A, live)
     live = (A - in0) + rebate * dfr * p_hit
     return jnp.where(already, rebate * dfr, live)
+
+
+def quanto_adjusted_carry(q: float, sigma_S: float, sigma_fx: float,
+                          rho_sfx: float) -> float:
+    """The quanto drift correction: under the DOMESTIC measure a foreign
+    asset paid in domestic currency at a fixed FX rate carries an extra
+    −ρ·σ_S·σ_FX drift, equivalent to a dividend-yield shift
+
+        q_eff = q + ρ_SFX · σ_S · σ_FX.
+
+    Feed ``q_eff`` to ANY engine in this package (MC, PDE, lattice,
+    exotics, Greeks) and it prices the quanto version of its contract —
+    no new engines needed, which is the point of keeping the carry a
+    first-class input everywhere."""
+    return float(q + rho_sfx * sigma_S * sigma_fx)
+
+
+def quanto_price(S0, K, T, r_d: float, q: float = 0.0, *, sigma_S: float,
+                 sigma_fx: float, rho_sfx: float, kind: str = "call",
+                 dtype=None):
+    """Quanto vanilla: foreign-asset option paid in domestic currency at
+    a fixed conversion rate (notional 1 domestic per foreign unit).
+
+    Closed form = Black-Scholes at the quanto-adjusted carry
+    (:func:`quanto_adjusted_carry`), discounted at the domestic rate.
+    ``sigma_fx = 0`` or ``rho_sfx = 0`` reduces EXACTLY to the vanilla
+    price — the oracle test — and an MC cross-check is one
+    ``euro_price_mc`` call at ``q_eff``.  Strike/kind broadcast like
+    ``bs_price_vec``."""
+    if sigma_fx < 0.0 or sigma_S < 0.0:
+        raise ValueError("sigma_S and sigma_fx must be non-negative")
+    if not -1.0 <= rho_sfx <= 1.0:
+        raise ValueError(f"rho_sfx must be in [-1, 1], got {rho_sfx}")
+    q_eff = quanto_adjusted_carry(q, sigma_S, sigma_fx, rho_sfx)
+    from ..ops.black_scholes import bs_price_vec
+
+    return bs_price_vec(S0, K, T, r_d, q_eff, sigma_S, kind, dtype=dtype)

@@ -448,3 +448,54 @@ class TestBarrierClosedForm:
         with pytest.raises(ValueError, match="kind"):
             barrier_price_bs(S0, K, T, R, sigma=0.2, barrier=130.0,
                              kind="straddle")
+
+
+class TestQuanto:
+    """Quanto vanillas: the drift correction IS the whole model."""
+
+    def test_zero_fx_vol_is_vanilla(self):
+        from optpricer_tpu import bs_price_vec, quanto_price
+
+        v = np.asarray(quanto_price(100.0, 100.0, 1.0, 0.05, 0.01,
+                                    sigma_S=0.2, sigma_fx=0.0,
+                                    rho_sfx=0.5))
+        ref = np.asarray(bs_price_vec(100.0, 100.0, 1.0, 0.05, 0.01,
+                                      0.2, "call"))
+        np.testing.assert_allclose(v, ref, rtol=1e-12)
+
+    def test_mc_at_adjusted_carry_agrees(self):
+        from optpricer_tpu import (
+            OptionSpec, euro_price_mc, quanto_adjusted_carry, quanto_price,
+        )
+
+        q_eff = quanto_adjusted_carry(0.01, 0.2, 0.12, -0.4)
+        qp = float(np.asarray(quanto_price(
+            100.0, 100.0, 1.0, 0.05, 0.01, sigma_S=0.2, sigma_fx=0.12,
+            rho_sfx=-0.4)))
+        mc, se = euro_price_mc(
+            OptionSpec(S0=100.0, K=100.0, T=1.0, r=0.05, sigma=0.2,
+                       q=q_eff), "call", n_paths=1 << 21, seed=3)
+        assert abs(mc - qp) < 4.0 * se
+
+    def test_negative_rho_raises_call_value(self):
+        from optpricer_tpu import quanto_price
+
+        lo = float(np.asarray(quanto_price(
+            100.0, 100.0, 1.0, 0.05, 0.01, sigma_S=0.2, sigma_fx=0.15,
+            rho_sfx=0.5)))
+        hi = float(np.asarray(quanto_price(
+            100.0, 100.0, 1.0, 0.05, 0.01, sigma_S=0.2, sigma_fx=0.15,
+            rho_sfx=-0.5)))
+        # negative S-FX correlation LOWERS q_eff -> richer forward ->
+        # dearer call
+        assert hi > lo
+
+    def test_validation(self):
+        from optpricer_tpu import quanto_price
+
+        with pytest.raises(ValueError):
+            quanto_price(100.0, 100.0, 1.0, 0.05, sigma_S=0.2,
+                         sigma_fx=0.1, rho_sfx=2.0)
+        with pytest.raises(ValueError):
+            quanto_price(100.0, 100.0, 1.0, 0.05, sigma_S=-0.2,
+                         sigma_fx=0.1, rho_sfx=0.0)
