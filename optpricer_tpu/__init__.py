@@ -39,7 +39,8 @@ from .models.binomial import crr
 from .core import Instrument, MarketData, to_instrument_market
 
 # Vectorised pricers
-from .ops.black_scholes import bs_price_vec, bs_greeks_vec, bs_implied_vol_vec
+from .ops.black_scholes import (bs_price_vec, bs_greeks_vec,
+                                bs_implied_vol_vec, bs_higher_greeks_vec)
 from .models.binomial import crr_vec
 
 # Exotic payoffs
@@ -136,6 +137,7 @@ __all__ = [
     "Instrument", "MarketData", "to_instrument_market",
     # Vectorised
     "bs_price_vec", "bs_greeks_vec", "bs_implied_vol_vec", "crr_vec",
+    "bs_higher_greeks_vec",
     # Exotics
     "barrier_price", "asian_price", "digital_price", "lookback_price",
     # Calibration & Dupire

@@ -30,6 +30,7 @@ from ..dtypes import canonical
 __all__ = [
     "price", "greeks", "implied_vol",
     "bs_price_vec", "bs_greeks_vec", "bs_implied_vol_vec",
+    "bs_higher_greeks_vec",
 ]
 
 
@@ -107,6 +108,34 @@ def greeks_core(S, K, T, r, q, sigma, is_call):
     return {"delta": delta, "gamma": gamma, "vega": vega, "theta": theta, "rho": rho}
 
 
+def higher_greeks_core(S, K, T, r, q, sigma, is_call):
+    """Second/third-order sensitivities in closed form: vanna (∂Δ/∂σ),
+    volga (∂Vega/∂σ), charm (−∂Δ/∂T, per year), speed (∂Γ/∂S) and
+    zomma (∂Γ/∂σ) — the vanna-volga quoting set plus the gamma ladder.
+    AD through ``price_core`` is the exactness oracle in tests; these
+    closed forms exist because one fused evaluation of the whole set is
+    what a book-level risk sweep actually calls."""
+    d1, d2 = d1_d2(S, K, T, r, q, sigma)
+    disc_q = jnp.exp(-q * T)
+    sqrt_T = jnp.sqrt(T)
+    n_d1 = norm.pdf(d1)
+    vanna = -disc_q * n_d1 * d2 / sigma
+    vega = S * disc_q * n_d1 * sqrt_T
+    volga = vega * d1 * d2 / sigma
+    gamma = disc_q * n_d1 / (S * sigma * sqrt_T)
+    speed = -gamma / S * (d1 / (sigma * sqrt_T) + 1.0)
+    zomma = gamma * (d1 * d2 - 1.0) / sigma
+    # charm: −∂Δ/∂T (calendar drift of the hedge), kind-dependent
+    common = disc_q * n_d1 * (
+        2.0 * (r - q) * T - d2 * sigma * sqrt_T) / (2.0 * T * sigma
+                                                    * sqrt_T)
+    charm = jnp.where(is_call,
+                      q * disc_q * norm.cdf(d1) - common,
+                      -q * disc_q * norm.cdf(-d1) - common)
+    return {"vanna": vanna, "volga": volga, "charm": charm,
+            "speed": speed, "zomma": zomma}
+
+
 def vega_core(S, K, T, r, q, sigma):
     d1, _ = d1_d2(S, K, T, r, q, sigma)
     return S * jnp.exp(-q * T) * norm.pdf(d1) * jnp.sqrt(T)
@@ -114,6 +143,7 @@ def vega_core(S, K, T, r, q, sigma):
 
 _price_jit = jax.jit(price_core)
 _greeks_jit = jax.jit(greeks_core)
+_higher_greeks_jit = jax.jit(higher_greeks_core)
 
 
 def _prep(dtype, *args):
@@ -145,6 +175,15 @@ def bs_greeks_vec(S, K, T, r, q, sigma, kind, *, dtype=None) -> Dict[str, jax.Ar
 # ---------------------------------------------------------------------------
 # Scalar convenience API over OptionSpec
 # ---------------------------------------------------------------------------
+def bs_higher_greeks_vec(S, K, T, r, q, sigma, kind, *,
+                         dtype=None) -> Dict[str, jax.Array]:
+    """Vectorised vanna/volga/charm/speed/zomma (see
+    ``higher_greeks_core``); broadcasting like :func:`bs_greeks_vec`."""
+    S, K, T, r, q, sigma = _prep(dtype, S, K, T, r, q, sigma)
+    return _higher_greeks_jit(S, K, T, r, q, sigma,
+                              jnp.asarray(is_call_mask(kind)))
+
+
 def price(opt: OptionSpec, kind: Literal["call", "put"] = CALL) -> float:
     """Scalar Black-Scholes price (reference ``black_scholes.py:18-27``)."""
     return float(bs_price_vec(opt.S0, opt.K, opt.T, opt.r, opt.q, opt.sigma, kind))

@@ -152,3 +152,54 @@ class TestExoticsAcceptNumpy:
         paths[0, :] = 100.0
         px, se = asian_price(paths, 100.0, 0.05, 1.0, CALL)
         assert np.isfinite(px) and se > 0
+
+
+class TestHigherGreeks:
+    """Closed-form vanna/volga/charm/speed/zomma against the AD oracle:
+    every formula must match jax.grad through price_core to machine
+    precision (the formulas ARE derivatives of the same function)."""
+
+    CASES = [(100., 105., 0.8, 0.04, 0.015, 0.22),
+             (100., 80., 0.1, 0.0, 0.0, 0.35),
+             (50., 55., 3.0, 0.07, 0.03, 0.15)]
+
+    def test_matches_ad_everywhere(self):
+        import jax
+
+        from optpricer_tpu import bs_higher_greeks_vec
+        from optpricer_tpu.ops.black_scholes import price_core
+
+        for S0, K, T, r, q, sig in self.CASES:
+            for kind, mask in (("call", True), ("put", False)):
+                g = {k: float(v) for k, v in bs_higher_greeks_vec(
+                    S0, K, T, r, q, sig, kind).items()}
+
+                def f(S, sigma, T_):
+                    return price_core(S, K, T_, r, q, sigma,
+                                      jnp.asarray(mask))
+
+                ad = {
+                    "vanna": jax.grad(jax.grad(f, 0), 1)(S0, sig, T),
+                    "volga": jax.grad(jax.grad(f, 1), 1)(S0, sig, T),
+                    "charm": -jax.grad(jax.grad(f, 0), 2)(S0, sig, T),
+                    "speed": jax.grad(jax.grad(jax.grad(f, 0), 0),
+                                      0)(S0, sig, T),
+                    "zomma": jax.grad(jax.grad(jax.grad(f, 0), 0),
+                                      1)(S0, sig, T),
+                }
+                tol = 1e-9 if jax.config.jax_enable_x64 else 1e-4
+                for name in g:
+                    assert abs(g[name] - float(ad[name])) < tol, \
+                        (kind, name, S0, K)
+
+    def test_broadcasts(self):
+        from optpricer_tpu import bs_higher_greeks_vec
+
+        Ks = np.linspace(80.0, 120.0, 9)
+        out = bs_higher_greeks_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2,
+                                   "call")
+        assert all(np.asarray(v).shape == (9,) for v in out.values())
+        # volga is positive away from ATM-forward and ~0 at the d1=0 /
+        # d2=0 crossovers; vanna flips sign across the forward
+        v = np.asarray(out["vanna"])
+        assert v[0] * v[-1] < 0
