@@ -10,9 +10,13 @@ book are one batched call.
 
 Methods beyond the reference's (bs/binomial/mc/exotic): ``lsmc``
 (American via Longstaff-Schwartz), ``qmc`` (randomised-QMC path pricer,
-reuses the exotic columns), and ``basket`` (multi-asset — the S0/sigma
+reuses the exotic columns), ``basket`` (multi-asset — the S0/sigma
 cells hold ';'-separated per-asset values, with optional ``weights``,
-``rho`` and ``basket_payoff`` columns).
+``rho``, ``basket_payoff``, ``american`` and ``qs`` columns), ``fd`` /
+``mlmc`` / ``heston`` (PDE, multilevel and COS/ADI rows), ``quanto``
+(``sigma_fx``/``rho_sfx`` columns), ``forward_start`` (``k_ratio``/
+``T0``) and ``cliquet`` (``n_periods``/``local_floor``/``local_cap``,
+optional ``global_floor`` switching to MC).
 
 Usage:
     python scripts/price_book.py --input portfolio.csv --output prices.csv
@@ -58,7 +62,12 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
     rid = row.get("id", "")
     method = row["method"].strip().lower()
     kind = row["kind"].strip().lower()
-    K, T, r = float(row["K"]), float(row["T"]), float(row["r"])
+    # K may be blank for strike-free products (cliquet, forward_start —
+    # the latter's strike is k_ratio * S_T0); strike-based methods fail
+    # per-row with a clear error via the normal capture path
+    k_cell = str(row.get("K", "") or "").strip()
+    K = float(k_cell) if k_cell else None
+    T, r = float(row["T"]), float(row["r"])
     q = float(row.get("q", 0.0) or 0.0)
     result = {"id": rid, "price": None, "stderr": None}
     if method != "basket":
@@ -193,6 +202,42 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
 
             result["price"] = float(heston_price_cos(S0, K, T, r, q, **hp,
                                                      kind=kind))
+    elif method == "quanto":
+        # foreign asset paid in domestic currency: sigma_fx / rho_sfx
+        # columns feed the adjusted-carry closed form
+        from optpricer_tpu import quanto_price
+
+        result["price"] = float(np.asarray(quanto_price(
+            S0, K, T, r, q, sigma_S=sigma,
+            sigma_fx=float(row.get("sigma_fx", 0.0) or 0.0),
+            rho_sfx=float(row.get("rho_sfx", 0.0) or 0.0), kind=kind)))
+    elif method == "forward_start":
+        # strike set at T0 as k x S_T0: 'k_ratio' and 'T0' columns;
+        # Rubinstein closed form under GBM
+        from optpricer_tpu import forward_start_price
+
+        result["price"] = forward_start_price(
+            S0, float(row.get("k_ratio", 1.0) or 1.0),
+            float(row["T0"]), T, r, q, sigma=sigma, kind=kind,
+            method="closed")
+    elif method == "cliquet":
+        # capped/floored sum of period returns; optional global_floor
+        # column switches the closed-form spread decomposition to MC
+        from optpricer_tpu import cliquet_price_bs, cliquet_price_mc
+
+        kwc = dict(sigma=sigma,
+                   n_periods=int(row.get("n_periods", 12) or 12),
+                   local_floor=float(row.get("local_floor", 0.0) or 0.0),
+                   local_cap=float(row.get("local_cap", 0.08) or 0.08))
+        gf = (row.get("global_floor", "") or "").strip()
+        if gf:
+            px, se = cliquet_price_mc(
+                S0, T, r, q, global_floor=float(gf),
+                n_paths=int(row.get("n_paths", 262_144) or 262_144),
+                seed=1, **kwc)
+            result["price"], result["stderr"] = px, se
+        else:
+            result["price"] = cliquet_price_bs(S0, T, r, q, **kwc)
     elif method == "basket":
         # multi-asset rows: S0/sigma cells hold ';'-separated per-asset
         # values; optional 'weights' (';'-separated, default equal) and

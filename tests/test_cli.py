@@ -100,7 +100,9 @@ class TestPriceBookScript:
         fields = ["id", "S0", "K", "T", "r", "sigma", "q", "kind",
                   "method", "exotic_type", "barrier", "barrier_type",
                   "n_paths", "n_steps", "weights", "rho", "basket_payoff",
-                  "eps", "dividends", "N_S", "N_t", "american", "qs"]
+                  "eps", "dividends", "N_S", "N_t", "american", "qs",
+                  "sigma_fx", "rho_sfx", "k_ratio", "T0", "n_periods",
+                  "local_floor", "local_cap"]
         rows = [
             dict(id="f1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="fd", dividends="0.5:5", N_S=200,
@@ -128,6 +130,15 @@ class TestPriceBookScript:
                  sigma="0.2;0.2", q=0, kind="call", method="basket",
                  n_paths=100000, n_steps=9, rho=0.0, american="true",
                  qs="0.1;0.1", basket_payoff="rainbow_max"),
+            dict(id="qx1", S0=100, K=100, T=1, r=0.05, sigma=0.2,
+                 q=0.01, kind="call", method="quanto", sigma_fx=0.12,
+                 rho_sfx=-0.4),
+            dict(id="fs1", S0=100, K="", T=1, r=0.03, sigma=0.25,
+                 q=0.01, kind="call", method="forward_start",
+                 k_ratio=1.05, T0=0.5),
+            dict(id="cq1", S0=100, K="", T=1, r=0.03, sigma=0.2,
+                 q=0.01, kind="call", method="cliquet", n_periods=12,
+                 local_floor=0.0, local_cap=0.08),
         ]
         with open(book, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)
@@ -153,15 +164,22 @@ class TestPriceBookScript:
         assert results["b1"]["price"] > results["b2"]["price"] > 0
         # american rainbow_max row: Andersen-Broadie anchor 13.902
         assert abs(results["b3"]["price"] - 13.902) < 0.25
+        # quanto row: adjusted-carry closed form (library-validated)
+        assert abs(results["qx1"]["price"] - 10.4251) < 1e-3
+        # forward-start row: Rubinstein closed form
+        assert abs(results["fs1"]["price"] - 5.3231) < 1e-3
+        # cliquet row: call-spread decomposition closed form
+        assert abs(results["cq1"]["price"] - 0.24669) < 1e-4
         # heston row (COS, defaults v0=theta=sigma^2): deterministic,
         # close to the BS price at the same total variance
         assert abs(results["h1"]["price"] - 10.45) < 0.6
         # heston + dividends routes to the ADI; near the BS+div 7.774
         assert abs(results["h2"]["price"] - 7.774) < 0.6
         assert results["h2"]["price"] < results["h1"]["price"]
+        deterministic = ("h1", "h2", "f1", "qx1", "fs1", "cq1")
         for r in results.values():
             assert "error" not in r
-            if r["id"] not in ("h1", "h2", "f1"):  # deterministic rows
+            if r["id"] not in deterministic:
                 assert r["stderr"] is not None
 
 
