@@ -615,9 +615,6 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
-    if exercise_dates is not None and lsv is not None:
-        raise ValueError("exercise_dates (Bermudan) prices under GBM or "
-                         "heston= dynamics (not lsv=)")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     if lsv is not None:
@@ -625,7 +622,8 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
             raise ValueError("pass either heston= or lsv=, not both")
         if bound == "both":
             raise ValueError(
-                "bound='both' (the Andersen-Broadie dual) is GBM-only; "
+                "bound='both' under lsv= needs leverage-aware nested "
+                "rollouts (GBM-only and heston= duals exist); "
                 "bound='lower' gives the honest low-biased LSV estimate")
         for name in ("S0", "r", "q"):
             if abs(getattr(opt, name) - getattr(lsv, name)) > 1e-9:
@@ -644,6 +642,18 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
         args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
                 jnp.asarray(opt.T / n_use, dt_),
                 jnp.asarray(is_call_mask(kind)))
+        if exercise_dates is not None:
+            if bound is not None:
+                raise ValueError("exercise_dates (Bermudan) supports "
+                                 "the single-pass estimator only "
+                                 "(bound=None)")
+            # dates snap to the LEVERAGE grid (the model's own steps)
+            mask = _bermudan_mask(exercise_dates, opt.T, n_use)
+            price, se = _lsmc_backward_sv(S, v, *args,
+                                          jnp.asarray(mask),
+                                          basis_dim=k_sv)
+            return (float(price), float(se)) if return_stderr \
+                else float(price)
         if bound is None:
             price, se = _lsmc_backward_sv(S, v, *args, basis_dim=k_sv)
             return (float(price), float(se)) if return_stderr \

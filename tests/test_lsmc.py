@@ -235,6 +235,29 @@ class TestHestonLsmc:
                            exercise_dates=[0.25, 0.5, 0.75], **kw)
         assert pe - 2 * se < pq < pa + 2 * se
 
+    def test_lsv_bermudan_limits(self):
+        # flat unit leverage = plain Heston dynamics; Bermudan masks on
+        # the leverage grid must give European <= sparse <= full = the
+        # American run exactly
+        import jax.numpy as jnp
+
+        from optpricer_tpu import LSVModel
+
+        model = LSVModel(S0=100.0, r=0.05, q=0.0, T=1.0, v0=0.04,
+                         kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                         x_bins=jnp.linspace(-1.0, 1.0, 9),
+                         leverage=jnp.ones((16, 9)))
+        kw = dict(lsv=model, n_paths=50_000, seed=4)
+        pe, se = lsmc_price(self.OPT, "put", exercise_dates=[], **kw)
+        pq, _ = lsmc_price(self.OPT, "put",
+                           exercise_dates=[0.25, 0.5, 0.75], **kw)
+        pf, _ = lsmc_price(self.OPT, "put",
+                           exercise_dates=list(np.linspace(1 / 16, 1.0,
+                                                           16)), **kw)
+        pa, _ = lsmc_price(self.OPT, "put", **kw)
+        assert pe - 2 * se <= pq <= pf + 2 * se
+        assert pf == pa
+
     def test_lsv_dual_upper_rejected(self):
         # the Heston dual landed (test_dual_bracket_contains_adi); the
         # LSV dual still needs leverage-aware nested rollouts
@@ -246,7 +269,7 @@ class TestHestonLsmc:
                          kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
                          x_bins=jnp.linspace(-1.0, 1.0, 5),
                          leverage=jnp.ones((4, 5)))
-        with pytest.raises(ValueError, match="GBM-only"):
+        with pytest.raises(ValueError, match="leverage-aware"):
             lsmc_price(self.OPT, "put", bound="both", lsv=model)
 
     def test_sharded_heston_matches_single(self):
@@ -311,7 +334,8 @@ class TestBermudan:
                        bound="lower", **self.KW)
         with pytest.raises(ValueError, match="outside"):
             lsmc_price(self.OPT, "put", exercise_dates=[1.5], **self.KW)
-        # heston= Bermudan landed (TestHestonLsmc); lsv= stays GBM/Heston
+        # heston=/lsv= Bermudans landed; Bermudan + bound remains the
+        # guarded combination (single-pass estimator only)
         import jax.numpy as jnp
 
         from optpricer_tpu import LSVModel
@@ -320,9 +344,9 @@ class TestBermudan:
                          kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
                          x_bins=jnp.linspace(-1.0, 1.0, 5),
                          leverage=jnp.ones((4, 5)))
-        with pytest.raises(ValueError, match="Bermudan"):
+        with pytest.raises(ValueError, match="single-pass"):
             lsmc_price(self.OPT, "put", exercise_dates=[0.5],
-                       lsv=model, **self.KW)
+                       bound="lower", lsv=model, **self.KW)
 
     def test_date_rounding_to_zero_clamps_to_first_node(self):
         # a tiny early date must keep its exercise right at node 1, not
