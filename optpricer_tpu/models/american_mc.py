@@ -420,6 +420,131 @@ def _lsmc_dual_upper_sv(key, betas, S0, v0, kappa, theta_h, xi, rho,
     return mean, se
 
 
+@partial(jax.jit, static_argnames=("basis_dim", "n_inner", "n_steps",
+                                   "n_paths"))
+def _lsmc_dual_upper_lsv(key, betas, model, K, is_call, *, basis_dim: int,
+                         n_inner: int, n_steps: int, n_paths: int = 8_192):
+    """Andersen-Broadie dual upper bound under CALIBRATED LSV dynamics.
+
+    Same stopping-rule-martingale construction as the Heston dual
+    (:func:`_lsmc_dual_upper_sv`); the only new machinery is that every
+    transition — outer paths and nested policy rollouts alike — is the
+    leverage-scaled step of :func:`~optpricer_tpu.models.lsv._advance_particles`
+    with the per-step leverage looked up from the model's table at the
+    state's log-moneyness (exactly :func:`~optpricer_tpu.models.lsv.lsv_path_matrix`'s
+    step, so inner, outer and policy-fitting measures agree). ``n_steps``
+    is the number of leverage-grid steps in use (``n_use ≤ model.n_steps``
+    when the contract expires before the table's horizon). No closed-form
+    European control variate exists under LSV either, so the inner
+    estimate is plain-antithetic — valid, conservative.
+    """
+    from .lsv import _advance_particles, _interp_row
+    from .mc_fused import _exp_for, _log_for
+
+    dtype = betas.dtype
+    dt = jnp.asarray(model.T / model.n_steps, dtype)
+    sign = jnp.where(is_call, 1.0, -1.0).astype(dtype)
+    r_ = jnp.asarray(model.r, dtype)
+    mu = jnp.asarray(model.r - model.q, dtype)
+    hi = jax.lax.Precision.HIGHEST
+    exp_, log_ = _exp_for(dtype), _log_for(dtype)
+    n_bins = model.leverage.shape[1]
+    x0 = jnp.asarray(model.x_bins[0], dtype)
+    dx = jnp.asarray(model.x_bins[1] - model.x_bins[0], dtype)
+    S0 = jnp.asarray(model.S0, dtype)
+    log_S0 = log_(S0)
+    rho = jnp.asarray(model.rho, dtype)
+    adv_kw = dict(mu=mu, kappa=jnp.asarray(model.kappa, dtype),
+                  theta_v=jnp.asarray(model.theta, dtype),
+                  xi=jnp.asarray(model.xi, dtype), rho=rho,
+                  rho_perp=jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)),
+                  dt=dt, sqrt_dt=jnp.sqrt(dt), exp_=exp_, dt_=dtype,
+                  scheme=model.scheme)
+    lev_rows = jnp.asarray(model.leverage[:n_steps], dtype)  # row j−1 → date j
+
+    def lsv_step(S, v, z2, zp, lev_row, j):
+        """One leverage-scaled transition from date j−1 to date j."""
+        x = log_(S) - (log_S0 + mu * ((j - 1).astype(dtype) * dt))
+        L = _interp_row(lev_row, (x - x0) / dx, n_bins)
+        return _advance_particles(S, v, L, z2, zp, **adv_kw)
+
+    def intrinsic(S):
+        return jnp.maximum(sign * (S - K), 0.0)
+
+    def policy_stop(S, v, beta):
+        ex = intrinsic(S)
+        X = _sv_basis(S, v, K, basis_dim)
+        fitted = jnp.matmul(X, beta, precision=hi)
+        return (ex > 0.0) & (ex > fitted), ex
+
+    betas_pad = jnp.concatenate([betas,
+                                 jnp.zeros((1, basis_dim), dtype)])
+    js = jnp.arange(1, n_steps + 1)
+    half = max(n_inner // 2, 1)
+
+    def continuation(key_k, S_k, v_k, k):
+        """Ĉ_k = E[Z_τ | S_k, v_k], τ > k under the policy — antithetic
+        leverage-scaled rollouts per outer path, masked to dates j > k."""
+        def inner_date(carry, inp):
+            S, v, alive, val = carry
+            beta_j, j, lev_row = inp
+            active = j > k
+            kj = jax.random.fold_in(key_k, j)
+            zi = jax.random.normal(kj, (2, half, S.shape[1]), dtype)
+            z2 = jnp.concatenate([zi[0], -zi[0]], axis=0)
+            zp = jnp.concatenate([zi[1], -zi[1]], axis=0)
+            S_new, v_new = lsv_step(S, v, z2, zp, lev_row, j)
+            S_new = jnp.where(active, S_new, S)
+            v_new = jnp.where(active, v_new, v)
+            stop_j, ex = policy_stop(S_new, v_new, beta_j)
+            stop = active & alive & (stop_j | (j == n_steps))
+            df = jnp.exp(-r_ * dt * j.astype(dtype))
+            val = val + jnp.where(stop, df * ex, 0.0)
+            return (S_new, v_new, alive & ~stop, val), None
+
+        S_in = jnp.broadcast_to(S_k[None, :], (2 * half, S_k.shape[0]))
+        v_in = jnp.broadcast_to(v_k[None, :], (2 * half, v_k.shape[0]))
+        (_, _, _, val), _ = jax.lax.scan(
+            inner_date,
+            (S_in, v_in, jnp.ones(S_in.shape, bool),
+             jnp.zeros(S_in.shape, dtype)),
+            (betas_pad, js, lev_rows))
+        return jnp.mean(val, axis=0)
+
+    key_paths, key_inner = jax.random.split(key)
+    zo = jax.random.normal(key_paths, (n_steps, 2, n_paths), dtype)
+    S0v = jnp.full((n_paths,), S0, dtype)
+    v0v = jnp.full((n_paths,), jnp.maximum(model.v0, 0.0), dtype)
+
+    L0 = continuation(jax.random.fold_in(key_inner, 0), S0v, v0v, 0)
+    U0 = jnp.full((n_paths,), intrinsic(S0), dtype)
+
+    def outer_date(carry, inp):
+        S_prev, v_prev, L_prev, C_prev, stop_prev, M, U = carry
+        z_k, beta, k, lev_row = inp
+        S_k, v_k = lsv_step(S_prev, v_prev, z_k[0], z_k[1], lev_row, k)
+        df = jnp.exp(-r_ * dt * k.astype(dtype))
+        stop_k, ex = policy_stop(S_k, v_k, beta)
+        stop_k = stop_k | (k == n_steps)
+        Z_k = df * ex
+        C_k = continuation(jax.random.fold_in(key_inner, k), S_k, v_k, k)
+        L_k = jnp.where(stop_k, Z_k, C_k)
+        E_L = jnp.where(stop_prev, C_prev, L_prev)
+        M = M + L_k - E_L
+        U = jnp.maximum(U, Z_k - M)
+        return (S_k, v_k, L_k, C_k, stop_k, M, U), None
+
+    zerosb = jnp.zeros((n_paths,), bool)
+    (_, _, _, _, _, _, U), _ = jax.lax.scan(
+        outer_date,
+        (S0v, v0v, L0, L0, zerosb, jnp.zeros((n_paths,), dtype), U0),
+        (zo, betas_pad, js, lev_rows))
+    mean = jnp.mean(U)
+    se = jnp.sqrt(jnp.maximum(
+        jnp.sum((U - mean) ** 2) / (n_paths - 1), 0.0) / n_paths)
+    return mean, se
+
+
 def _bermudan_mask(exercise_dates, T: float, n_steps: int) -> np.ndarray:
     """(n_steps−1,) bool over interior dates: True where the Bermudan
     contract grants exercise. Dates snap to the step grid; a date that
@@ -620,11 +745,6 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     if lsv is not None:
         if heston is not None:
             raise ValueError("pass either heston= or lsv=, not both")
-        if bound == "both":
-            raise ValueError(
-                "bound='both' under lsv= needs leverage-aware nested "
-                "rollouts (GBM-only and heston= duals exist); "
-                "bound='lower' gives the honest low-biased LSV estimate")
         for name in ("S0", "r", "q"):
             if abs(getattr(opt, name) - getattr(lsv, name)) > 1e-9:
                 raise ValueError(
@@ -665,7 +785,17 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                                  seed=seed_val + 0x5EED, dtype=dt_)
         lo, lo_se = _lsmc_forward_fixed_policy_sv(S2, v2, betas, *args,
                                                   basis_dim=k_sv)
-        return float(lo), float(lo_se)
+        if bound == "lower":
+            return float(lo), float(lo_se)
+        up, up_se = _lsmc_dual_upper_lsv(
+            jax.random.key(seed_val + 0xD0A1), betas, lsv,
+            jnp.asarray(opt.K, dt_), args[3], basis_dim=k_sv,
+            n_inner=int(n_inner), n_steps=int(n_use),
+            n_paths=int(n_upper_paths))
+        lo_f, up_f = float(lo), float(up)
+        return {"lower": (lo_f, float(lo_se)),
+                "upper": (up_f, float(up_se)),
+                "gap": up_f - lo_f}
     if heston is not None:
         from .processes import heston_paths
 

@@ -258,19 +258,29 @@ class TestHestonLsmc:
         assert pe - 2 * se <= pq <= pf + 2 * se
         assert pf == pa
 
-    def test_lsv_dual_upper_rejected(self):
-        # the Heston dual landed (test_dual_bracket_contains_adi); the
-        # LSV dual still needs leverage-aware nested rollouts
+    def test_lsv_dual_bracket_contains_adi(self):
+        # bound="both" under lsv=: flat UNIT leverage under the QE scheme
+        # is plain Heston, so the leverage-aware Andersen-Broadie dual
+        # (_lsmc_dual_upper_lsv) must bracket the deterministic ADI
+        # American price, exactly like the Heston dual above
         import jax.numpy as jnp
 
-        from optpricer_tpu import LSVModel
+        from optpricer_tpu import LSVModel, heston_fd_price
 
-        model = LSVModel(S0=100.0, r=0.05, q=0.0, T=1.0, v0=0.04,
-                         kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
-                         x_bins=jnp.linspace(-1.0, 1.0, 5),
-                         leverage=jnp.ones((4, 5)))
-        with pytest.raises(ValueError, match="leverage-aware"):
-            lsmc_price(self.OPT, "put", bound="both", lsv=model)
+        model = LSVModel(S0=100.0, r=0.05, q=0.0, T=1.0, **self.HP,
+                         x_bins=jnp.linspace(-1.0, 1.0, 9),
+                         leverage=jnp.ones((9, 9)), scheme="qe")
+        ref = float(heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0,
+                                    **self.HP, kind="put",
+                                    american=True))
+        br = lsmc_price(self.OPT, "put", lsv=model, n_paths=20_000,
+                        seed=2, bound="both", n_inner=64,
+                        n_upper_paths=1_024)
+        lo, lo_se = br["lower"]
+        up, up_se = br["upper"]
+        assert lo - 2 * lo_se <= ref <= up + 2 * up_se, (lo, ref, up)
+        assert br["gap"] >= -(lo_se + up_se)
+        assert br["gap"] < 0.15 * ref
 
     def test_sharded_heston_matches_single(self):
         from optpricer_tpu import lsmc_price_sharded
