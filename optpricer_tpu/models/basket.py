@@ -98,7 +98,8 @@ def _basket_stats(key, S0s, w, K, T, r, qs, sigmas, chol, *, payoff,
     z = jax.random.normal(key, (n_paths, n_assets), dt_)
     if antithetic:
         z = jnp.concatenate([z, -z], axis=0)
-    x = z @ chol.T                                    # MXU: correlate
+    x = jnp.matmul(z, chol.T,                         # MXU: correlate
+                   precision=jax.lax.Precision.HIGHEST)
     drift = (r - qs - 0.5 * sigmas ** 2) * T
     logS = jnp.log(S0s)[None, :] + drift[None, :] \
         + (sigmas * jnp.sqrt(T))[None, :] * x
@@ -418,7 +419,8 @@ def _basket_greek_moments(key, S0s, w, K, T, r, qs, sigmas, chol, *,
     z = jax.random.normal(key, (n_paths, n_assets), dt_)
     if antithetic:
         z = jnp.concatenate([z, -z], axis=0)
-    x = z @ chol.T
+    x = jnp.matmul(z, chol.T,
+                   precision=jax.lax.Precision.HIGHEST)
     drift = (r - qs - 0.5 * sigmas ** 2) * T
     logS = jnp.log(S0s)[None, :] + drift[None, :] \
         + (sigmas * jnp.sqrt(T))[None, :] * x

@@ -226,7 +226,9 @@ def _lm_loop(residuals, x0, lower, upper, max_iter: int):
         J = jac(x)                       # (N, 5)
         r = residuals(x)
         g = J.T @ r                      # gradient
-        H = J.T @ J
+        # J.T @ J is a true matmul → MXU bf16 at default TPU precision;
+        # 1e-3-relative noise in H stalls LM near the optimum.
+        H = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
         D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
         step = jnp.linalg.solve(H + lam * D, g)
         x_new = jnp.clip(x - step, lower, upper)

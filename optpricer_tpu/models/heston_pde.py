@@ -142,6 +142,11 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
     """
     theta_dt_Ax = Ax
     theta_dt_Av = Av
+    # Iterated propagator applications at default TPU matmul precision
+    # (bf16 inputs on the MXU) accumulate per-step rounding into outright
+    # divergence over hundreds of steps — same failure mode documented in
+    # pde.py's 1-D propagator; HIGHEST keeps the march in true f32.
+    hi = jax.lax.Precision.HIGHEST
 
     def mixed(U):
         # ρξv ∂²/∂x∂v, central/central, zero on every boundary
@@ -174,11 +179,11 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
                 U = jnp.maximum(U, intrinsic)
         else:
             bl, br = xs
-        AxU = jnp.einsum("jik,jk->ji", theta_dt_Ax, U)
-        AvU = theta_dt_Av @ U
+        AxU = jnp.einsum("jik,jk->ji", theta_dt_Ax, U, precision=hi)
+        AvU = jnp.matmul(theta_dt_Av, U, precision=hi)
         Y0 = U + inv_theta * (AxU + AvU) + mixed(U)
-        Y1 = jnp.einsum("jik,jk->ji", Px, Y0 - AxU)
-        Y2 = Pv @ (Y1 - AvU)
+        Y1 = jnp.einsum("jik,jk->ji", Px, Y0 - AxU, precision=hi)
+        Y2 = jnp.matmul(Pv, Y1 - AvU, precision=hi)
         Y2 = Y2.at[:, 0].set(bl).at[:, -1].set(br)
         if american:
             Y2 = jnp.maximum(Y2, intrinsic)
