@@ -44,11 +44,17 @@ def _tree_params(T: float, r: float, q: float, sigma: float, N: int):
     return dt, u, d, disc, p
 
 
-@partial(jax.jit, static_argnames=("N", "american", "dtype"))
-def _crr_core(S0, K, sig_sqrt_dt, disc, p, is_call, *, N, american, dtype):
+@partial(jax.jit, static_argnames=("N", "american", "dtype",
+                                   "has_bermudan"))
+def _crr_core(S0, K, sig_sqrt_dt, disc, p, is_call, ex_levels=None, *,
+              N, american, dtype, has_bermudan=False):
     """Backward induction over a (batch, N+1) value array.
 
     K and is_call have shape (batch,); returns (batch,) prices.
+    ``has_bermudan``: ``ex_levels`` ((N,) bool, indexed by tree level
+    k = N−1 … 0 in scan order) restricts the exercise projection to the
+    marked levels — Bermudan induction (maturity is the terminal
+    payoff).
     """
     j = jnp.arange(N + 1, dtype=dtype)
 
@@ -61,31 +67,57 @@ def _crr_core(S0, K, sig_sqrt_dt, disc, p, is_call, *, N, american, dtype):
     ST = S0 * jnp.exp(sig_sqrt_dt * (2.0 * j - N))
     V = payoff(ST)
 
-    def step(V, k):
+    def step(V, inp):
+        k = inp[0] if has_bermudan else inp
         # Continuation value at tree level k (valid nodes j = 0..k)
         cont = disc * (p * V[:, 1:] + (1.0 - p) * V[:, :-1])
         V_new = jnp.concatenate([cont, jnp.zeros_like(V[:, :1])], axis=1)
         if american:
             S_k = S0 * jnp.exp(sig_sqrt_dt * (2.0 * j - k))
             V_new = jnp.maximum(V_new, payoff(S_k))
+        elif has_bermudan:
+            S_k = S0 * jnp.exp(sig_sqrt_dt * (2.0 * j - k))
+            V_new = jnp.where(inp[1], jnp.maximum(V_new, payoff(S_k)),
+                              V_new)
         return V_new, None
 
     ks = jnp.arange(N - 1, -1, -1, dtype=dtype)
-    V, _ = jax.lax.scan(step, V, ks)
+    xs = (ks, ex_levels) if has_bermudan else ks
+    V, _ = jax.lax.scan(step, V, xs)
     return V[:, 0]
 
 
 def crr(opt: OptionSpec, kind: Literal["call", "put"] = CALL, N: int = 500,
-        *, american: bool = False, dtype=None) -> float:
-    """Scalar CRR price, European or American (reference ``binomial.py:7-38``)."""
+        *, american: bool = False, exercise_dates=None,
+        dtype=None) -> float:
+    """Scalar CRR price, European or American (reference ``binomial.py:7-38``).
+
+    ``exercise_dates=[t_1, …]`` prices a BERMUDAN: exercise only at the
+    listed dates (snapped to the nearest tree level; maturity is the
+    terminal payoff) — the deterministic lattice oracle the GBM LSMC
+    dual bracket is tested against.  Mutually exclusive with
+    ``american=True``.
+    """
+    if exercise_dates is not None and american:
+        raise ValueError("exercise_dates (Bermudan) and american=True "
+                         "are mutually exclusive")
     dt_, u, d, disc, p = _tree_params(opt.T, opt.r, opt.q, opt.sigma, N)
     dt = canonical(dtype)
     sig_sqrt_dt = opt.sigma * sqrt(opt.T / N)
+    ex_kw = {}
+    args_ex = ()
+    if exercise_dates is not None:
+        lv = {int(round(float(t) / dt_)) for t in exercise_dates}
+        lv = {m for m in lv if 1 <= m <= N - 1}
+        # scan order is k = N−1 … 0
+        ex_levels = np.array([(N - 1 - i) in lv for i in range(N)], bool)
+        args_ex = (jnp.asarray(ex_levels),)
+        ex_kw = dict(has_bermudan=True)
     out = _crr_core(
         jnp.asarray(opt.S0, dt), jnp.asarray([opt.K], dt),
         jnp.asarray(sig_sqrt_dt, dt), jnp.asarray(disc, dt), jnp.asarray(p, dt),
-        jnp.asarray(is_call_mask(kind)).reshape(1),
-        N=int(N), american=bool(american), dtype=dt,
+        jnp.asarray(is_call_mask(kind)).reshape(1), *args_ex,
+        N=int(N), american=bool(american), dtype=dt, **ex_kw,
     )
     return float(out[0])
 

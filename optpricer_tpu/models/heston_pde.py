@@ -118,11 +118,13 @@ def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s,
 
 
 @partial(jax.jit, static_argnames=("n_t", "american", "is_call", "dtype",
-                                   "inv_theta", "has_barrier", "has_divs"))
+                                   "inv_theta", "has_barrier", "has_divs",
+                                   "has_bermudan"))
 def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
                ko_mask=None, rebate=0.0, div_per_iter=None, x_grid=None,
-               *, n_t, american, is_call, dtype, inv_theta,
-               has_barrier=False, has_divs=False):
+               ex_per_iter=None, *, n_t, american, is_call, dtype,
+               inv_theta, has_barrier=False, has_divs=False,
+               has_bermudan=False):
     """Douglas ADI time march: one scan, (n_v, n_x) carry.
 
     ``Ax``/``Av`` arrive pre-scaled by θ_sΔt (so the implicit RHS terms
@@ -139,6 +141,11 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
     (the drop is v-independent) before the implicit step — the 2-D twin
     of ``pde._fd_solve``'s ``div_remap``, with the same cum-dividend
     American projection straight after.
+
+    ``has_bermudan``: ``ex_per_iter`` ((n_t,) bool) marks the scan
+    iterations whose PRODUCED time layer is a contractual exercise
+    date — the intrinsic projection applies only there (Bermudan
+    backward induction; maturity exercise is the terminal payoff).
     """
     theta_dt_Ax = Ax
     theta_dt_Av = Av
@@ -172,13 +179,17 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
 
     def step(U, xs):
         if has_divs:
-            bl, br, dv = xs
+            bl, br, dv = xs[:3]
+        else:
+            bl, br = xs[:2]
+        exm = xs[-1] if has_bermudan else None
+        if has_divs:
             U = div_remap(U, dv)
             if american:
                 # the cum-dividend exercise right at t⁻ (see pde.py)
                 U = jnp.maximum(U, intrinsic)
-        else:
-            bl, br = xs
+            elif has_bermudan:
+                U = jnp.where(exm, jnp.maximum(U, intrinsic), U)
         AxU = jnp.einsum("jik,jk->ji", theta_dt_Ax, U, precision=hi)
         AvU = jnp.matmul(theta_dt_Av, U, precision=hi)
         Y0 = U + inv_theta * (AxU + AvU) + mixed(U)
@@ -187,12 +198,14 @@ def _adi_march(U0, Ax, Px, Av, Pv, mix_c, bc_left, bc_right, intrinsic,
         Y2 = Y2.at[:, 0].set(bl).at[:, -1].set(br)
         if american:
             Y2 = jnp.maximum(Y2, intrinsic)
+        elif has_bermudan:
+            Y2 = jnp.where(exm, jnp.maximum(Y2, intrinsic), Y2)
         if has_barrier:
             Y2 = jnp.where(ko_mask[None, :], rebate, Y2)
         return Y2, None
 
-    xs = (bc_left, bc_right, div_per_iter) if has_divs \
-        else (bc_left, bc_right)
+    xs = (bc_left, bc_right) + ((div_per_iter,) if has_divs else ()) \
+        + ((ex_per_iter,) if has_bermudan else ())
     U, _ = jax.lax.scan(step, U0, xs)
     return U
 
@@ -203,7 +216,8 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
                    x_mult: float = 6.0, v_mult: float = 10.0,
                    theta_scheme: float = 0.5, dtype=None,
                    barrier: float = 0.0, barrier_up: bool = True,
-                   rebate: float = 0.0, dividends=None):
+                   rebate: float = 0.0, dividends=None,
+                   exercise_dates=None):
     """Solve the Heston PDE; returns ``(x_grid, v_grid, V)`` with V the
     full (n_v, n_x) t=0 surface — delta/gamma/vega come from the same
     solve (:func:`heston_fd_greeks`).
@@ -213,11 +227,20 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
     v ∈ [0, v_mult·v̄] with v̄ = max(v0, θ). The implicit x/v half-steps
     are precomputed dense inverses applied as batched MXU matvecs; the
     mixed ρξv V_xv term is explicit. American exercise by projection.
+
+    ``exercise_dates=[t_1, …]`` prices a BERMUDAN: the intrinsic
+    projection applies only at the listed dates (snapped to the nearest
+    time level; maturity is automatic via the terminal payoff) — the
+    deterministic oracle the Heston LSMC dual bracket is tested
+    against. Mutually exclusive with ``american=True``.
     """
     if kind not in ("call", "put"):
         raise ValueError("kind must be 'call' or 'put'")
     if not (0.0 < theta_scheme <= 1.0):
         raise ValueError("theta_scheme must be in (0, 1]")
+    if exercise_dates is not None and american:
+        raise ValueError("exercise_dates (Bermudan) and american=True "
+                         "are mutually exclusive")
     dt_ = canonical(dtype)
     is_call = kind == "call"
     S0, K, T, r, q = (float(a) for a in (S0, K, T, r, q))
@@ -296,6 +319,29 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
             bc_left = np.maximum(bc_left, K - S_grid[0])
         bc_right = np.zeros(n_t)
 
+    has_bermudan = exercise_dates is not None
+    ex_kw = {}
+    if has_bermudan:
+        # iteration i produces the layer at time index n_t−1−i; mark the
+        # iterations whose produced layer is an exercise date (snapped
+        # to the nearest level; index 0 = t=0 and ≥ n_t = maturity are
+        # no-ops — t=0 exercise is dominated, maturity is the payoff)
+        ex_idx = {int(round(float(t) / dt)) for t in exercise_dates}
+        ex_idx = {m for m in ex_idx if 1 <= m <= n_t - 1}
+        ex_per_iter = np.array([(n_t - 1 - i) in ex_idx
+                                for i in range(n_t)], bool)
+        # far-field Dirichlet values may exercise only at those dates
+        if is_call:
+            bc_right = np.where(ex_per_iter,
+                                np.maximum(bc_right, S_grid[-1] - K),
+                                bc_right)
+        else:
+            bc_left = np.where(ex_per_iter,
+                               np.maximum(bc_left, K - S_grid[0]),
+                               bc_left)
+        ex_kw = dict(ex_per_iter=jnp.asarray(ex_per_iter),
+                     has_bermudan=True)
+
     # mixed-term coefficient: central/central with the per-level span
     # (v_{j+1} − v_{j−1}) as the v denominator; zero on v boundaries
     mix_c = np.zeros(n_v)
@@ -314,7 +360,8 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
         jnp.asarray(np.broadcast_to(payoff, (n_v, n_x)), dt_),
         jnp.asarray(ko_mask), jnp.asarray(rebate, dt_),
         n_t=int(n_t), american=bool(american), is_call=is_call, dtype=dt_,
-        inv_theta=1.0 / th, has_barrier=bool(has_barrier), **div_kw)
+        inv_theta=1.0 / th, has_barrier=bool(has_barrier), **div_kw,
+        **ex_kw)
     return x, v, np.asarray(jax.device_get(U), np.float64)
 
 
@@ -452,7 +499,7 @@ def heston_fd_price(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
                     n_x: int = 256, n_v: int = 96, n_t: int = 512,
                     x_mult: float = 6.0, v_mult: float = 10.0,
                     theta_scheme: float = 0.5, dtype=None,
-                    dividends=None) -> float:
+                    dividends=None, exercise_dates=None) -> float:
     """Heston price by the Douglas ADI march (European or American).
 
     The European case is cross-checked against the COS oracle
@@ -467,7 +514,7 @@ def heston_fd_price(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
         S0, K, T, r, q, v0=v0, kappa=kappa, theta=theta, xi=xi, rho=rho,
         kind=kind, american=american, n_x=n_x, n_v=n_v, n_t=n_t,
         x_mult=x_mult, v_mult=v_mult, theta_scheme=theta_scheme,
-        dtype=dtype, dividends=dividends)
+        dtype=dtype, dividends=dividends, exercise_dates=exercise_dates)
     return _bilinear_readout(x, v, V, S0, v0)
 
 

@@ -120,15 +120,36 @@ class TestBiasBracket:
     OPT = OptionSpec(S0=100.0, K=110.0, T=1.0, r=0.05, sigma=0.25)
 
     def test_lattice_inside_bracket(self):
-        ref = crr(self.OPT, "put", N=4000, american=True)
+        # the dual prices the BERMUDAN-16 contract the policy actually
+        # has (exercise at the 16 simulation dates); with the optional-
+        # stopping BS control variate the upper bound is tight enough
+        # (se ~1e-3, E[max] inflation ~4e-3 measured) to resolve
+        # Bermudan-16 from the continuous American price (0.057 apart
+        # here) — so the oracle is the Bermudan-16 lattice, and the
+        # continuous-American lattice must sit strictly ABOVE the upper
+        # bound, which the looser pre-CV dual could not assert.
+        ref_b16 = crr(self.OPT, "put", N=4000,
+                      exercise_dates=[j / 16 for j in range(1, 16)])
+        ref_am = crr(self.OPT, "put", N=4000, american=True)
         br = lsmc_price(self.OPT, "put", n_paths=50_000, n_steps=16,
                         seed=0, bound="both", n_inner=128,
                         n_upper_paths=2_000, dtype="float64")
         lo, lo_se = br["lower"]
         up, up_se = br["upper"]
-        assert lo - 3 * lo_se < ref < up + 3 * up_se
-        assert up > lo
-        assert br["gap"] < 0.02 * ref          # tightness sanity
+        assert lo - 3 * lo_se < ref_b16 < up + 3 * up_se, (lo, ref_b16, up)
+        assert br["gap"] >= -3 * (lo_se + up_se)
+        assert br["gap"] < 0.005 * ref_b16     # CV-tight (was 0.02)
+        assert up + 3 * up_se < ref_am         # resolves Bermudan < American
+        assert lo - 3 * lo_se < ref_am
+
+    def test_crr_bermudan_monotone_in_dates(self):
+        eu = crr(self.OPT, "put", N=4000)
+        b4 = crr(self.OPT, "put", N=4000,
+                 exercise_dates=[j / 4 for j in range(1, 4)])
+        b16 = crr(self.OPT, "put", N=4000,
+                  exercise_dates=[j / 16 for j in range(1, 16)])
+        am = crr(self.OPT, "put", N=4000, american=True)
+        assert eu < b4 < b16 < am
 
     def test_two_pass_is_low_biased_estimator(self):
         # the fixed-policy second pass must agree with single-pass LSMC
@@ -161,22 +182,68 @@ class TestHestonLsmc:
 
     def test_dual_bracket_contains_adi(self):
         # bound="both": two-pass lower + Andersen-Broadie dual upper via
-        # nested QE rollouts; the deterministic ADI American price must
-        # sit inside [lower - 2se, upper + 2se] (no inner CV exists
-        # under Heston, so the gap is conservative, not tight)
+        # nested QE rollouts with the optional-stopping COS control
+        # variate (European value AT the stopping time; corr ≈ 0.99 with
+        # the stopped payoff).  The bracket targets the BERMUDAN-9 price
+        # — oracle: the ADI march with exercise_dates — and with the CV
+        # it is tight enough to resolve Bermudan-9 from the continuous
+        # American price (0.11 apart on this fixture).  The ±0.06
+        # allowance on top of the MC bands covers the QE weak error at
+        # dt=1/9 (the LSMC prices Bermudan-9 under 9-step QE dynamics,
+        # the ADI under continuous Heston; measured +0.035 on the
+        # European at this dt).
         from optpricer_tpu import heston_fd_price
 
-        ref = float(heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0,
-                                    **self.HP, kind="put",
-                                    american=True))
+        ref_am = float(heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0,
+                                       **self.HP, kind="put",
+                                       american=True))
+        ref_b9 = float(heston_fd_price(
+            100.0, 110.0, 1.0, 0.05, 0.0, **self.HP, kind="put",
+            n_t=504, exercise_dates=[j / 9 for j in range(1, 9)]))
         br = lsmc_price(self.OPT, "put", heston=self.HP, n_paths=20_000,
                         n_steps=9, seed=2, bound="both", n_inner=64,
                         n_upper_paths=1_024)
         lo, lo_se = br["lower"]
         up, up_se = br["upper"]
-        assert lo - 2 * lo_se <= ref <= up + 2 * up_se, (lo, ref, up)
+        qe_tol = 0.06
+        assert lo - 2 * lo_se - qe_tol <= ref_b9 <= up + 2 * up_se \
+            + qe_tol, (lo, ref_b9, up)
         assert br["gap"] >= -(lo_se + up_se)
-        assert br["gap"] < 0.15 * ref  # loose but not useless
+        assert br["gap"] < 0.10                   # CV-tight (was 0.34)
+        # the lower bound can never materially exceed the continuous
+        # American price
+        assert lo - 2 * lo_se <= ref_am
+
+    def test_bermudan_adi_monotone_in_dates(self):
+        # more exercise rights can only add value: European ADI ≤
+        # Bermudan-3 ≤ Bermudan-9 ≤ American ADI (same grid)
+        from optpricer_tpu import heston_fd_price, heston_price_cos
+
+        kw = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                  kind="put", n_t=504)
+        eu = heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0, **kw)
+        b3 = heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0, **kw,
+                             exercise_dates=[1 / 3, 2 / 3])
+        b9 = heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0, **kw,
+                             exercise_dates=[j / 9 for j in range(1, 9)])
+        am = heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0, **{
+            k: v for k, v in kw.items() if k != "n_t"}, american=True)
+        assert eu < b3 < b9 < am
+        # and the European ADI agrees with the COS oracle
+        cos = float(heston_price_cos(100.0, 110.0, 1.0, 0.05, 0.0,
+                                     v0=0.04, kappa=1.5, theta=0.04,
+                                     xi=0.5, rho=-0.6, kind="put"))
+        assert abs(eu - cos) < 5e-3
+
+    def test_bermudan_adi_rejects_american_flag(self):
+        import pytest
+        from optpricer_tpu import heston_fd_price
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0, v0=0.04,
+                            kappa=1.5, theta=0.04, xi=0.5, rho=-0.6,
+                            kind="put", american=True,
+                            exercise_dates=[0.5])
 
     def test_brackets_adi_pde(self):
         from optpricer_tpu import heston_fd_price
