@@ -106,7 +106,8 @@ from .models.analytic import (merton_price, heston_price_cos,
                               sabr_implied_vol, sabr_price_hagan,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos, cev_price,
-                              barrier_price_bs)
+                              barrier_price_bs, chooser_price,
+                              compound_price)
 from .models.processes import bates_paths
 from .models.binomial import american_implied_vol
 from .models.heston_pde import (heston_fd_price, heston_fd_grid,
@@ -114,7 +115,8 @@ from .models.heston_pde import (heston_fd_price, heston_fd_grid,
                                 heston_fd_price_barrier)
 from .models.basket import (basket_price_mc, basket_greeks_mc,
                             basket_exotic_mc, geometric_basket_price,
-                            margrabe_price)
+                            margrabe_price, rainbow_price_stulz)
+from .ops.bvn import bvn_cdf
 from .models.lsv import (LSVModel, lsv_calibrate, lsv_greeks_mc,
                          lsv_path_matrix, lsv_price_mc)
 from .models.forward_pde import (ForwardSurface, dupire_forward_surface,
@@ -172,7 +174,8 @@ __all__ = [
     "heston_fd_price_batch", "heston_fd_price_barrier",
     "basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
     "geometric_basket_price",
-    "margrabe_price",
+    "margrabe_price", "rainbow_price_stulz", "bvn_cdf",
+    "chooser_price", "compound_price",
     "LSVModel", "lsv_calibrate", "lsv_greeks_mc", "lsv_path_matrix",
     "lsv_price_mc",
     "ForwardSurface", "dupire_forward_surface", "dupire_forward_price",

@@ -702,3 +702,112 @@ def quanto_price(S0, K, T, r_d: float, q: float = 0.0, *, sigma_S: float,
     from ..ops.black_scholes import bs_price_vec
 
     return bs_price_vec(S0, K, T, r_d, q_eff, sigma_S, kind, dtype=dtype)
+
+
+# --------------------------------------------------------------------------
+# Chooser and compound options — the two-timescale closed forms
+# --------------------------------------------------------------------------
+
+def chooser_price(S0, K, T, r, q=0.0, *, sigma, t_choose, dtype=None):
+    """Simple chooser ("as-you-like-it"): at ``t_choose`` the holder
+    picks whichever of the strike-K, maturity-T call or put is worth
+    more.
+
+    Closed form (Rubinstein 1991): max(C, P) at t₁ = C + max(0, P − C)
+    and put-call parity turn the choice into a vanilla call to T plus a
+    put to t₁ on the forward-discounted strike:
+
+        V = C(S₀, K, T) + e^{−q(T−t₁)}·P(S₀, K·e^{−(r−q)(T−t₁)}, t₁)
+
+    Exact oracle test: MC readout E[e^{−r t₁} max(C_BS, P_BS)(S_{t₁})]
+    — and degenerate limits t₁→0 (straddle-ish: C + P(S₀e^{…})) and
+    t₁→T (C + P = straddle).  Extends the surface: the reference has no
+    chooser (full scan of ``/root/reference/src/optpricer``)."""
+    if not 0.0 < t_choose <= T:
+        raise ValueError("t_choose must lie in (0, T]")
+    dt_ = canonical(dtype)
+    S0, K, T_, r_, q_, sig, t1 = (
+        jnp.asarray(v, dt_) for v in (S0, K, T, r, q, sigma, t_choose))
+    call = price_core(S0, K, T_, r_, q_, sig, jnp.asarray(True))
+    K_adj = K * jnp.exp(-(r_ - q_) * (T_ - t1))
+    put = price_core(S0, K_adj, t1, r_, q_, sig, jnp.asarray(False))
+    out = call + jnp.exp(-q_ * (T_ - t1)) * put
+    return float(out) if out.ndim == 0 else out
+
+
+def _compound_critical(K1, K2, tau, r, q, sigma, inner_call, dtype):
+    """S* at which the UNDERLYING option's t₁ value equals K₁ — 100-step
+    log-space bisection (jittable; the BS value is monotone in S)."""
+    lo = jnp.log(jnp.asarray(1e-6, dtype) * K2)
+    hi = jnp.log(jnp.asarray(1e6, dtype) * K2)
+    is_c = jnp.asarray(inner_call)
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        v = price_core(jnp.exp(mid), K2, tau, r, q, sigma, is_c)
+        # call value increases in S, put value decreases
+        go_up = jnp.where(is_c, v < K1, v > K1)
+        return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 100, body, (lo, hi))
+    return jnp.exp(0.5 * (lo + hi))
+
+
+def compound_price(S0, K1, K2, t1, T2, r, q=0.0, *, sigma,
+                   kind: str = "call", underlying: str = "call",
+                   dtype=None):
+    """Compound option (Geske 1979): a ``kind`` option expiring at t₁
+    with strike K₁ on an ``underlying`` vanilla (strike K₂, maturity
+    T₂ > t₁).  All four combinations: call-on-call, call-on-put,
+    put-on-call, put-on-put.
+
+    Closed form = bivariate-normal rectangle probabilities
+    (:func:`~optpricer_tpu.ops.bvn.bvn_cdf`) with correlation
+    ρ = √(t₁/T₂), around the critical spot S* where the underlying's
+    t₁ value crosses K₁ (log-space bisection, jittable).  Oracle test:
+    MC readout E[e^{−r t₁}·payoff(BS(S_{t₁}))] under exact GBM — which
+    catches any sign error in the eight Φ₂ arguments.  The reference
+    has no compound options."""
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    if underlying not in ("call", "put"):
+        raise ValueError("underlying must be 'call' or 'put'")
+    if not 0.0 < t1 < T2:
+        raise ValueError("need 0 < t1 < T2")
+    dt_ = canonical(dtype)
+    S, K1_, K2_, t1_, T2_, r_, q_, sig = (
+        jnp.asarray(v, dt_)
+        for v in (S0, K1, K2, t1, T2, r, q, sigma))
+    inner_call = underlying == "call"
+    Sx = _compound_critical(K1_, K2_, T2_ - t1_, r_, q_, sig,
+                            inner_call, dt_)
+
+    from ..ops.bvn import bvn_cdf
+    from jax.scipy.stats import norm
+
+    sq1 = sig * jnp.sqrt(t1_)
+    sq2 = sig * jnp.sqrt(T2_)
+    b = r_ - q_
+    y1 = (jnp.log(S / Sx) + (b + 0.5 * sig * sig) * t1_) / sq1
+    y2 = y1 - sq1
+    z1 = (jnp.log(S / K2_) + (b + 0.5 * sig * sig) * T2_) / sq2
+    z2 = z1 - sq2
+    rho = jnp.sqrt(t1_ / T2_)
+    fwd = S * jnp.exp((b - r_) * T2_)     # = S e^{−qT₂}
+    dK2 = K2_ * jnp.exp(-r_ * T2_)
+    dK1 = K1_ * jnp.exp(-r_ * t1_)
+
+    if inner_call and kind == "call":
+        out = (fwd * bvn_cdf(z1, y1, rho) - dK2 * bvn_cdf(z2, y2, rho)
+               - dK1 * norm.cdf(y2))
+    elif inner_call:                      # put-on-call
+        out = (dK2 * bvn_cdf(z2, -y2, -rho) - fwd * bvn_cdf(z1, -y1, -rho)
+               + dK1 * norm.cdf(-y2))
+    elif kind == "call":                  # call-on-put
+        out = (dK2 * bvn_cdf(-z2, -y2, rho) - fwd * bvn_cdf(-z1, -y1, rho)
+               - dK1 * norm.cdf(-y2))
+    else:                                 # put-on-put
+        out = (fwd * bvn_cdf(-z1, y1, -rho) - dK2 * bvn_cdf(-z2, y2, -rho)
+               + dK1 * norm.cdf(y2))
+    return float(out) if out.ndim == 0 else out

@@ -31,7 +31,8 @@ from ..ops import stats as stats_ops
 from .monte_carlo import resolve_seed
 
 __all__ = ["basket_price_mc", "basket_greeks_mc", "basket_exotic_mc",
-           "geometric_basket_price", "margrabe_price"]
+           "geometric_basket_price", "margrabe_price",
+           "rainbow_price_stulz"]
 
 _PAYOFFS = ("basket", "spread", "rainbow_max", "rainbow_min")
 _PATH_PAYOFFS = ("asian_basket", "worstof_barrier", "basket_barrier")
@@ -83,6 +84,89 @@ def margrabe_price(S1, S2, T, q1=0.0, q2=0.0, *, sigma1, sigma2, rho):
     d2 = d1 - st
     return S1 * jnp.exp(-q1 * T) * _norm_cdf(d1) \
         - S2 * jnp.exp(-q2 * T) * _norm_cdf(d2)
+
+
+def rainbow_price_stulz(S1, S2, K, T, r, q1=0.0, q2=0.0, *, sigma1,
+                        sigma2, rho, kind: str = "call",
+                        mode: str = "min"):
+    """Stulz (1982) closed form for two-asset rainbow options: calls and
+    puts on min(S1_T, S2_T) or max(S1_T, S2_T), strike K.
+
+    Built from bivariate-normal rectangles
+    (:func:`~optpricer_tpu.ops.bvn.bvn_cdf`).  Identities used (each an
+    oracle test against the other and against ``basket_price_mc``'s
+    ``rainbow_min``/``rainbow_max`` samplers):
+
+    * C_max = C₁ + C₂ − C_min (max + min = sum, elementwise in payoff)
+    * P = K·e^{−rT} − C(K=0) + C(K)   (rainbow put-call parity, with
+      C(K=0) = e^{−rT}·E[min/max] — K is clamped to 1e-12 so the K=0
+      evaluation degrades gracefully through the same code path)
+    * margrabe_price(S1, S2) = S1·e^{−q1T} − C_min(K=0) (exchange =
+      hold S1, give up the minimum).
+    """
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    if mode not in ("min", "max"):
+        raise ValueError("mode must be 'min' or 'max'")
+    from ..ops.bvn import bvn_cdf
+
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    S1, S2, K, T, r, q1, q2, s1, s2, rho_ = (
+        jnp.asarray(v, dt_)
+        for v in (S1, S2, K, T, r, q1, q2, sigma1, sigma2, rho))
+    K = jnp.maximum(K, 1e-12)
+    sqT = jnp.sqrt(T)
+    sig = jnp.sqrt(jnp.maximum(
+        s1 * s1 + s2 * s2 - 2.0 * rho_ * s1 * s2, 1e-30))
+    b1 = r - q1
+    b2 = r - q2
+    d = (jnp.log(S1 / S2) + (b1 - b2 + 0.5 * sig * sig) * T) / (sig * sqT)
+    y1 = (jnp.log(S1 / K) + (b1 + 0.5 * s1 * s1) * T) / (s1 * sqT)
+    y2 = (jnp.log(S2 / K) + (b2 + 0.5 * s2 * s2) * T) / (s2 * sqT)
+    rho1 = (s1 - rho_ * s2) / sig
+    rho2 = (s2 - rho_ * s1) / sig
+    df = jnp.exp(-r * T)
+    f1 = S1 * jnp.exp(-q1 * T)
+    f2 = S2 * jnp.exp(-q2 * T)
+
+    def c_min(K_, y1_, y2_):
+        return (f1 * bvn_cdf(y1_, -d, -rho1)
+                + f2 * bvn_cdf(y2_, d - sig * sqT, -rho2)
+                - K_ * df * bvn_cdf(y1_ - s1 * sqT, y2_ - s2 * sqT, rho_))
+
+    cmin = c_min(K, y1, y2)
+    if mode == "min" and kind == "call":
+        out = cmin
+    else:
+        # single-asset legs (for C_max) share the same primitives
+        c1 = price_core_bs(S1, K, T, r, q1, s1)
+        c2 = price_core_bs(S2, K, T, r, q2, s2)
+        cmax = c1 + c2 - cmin
+        if kind == "call":
+            out = cmax
+        else:
+            big = jnp.asarray(1e-12, dt_)
+            yb1 = (jnp.log(S1 / big) + (b1 + 0.5 * s1 * s1) * T) \
+                / (s1 * sqT)
+            yb2 = (jnp.log(S2 / big) + (b2 + 0.5 * s2 * s2) * T) \
+                / (s2 * sqT)
+            cmin0 = c_min(big, yb1, yb2)
+            if mode == "min":
+                out = K * df - cmin0 + cmin
+            else:
+                cmax0 = f1 + f2 - cmin0
+                out = K * df - cmax0 + cmax
+    return float(out) if out.ndim == 0 else out
+
+
+def price_core_bs(S, K, T, r, q, sigma):
+    """Vanilla BS call — local helper sharing this module's dtype
+    conventions (the ops-level ``price_core`` is is_call-masked)."""
+    st = sigma * jnp.sqrt(T)
+    d1 = (jnp.log(S / K) + (r - q + 0.5 * sigma * sigma) * T) / st
+    return S * jnp.exp(-q * T) * _norm_cdf(d1) \
+        - K * jnp.exp(-r * T) * _norm_cdf(d1 - st)
 
 
 @partial(jax.jit, static_argnames=("payoff", "is_call", "n_paths",
