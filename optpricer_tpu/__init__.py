@@ -110,6 +110,8 @@ from .models.analytic import (merton_price, heston_price_cos,
                               compound_price)
 from .models.processes import bates_paths
 from .models.binomial import american_implied_vol
+from .models.american_analytic import (bjerksund_stensland_price,
+                                       baw_price, rgw_price)
 from .models.heston_pde import (heston_fd_price, heston_fd_grid,
                                 heston_fd_greeks, heston_fd_price_batch,
                                 heston_fd_price_barrier)
@@ -176,6 +178,7 @@ __all__ = [
     "geometric_basket_price",
     "margrabe_price", "rainbow_price_stulz", "bvn_cdf",
     "chooser_price", "compound_price",
+    "bjerksund_stensland_price", "baw_price", "rgw_price",
     "LSVModel", "lsv_calibrate", "lsv_greeks_mc", "lsv_path_matrix",
     "lsv_price_mc",
     "ForwardSurface", "dupire_forward_surface", "dupire_forward_price",
