@@ -126,6 +126,27 @@ def _run_greeks(ns) -> str:
     return "\n".join(f"{name:<6} {g[name]: .10f}" for name in order)
 
 
+def _run_american(ns) -> str:
+    kind = "call" if ns.kind == CALL else "put"
+    if ns.D > 0.0:
+        if kind != "call":
+            raise SystemExit("--D (discrete dividend) prices an American "
+                             "CALL via Roll-Geske-Whaley")
+        from .models.american_analytic import rgw_price
+
+        value = float(rgw_price(ns.S0, ns.K, ns.T, ns.r, sigma=ns.sigma,
+                                D=ns.D, t_div=ns.t_div))
+        return f"{value:.10f}"
+    if ns.engine == "baw":
+        from .models.american_analytic import baw_price as engine
+    else:
+        from .models.american_analytic import \
+            bjerksund_stensland_price as engine
+    value = float(engine(ns.S0, ns.K, ns.T, ns.r, ns.q, sigma=ns.sigma,
+                         kind=kind))
+    return f"{value:.10f}"
+
+
 def _run_lsmc(ns) -> str:
     from .models.american_mc import lsmc_price
 
@@ -282,6 +303,16 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--mJ", dict(type=float, default=0.0, help="mean log jump")),
         ("--sJ", dict(type=float, default=0.0, help="log-jump stdev")),
     ), _run_heston),
+    "american": ("analytic American approximation (O(1) per option)", (
+        ("--engine", dict(choices=("bs2002", "baw"), default="bs2002",
+                          help="Bjerksund-Stensland 2002 or "
+                               "Barone-Adesi-Whaley")),
+        ("--D", dict(type=float, default=0.0,
+                     help="one cash dividend (> 0 prices the call via "
+                          "Roll-Geske-Whaley, exact escrowed model)")),
+        ("--t-div", dict(dest="t_div", type=float, default=0.0,
+                         help="ex-dividend date (with --D)")),
+    ), _run_american),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),
         ("--seed", dict(type=int, default=None)),

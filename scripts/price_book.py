@@ -80,6 +80,23 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
         opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
         american = str(row.get("american", "false")).strip().lower() == "true"
         result["price"] = crr(opt, kind, N=500, american=american)
+    elif method == "amer_analytic":
+        # O(1) analytic American: engine cell bs2002 (default) | baw;
+        # a D cell > 0 prices the call via Roll-Geske-Whaley instead
+        from optpricer_tpu import (baw_price, bjerksund_stensland_price,
+                                   rgw_price)
+
+        D = float(row.get("D", 0.0) or 0.0)
+        if D > 0.0:
+            result["price"] = float(rgw_price(
+                S0, K, T, r, sigma=sigma, D=D,
+                t_div=float(row["t_div"])))
+        elif (row.get("engine", "") or "").strip().lower() == "baw":
+            result["price"] = float(baw_price(S0, K, T, r, q,
+                                              sigma=sigma, kind=kind))
+        else:
+            result["price"] = float(bjerksund_stensland_price(
+                S0, K, T, r, q, sigma=sigma, kind=kind))
     elif method == "mc":
         opt = OptionSpec(S0=S0, K=K, T=T, r=r, sigma=sigma, q=q)
         px, se = euro_price_mc(opt, kind, n_paths=100_000, seed=1)

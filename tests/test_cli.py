@@ -53,6 +53,27 @@ class TestCLI(object):
         with pytest.raises(SystemExit):
             _run_cli("bs", *self.COMMON, "--kind", "x")
 
+    def test_american_bs2002(self, capsys):
+        _run_cli("american", *self.COMMON, "--kind", "put")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 6.0158) < 2e-3  # CRR-2000 anchor 6.0902
+
+    def test_american_baw(self, capsys):
+        _run_cli("american", *self.COMMON, "--kind", "put",
+                 "--engine", "baw")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 6.0975) < 2e-3
+
+    def test_american_rgw_dividend(self, capsys):
+        _run_cli("american", *self.COMMON, "--D", "3", "--t-div", "0.5")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 8.6943) < 2e-3
+
+    def test_american_rgw_put_rejected(self):
+        with pytest.raises(SystemExit):
+            _run_cli("american", *self.COMMON, "--kind", "put",
+                     "--D", "3", "--t-div", "0.5")
+
 
 class TestPriceBookScript:
     def test_end_to_end(self, tmp_path):
@@ -102,7 +123,7 @@ class TestPriceBookScript:
                   "n_paths", "n_steps", "weights", "rho", "basket_payoff",
                   "eps", "dividends", "N_S", "N_t", "american", "qs",
                   "sigma_fx", "rho_sfx", "k_ratio", "T0", "n_periods",
-                  "local_floor", "local_cap"]
+                  "local_floor", "local_cap", "engine", "D", "t_div"]
         rows = [
             dict(id="f1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="fd", dividends="0.5:5", N_S=200,
@@ -139,6 +160,10 @@ class TestPriceBookScript:
             dict(id="cq1", S0=100, K="", T=1, r=0.03, sigma=0.2,
                  q=0.01, kind="call", method="cliquet", n_periods=12,
                  local_floor=0.0, local_cap=0.08),
+            dict(id="aa1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="put", method="amer_analytic"),
+            dict(id="aa2", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="amer_analytic", D=3, t_div=0.5),
         ]
         with open(book, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)
@@ -176,7 +201,11 @@ class TestPriceBookScript:
         # heston + dividends routes to the ADI; near the BS+div 7.774
         assert abs(results["h2"]["price"] - 7.774) < 0.6
         assert results["h2"]["price"] < results["h1"]["price"]
-        deterministic = ("h1", "h2", "f1", "qx1", "fs1", "cq1")
+        # analytic American rows: BS2002 put and RGW dividend call
+        assert abs(results["aa1"]["price"] - 6.0158) < 2e-3
+        assert abs(results["aa2"]["price"] - 8.6943) < 2e-3
+        deterministic = ("h1", "h2", "f1", "qx1", "fs1", "cq1",
+                         "aa1", "aa2")
         for r in results.values():
             assert "error" not in r
             if r["id"] not in deterministic:
@@ -325,13 +354,20 @@ class TestCLIExtensions:
         _run_cli("lsmc", *self.COMMON, "--kind", "put", "--n-paths",
                  "10000", "--n-steps", "20", "--seed", "0", "--bound")
         out = capsys.readouterr().out.strip().splitlines()
-        rows = {line.split()[0]: line for line in out}
+        rows = {line.split()[0]: line.replace(")", "").split()
+                for line in out}
         assert set(rows) == {"lower", "upper", "gap"}
-        lo = float(rows["lower"].split()[1])
-        up = float(rows["upper"].split()[1])
-        gap = float(rows["gap"].split()[1])
-        assert lo <= up and abs(gap - (up - lo)) < 1e-6
-        assert lo < 6.25 and up > 5.9  # bracket the true American put
+        lo, lo_se = float(rows["lower"][1]), float(rows["lower"][3])
+        up, up_se = float(rows["upper"][1]), float(rows["upper"][3])
+        gap = float(rows["gap"][1])
+        assert abs(gap - (up - lo)) < 1e-6
+        # the optional-stopping CV makes the bracket TIGHTER than the
+        # lower bound's own MC noise at 10k paths, so lo ≤ up only
+        # holds within the noise; both must bracket the Bermudan-20
+        # truth 6.0613 (CRR-4000 with exercise_dates) statistically
+        assert lo <= up + 3.0 * (lo_se + up_se)
+        assert abs(lo - 6.0613) < 3.0 * lo_se + 1e-3
+        assert abs(up - 6.0613) < 0.01  # tight upper: |bias+noise| small
 
     def test_qmc(self, capsys):
         _run_cli("qmc", *self.COMMON, "--payoff", "asian", "--n-paths",
