@@ -512,6 +512,37 @@ def bench_rbergomi() -> None:
         f"best={best*1e3:.0f} ms, price={px:.4f}±{se:.4f}")
 
 
+def bench_amer_analytic() -> None:
+    """Diagnostic: analytic American throughput — a 2^20-contract book
+    (K × T × σ × r × q cube, both kinds) through Bjerksund-Stensland
+    2002 in one jitted batch (models/american_analytic.py), spot-checked
+    against CRR-2048."""
+    from optpricer_tpu import bjerksund_stensland_price, crr_vec
+
+    n = 1 << 20
+    rng = np.random.default_rng(3)
+    K = rng.uniform(60.0, 140.0, n)
+    T = rng.uniform(0.1, 3.0, n)
+    sig = rng.uniform(0.1, 0.5, n)
+    r = rng.uniform(0.0, 0.08, n)
+    q = rng.uniform(0.0, 0.12, n)
+    kind = rng.random(n) < 0.5
+    # kind is a trace-time constant (is_call_mask wants host booleans)
+    f = jax.jit(lambda K, T, sig, r, q: bjerksund_stensland_price(
+        100.0, K, T, r, q, sigma=sig, kind=kind))
+    run = lambda: jax.block_until_ready(f(K, T, sig, r, q))
+    out = np.asarray(run())
+    best, times = best_of(run, 5)
+    i = int(np.argmax(T * sig))  # spot-check the worst-accuracy corner
+    ref = float(crr_vec(100.0, np.array([K[i]]), float(T[i]), float(r[i]),
+                        float(q[i]), float(sig[i]),
+                        "call" if kind[i] else "put", N=2048,
+                        american=True)[0])
+    log(f"[amer-analytic] 2^20-contract BS2002 book: {_spread(times)} "
+        f"best={best*1e3:.1f} ms → {n/best:.2e} options/s, "
+        f"spot-check |err vs CRR2048|={abs(out[i]-ref):.1e}")
+
+
 def main():
     pps, price, ref = bench_mc()
     err = abs(price - ref)
@@ -532,7 +563,8 @@ def main():
                      ("heston-adi", bench_heston_adi),
                      ("forward-pde", bench_forward_pde),
                      ("american-basket", bench_american_basket),
-                     ("rbergomi", bench_rbergomi)):
+                     ("rbergomi", bench_rbergomi),
+                     ("amer-analytic", bench_amer_analytic)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:
