@@ -49,6 +49,11 @@ def is_call_mask(kind) -> np.ndarray:
         if kind not in (CALL, PUT):
             raise ValueError(f"kind must be 'call' or 'put', got {kind!r}")
         return np.bool_(kind == CALL)
+    if isinstance(kind, jax.Array):
+        # already a device/traced mask (e.g. under jit): pass through
+        if not jnp.issubdtype(kind.dtype, jnp.bool_):
+            raise ValueError("array-valued kind must be boolean")
+        return kind
     arr = np.asarray(kind)
     if arr.dtype == bool:
         return arr

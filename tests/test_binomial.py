@@ -135,3 +135,38 @@ class TestAmericanImpliedVol:
         out = american_implied_vol(8.0, 100.0, 100.0, 1.0, 0.05, 0.0,
                                    kind="put")
         assert isinstance(out, float) and 0.1 < out < 0.4
+
+    def test_bs2002_engine_round_trips_its_own_prices(self):
+        from optpricer_tpu import (american_implied_vol,
+                                   bjerksund_stensland_price)
+
+        S0, T, r, q = 100.0, 1.0, 0.05, 0.02
+        Ks = np.array([80.0, 90.0, 100.0, 110.0, 120.0])
+        sig = np.array([0.32, 0.27, 0.22, 0.20, 0.19])
+        px = np.asarray(bjerksund_stensland_price(S0, Ks, T, r, q,
+                                                  sigma=sig, kind="put"))
+        iv = american_implied_vol(px, S0, Ks, T, r, q, kind="put",
+                                  engine="bs2002")
+        np.testing.assert_allclose(iv, sig, atol=1e-8)
+
+    def test_bs2002_engine_tracks_the_lattice_inverse(self):
+        # inverting LATTICE prices through the closed form: the vol
+        # error is the BS2002 price error over vega — ≲1e-3 here
+        from optpricer_tpu import american_implied_vol, crr_vec
+
+        S0, T, r, q = 100.0, 1.0, 0.05, 0.02
+        Ks = np.array([90.0, 100.0, 110.0])
+        sig = np.array([0.27, 0.22, 0.20])
+        px = np.array([float(np.asarray(crr_vec(
+            S0, k, T, r, q, s, "put", N=2000, american=True)).ravel()[0])
+            for k, s in zip(Ks, sig)])
+        iv = american_implied_vol(px, S0, Ks, T, r, q, kind="put",
+                                  engine="bs2002")
+        np.testing.assert_allclose(iv, sig, atol=2e-3)
+
+    def test_bad_engine_raises(self):
+        from optpricer_tpu import american_implied_vol
+
+        with pytest.raises(ValueError):
+            american_implied_vol(8.0, 100.0, 100.0, 1.0, 0.05, 0.0,
+                                 kind="put", engine="nope")
