@@ -255,6 +255,24 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
             result["price"], result["stderr"] = px, se
         else:
             result["price"] = cliquet_price_bs(S0, T, r, q, **kwc)
+    elif method == "chooser":
+        # simple chooser: holder picks call-or-put at 't_choose'
+        from optpricer_tpu import chooser_price
+
+        result["price"] = float(np.asarray(chooser_price(
+            S0, K, T, r, q, sigma=sigma,
+            t_choose=float(row["t_choose"]))))
+    elif method == "compound":
+        # option-on-option: K is the OUTER strike at 't_choose', the
+        # 'K2' column the inner strike to maturity T; 'underlying'
+        # column call|put picks the inner option
+        from optpricer_tpu import compound_price
+
+        result["price"] = float(np.asarray(compound_price(
+            S0, K, float(row["K2"]), float(row["t_choose"]), T, r, q,
+            sigma=sigma, kind=kind,
+            underlying=(row.get("underlying", "call") or
+                        "call").strip().lower())))
     elif method == "basket":
         # multi-asset rows: S0/sigma cells hold ';'-separated per-asset
         # values; optional 'weights' (';'-separated, default equal) and

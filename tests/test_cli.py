@@ -123,7 +123,8 @@ class TestPriceBookScript:
                   "n_paths", "n_steps", "weights", "rho", "basket_payoff",
                   "eps", "dividends", "N_S", "N_t", "american", "qs",
                   "sigma_fx", "rho_sfx", "k_ratio", "T0", "n_periods",
-                  "local_floor", "local_cap", "engine", "D", "t_div"]
+                  "local_floor", "local_cap", "engine", "D", "t_div",
+                  "t_choose", "K2", "underlying"]
         rows = [
             dict(id="f1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="fd", dividends="0.5:5", N_S=200,
@@ -164,6 +165,11 @@ class TestPriceBookScript:
                  kind="put", method="amer_analytic"),
             dict(id="aa2", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="amer_analytic", D=3, t_div=0.5),
+            dict(id="ch1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="chooser", t_choose=0.5),
+            dict(id="co1", S0=100, K=10, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="compound", K2=100, t_choose=0.5,
+                 underlying="call"),
         ]
         with open(book, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)
@@ -204,8 +210,11 @@ class TestPriceBookScript:
         # analytic American rows: BS2002 put and RGW dividend call
         assert abs(results["aa1"]["price"] - 6.0158) < 2e-3
         assert abs(results["aa2"]["price"] - 8.6943) < 2e-3
+        # two-timescale closed forms (library-validated values)
+        assert abs(results["ch1"]["price"] - 13.8512) < 2e-3
+        assert abs(results["co1"]["price"] - 4.0215) < 2e-3
         deterministic = ("h1", "h2", "f1", "qx1", "fs1", "cq1",
-                         "aa1", "aa2")
+                         "aa1", "aa2", "ch1", "co1")
         for r in results.values():
             assert "error" not in r
             if r["id"] not in deterministic:
