@@ -503,6 +503,9 @@ def _lsmc_dual_upper_sv(key, betas, S0, v0, kappa, theta_h, xi, rho,
     return mean, se
 
 
+_LSV_INNER_CV = True  # trace-time A/B toggle for the spot CV (tests)
+
+
 @partial(jax.jit, static_argnames=("basis_dim", "n_inner", "n_steps",
                                    "n_paths"))
 def _lsmc_dual_upper_lsv(key, betas, model, K, is_call, *, basis_dim: int,
@@ -518,8 +521,17 @@ def _lsmc_dual_upper_lsv(key, betas, model, K, is_call, *, basis_dim: int,
     step, so inner, outer and policy-fitting measures agree). ``n_steps``
     is the number of leverage-grid steps in use (``n_use ≤ model.n_steps``
     when the contract expires before the table's horizon). No closed-form
-    European control variate exists under LSV either, so the inner
-    estimate is plain-antithetic — valid, conservative.
+    European value exists under a leverage surface, so the inner estimate
+    cannot reuse the Heston dual's COS control variate; instead it uses
+    the SPOT optional-stopping CV, Y = e^{−μt_τ}·S_τ − e^{−μt_k}·S_k:
+    the carry-discounted spot is an EXACT discrete martingale under the
+    Euler log-step (lognormal one-step mean), so E[Y|F_k] = 0 with no
+    model approximation — the bound's validity needs no new assumption.
+    (Under ``scheme="qe"`` the QE asset step carries a small martingale
+    defect; the date-pooled centering absorbs it, exactly like the
+    Heston dual's QE-weak-error caveat.)  Correlation with the stopped
+    payoff is weaker than a European-value CV, but the pooled β̂ makes
+    the correction variance-optimal, so it can only help.
     """
     from .lsv import _advance_particles, _interp_row
     from .mc_fused import _exp_for, _log_for
@@ -567,9 +579,11 @@ def _lsmc_dual_upper_lsv(key, betas, model, K, is_call, *, basis_dim: int,
 
     def continuation(key_k, S_k, v_k, k):
         """Ĉ_k = E[Z_τ | S_k, v_k], τ > k under the policy — antithetic
-        leverage-scaled rollouts per outer path, masked to dates j > k."""
+        leverage-scaled rollouts per outer path, masked to dates j > k,
+        variance-reduced by the exact-mean SPOT optional-stopping CV
+        (see the function docstring)."""
         def inner_date(carry, inp):
-            S, v, alive, val = carry
+            S, v, alive, val, S_s, j_s = carry
             beta_j, j, lev_row = inp
             active = j > k
             kj = jax.random.fold_in(key_k, j)
@@ -583,16 +597,28 @@ def _lsmc_dual_upper_lsv(key, betas, model, K, is_call, *, basis_dim: int,
             stop = active & alive & (stop_j | (j == n_steps))
             df = jnp.exp(-r_ * dt * j.astype(dtype))
             val = val + jnp.where(stop, df * ex, 0.0)
-            return (S_new, v_new, alive & ~stop, val), None
+            S_s = jnp.where(stop, S_new, S_s)
+            j_s = jnp.where(stop, j.astype(dtype), j_s)
+            return (S_new, v_new, alive & ~stop, val, S_s, j_s), None
 
         S_in = jnp.broadcast_to(S_k[None, :], (2 * half, S_k.shape[0]))
         v_in = jnp.broadcast_to(v_k[None, :], (2 * half, v_k.shape[0]))
-        (_, _, _, val), _ = jax.lax.scan(
+        zerosf = jnp.zeros(S_in.shape, dtype)
+        (_, _, _, val, S_s, j_s), _ = jax.lax.scan(
             inner_date,
-            (S_in, v_in, jnp.ones(S_in.shape, bool),
-             jnp.zeros(S_in.shape, dtype)),
+            (S_in, v_in, jnp.ones(S_in.shape, bool), zerosf,
+             S_in, zerosf),
             (betas_pad, js, lev_rows))
-        return jnp.mean(val, axis=0)
+        # M_t = e^{−μt}·S_t: exact discrete martingale (Euler log-step)
+        y = jnp.exp(-mu * dt * j_s) * S_s
+        k_f = jnp.asarray(k, dtype)
+        cv = y - jnp.exp(-mu * dt * k_f) * S_k[None, :]
+        cv = cv - jnp.mean(cv)
+        beta_cv = jnp.sum(val * cv) / jnp.maximum(jnp.sum(cv * cv), 1e-30)
+        cv = jnp.where(jnp.asarray(k) < n_steps, beta_cv * cv, 0.0)
+        if not _LSV_INNER_CV:         # trace-time A/B toggle (tests only)
+            cv = jnp.zeros_like(cv)
+        return jnp.mean(val - cv, axis=0)
 
     key_paths, key_inner = jax.random.split(key)
     zo = jax.random.normal(key_paths, (n_steps, 2, n_paths), dtype)
