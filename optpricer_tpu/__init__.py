@@ -49,6 +49,7 @@ from .models.exotics import (
     asian_price,
     digital_price,
     lookback_price,
+    double_barrier_price,
 )
 
 # Calibration & Dupire
@@ -68,7 +69,9 @@ from .models.calibration import (
 )
 
 # PDE (Finite Difference)
-from .models.pde import fd_price, fd_price_barrier, fd_greeks, fd_price_local_vol
+from .models.pde import (fd_price, fd_price_barrier,
+                         fd_price_double_barrier, fd_greeks,
+                         fd_price_local_vol)
 
 # FEM (Finite Element)
 from .models.fem import fem_price
@@ -107,7 +110,8 @@ from .models.analytic import (merton_price, heston_price_cos,
                               geometric_asian_price, fit_heston,
                               heston_greeks_cos, cev_price,
                               barrier_price_bs, chooser_price,
-                              compound_price)
+                              compound_price, lookback_price_bs,
+                              double_barrier_price_bs)
 from .models.processes import bates_paths
 from .models.binomial import american_implied_vol
 from .models.american_analytic import (bjerksund_stensland_price,
@@ -144,12 +148,14 @@ __all__ = [
     "bs_higher_greeks_vec",
     # Exotics
     "barrier_price", "asian_price", "digital_price", "lookback_price",
+    "double_barrier_price",
     # Calibration & Dupire
     "SVIParams", "VolSurface", "fit_svi", "fit_svi_surface", "fit_essvi",
     "dupire_local_vol", "dupire_local_vol_func", "svi_butterfly_g",
     "svi_density", "check_butterfly", "check_calendar", "arbitrage_report",
     # PDE (Finite Difference)
-    "fd_price", "fd_price_barrier", "fd_greeks", "fd_price_local_vol",
+    "fd_price", "fd_price_barrier", "fd_price_double_barrier",
+    "fd_greeks", "fd_price_local_vol",
     # FEM (Finite Element)
     "fem_price",
     # Milstein
@@ -167,6 +173,7 @@ __all__ = [
     "lsmc_price_sharded", "lsmc_price_basket",
     "euro_greeks_mc", "exotic_greeks_mc",
     "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
+    "lookback_price_bs", "double_barrier_price_bs",
     "bates_price_cos", "bates_paths", "american_implied_vol",
     "quanto_price", "quanto_adjusted_carry",
     "sabr_implied_vol",

@@ -31,7 +31,8 @@ __all__ = ["merton_price", "heston_price_cos", "bates_price_cos",
            "quanto_price", "quanto_adjusted_carry",
            "sabr_implied_vol",
            "sabr_price_hagan", "geometric_asian_price", "fit_heston",
-           "heston_greeks_cos", "barrier_price_bs"]
+           "heston_greeks_cos", "barrier_price_bs", "lookback_price_bs",
+           "double_barrier_price_bs"]
 
 
 # --------------------------------------------------------------------------
@@ -811,3 +812,220 @@ def compound_price(S0, K1, K2, t1, T2, r, q=0.0, *, sigma,
         out = (fwd * bvn_cdf(-z1, y1, -rho) - dK2 * bvn_cdf(-z2, y2, -rho)
                + dK1 * norm.cdf(y2))
     return float(out) if out.ndim == 0 else out
+
+
+# --------------------------------------------------------------------------
+# Continuously-monitored lookbacks — Goldman-Sosin-Gatto / Conze-Viswanathan
+# --------------------------------------------------------------------------
+
+def _lb_bonus(lnX, e1, bb, sigma, T, eta):
+    """The lookback "strike bonus" S·e^{−rT}·A common to all four GSG/CV
+    formulas.  ``eta=+1``:
+
+        A = (σ²/2b)·[ e^{2b·lnX/σ²·(−1)}… ]  — concretely
+        A = (σ²/2b)·[ X^{−2b/σ²}·Φ(−e1 + 2b√T/σ) − e^{bT}·Φ(−e1) ]
+
+    and ``eta=−1`` the mirrored pattern
+
+        A = (σ²/2b)·[ e^{bT}·Φ(e1) − X^{−2b/σ²}·Φ(e1 − 2b√T/σ) ].
+
+    Both vanish linearly at b = 0; the exact b→0 limit (derivative of the
+    bracket) is blended in branchlessly so r = q prices and their AD
+    derivatives stay finite:
+
+        A₀ = η·[ η·(lnX + σ²T/2)·Φ(−η·e1) ]  →  see the two lines below.
+    """
+    from jax.scipy.stats import norm
+
+    sqT = jnp.sqrt(T)
+    small = jnp.abs(bb) < 1e-7
+    b_safe = jnp.where(small, 1.0, bb)
+    pref = sigma * sigma / (2.0 * b_safe)
+    pow_term = jnp.exp(-(2.0 * bb / (sigma * sigma)) * lnX)
+    shift = (2.0 * bb / sigma) * sqT
+    if eta > 0:
+        gen = pref * (pow_term * norm.cdf(-e1 + shift)
+                      - jnp.exp(bb * T) * norm.cdf(-e1))
+        lim = (-(lnX + 0.5 * sigma * sigma * T) * norm.cdf(-e1)
+               + sigma * sqT * norm.pdf(-e1))
+    else:
+        gen = pref * (jnp.exp(bb * T) * norm.cdf(e1)
+                      - pow_term * norm.cdf(e1 - shift))
+        lim = ((lnX + 0.5 * sigma * sigma * T) * norm.cdf(e1)
+               + sigma * sqT * norm.pdf(e1))
+    return jnp.where(small, lim, gen)
+
+
+@partial(jax.jit, static_argnames=("kind", "strike_type"))
+def lookback_price_bs(S0, T, r, q=0.0, *, sigma, kind: str = "call",
+                      strike_type: str = "floating", K=0.0,
+                      running_extremum=None):
+    """Closed-form CONTINUOUSLY-monitored lookback under GBM.
+
+    Floating strike (Goldman-Sosin-Gatto 1979): call pays S_T − min S,
+    put pays max S − S_T.  Fixed strike (Conze-Viswanathan 1991): call
+    pays (max S − K)⁺, put pays (K − min S)⁺.  ``running_extremum`` is
+    the already-observed extremum for seasoned contracts — the running
+    MIN for floating calls / fixed puts, the running MAX for floating
+    puts / fixed calls; it defaults to S0 (a fresh contract).
+
+    Broadcasting, differentiable; r = q (zero carry) is handled by the
+    exact limit inside :func:`_lb_bonus`, not a numerical nudge.  The
+    reference prices lookbacks only by discretely-monitored MC
+    (``exotics.py:215-273``); this is the continuous-monitoring truth
+    its n_steps→∞ limit — and this package's bridge-free MLMC estimator
+    (``models/mlmc.py``) — converge to.
+    """
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    if strike_type not in ("floating", "fixed"):
+        raise ValueError("strike_type must be 'floating' or 'fixed'")
+    dt_ = canonical(None)
+    S, T_, r_, q_, sig, K_ = (jnp.asarray(v, dt_)
+                              for v in (S0, T, r, q, sigma, K))
+    E = S if running_extremum is None else jnp.asarray(running_extremum, dt_)
+    from jax.scipy.stats import norm
+
+    bb = r_ - q_
+    s = sig * jnp.sqrt(T_)
+    dfr = jnp.exp(-r_ * T_)
+    dfb = jnp.exp((bb - r_) * T_)
+
+    def d1_of(X):      # X = S/level
+        return (jnp.log(X) + (bb + 0.5 * sig * sig) * T_) / s
+
+    if strike_type == "floating":
+        if kind == "call":        # pays S_T − m;  E = running min ≤ S
+            X = S / E
+            a1 = d1_of(X)
+            out = (S * dfb * norm.cdf(a1) - E * dfr * norm.cdf(a1 - s)
+                   + S * dfr * _lb_bonus(jnp.log(X), a1, bb, sig, T_, +1))
+        else:                     # pays M − S_T;  E = running max ≥ S
+            X = S / E
+            b1 = d1_of(X)
+            out = (E * dfr * norm.cdf(-(b1 - s)) - S * dfb * norm.cdf(-b1)
+                   + S * dfr * _lb_bonus(jnp.log(X), b1, bb, sig, T_, -1))
+        return out
+
+    # fixed strike: blend the K-beyond-extremum and seasoned branches
+    if kind == "call":            # pays (max − K)⁺;  E = running max
+        def F(level):
+            X = S / level
+            d1 = d1_of(X)
+            return (S * dfb * norm.cdf(d1) - level * dfr * norm.cdf(d1 - s)
+                    + S * dfr * _lb_bonus(jnp.log(X), d1, bb, sig, T_, -1))
+
+        out = jnp.where(K_ > E, F(jnp.maximum(K_, E)),
+                        dfr * (E - K_) + F(jnp.minimum(K_, E)))
+    else:                         # pays (K − min)⁺;  E = running min
+        def F(level):
+            X = S / level
+            d1 = d1_of(X)
+            return (level * dfr * norm.cdf(-(d1 - s))
+                    - S * dfb * norm.cdf(-d1)
+                    + S * dfr * _lb_bonus(jnp.log(X), d1, bb, sig, T_, +1))
+
+        out = jnp.where(K_ < E, F(jnp.minimum(K_, E)),
+                        dfr * (K_ - E) + F(jnp.maximum(K_, E)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Double barriers — Ikeda-Kunitomo image series, integral form
+# --------------------------------------------------------------------------
+
+def _dbko_sums(S, A, B, L, U, T, r, q, sigma, n_images: int):
+    """(∫_A^B x·p(x)dx·e^{−bT}/S, ∫_A^B p(x)dx) for the density p of S_T
+    restricted to paths that stay inside (L, U) — the Ikeda-Kunitomo
+    (1992) image expansion with flat barriers, stated as INTEGRALS so any
+    strike placement (inside or outside the corridor) reduces to clipped
+    bounds instead of formula special cases.  2·n_images+1 image terms,
+    vectorised over the image index; ~5 images converge to f64 roundoff
+    for practical barrier widths.
+    """
+    from jax.scipy.stats import norm
+
+    bb = r - q
+    st = sigma * jnp.sqrt(T)
+    m1 = 2.0 * bb / (sigma * sigma) + 1.0
+    n = jnp.arange(-n_images, n_images + 1, dtype=S.dtype)
+    shp = n.shape + (1,) * jnp.ndim(S)
+    n = n.reshape(shp)                      # broadcast images × inputs
+    lnU_L = jnp.log(U / L)
+    drift = (bb + 0.5 * sigma * sigma) * T
+
+    def d(level):       # direct-image argument at integration bound
+        return (jnp.log(S / level) + 2.0 * n * lnU_L + drift) / st
+
+    def dp(level):      # reflected-image argument
+        return ((2.0 * (n + 1.0) * jnp.log(L) - 2.0 * n * jnp.log(U)
+                 - jnp.log(S * level)) + drift) / st
+
+    lgR1 = n * m1 * lnU_L
+    lgR2 = m1 * ((n + 1.0) * jnp.log(L) - n * jnp.log(U) - jnp.log(S))
+    lgR1k = n * (m1 - 2.0) * lnU_L
+    lgR2k = (m1 - 2.0) * ((n + 1.0) * jnp.log(L) - n * jnp.log(U)
+                          - jnp.log(S))
+    dA, dB, dpA, dpB = d(A), d(B), dp(A), dp(B)
+    xint = jnp.sum(jnp.exp(lgR1) * (norm.cdf(dA) - norm.cdf(dB))
+                   - jnp.exp(lgR2) * (norm.cdf(dpA) - norm.cdf(dpB)),
+                   axis=0)
+    pint = jnp.sum(jnp.exp(lgR1k) * (norm.cdf(dA - st) - norm.cdf(dB - st))
+                   - jnp.exp(lgR2k) * (norm.cdf(dpA - st)
+                                       - norm.cdf(dpB - st)),
+                   axis=0)
+    return xint, pint
+
+
+@partial(jax.jit, static_argnames=("kind", "knock", "n_images"))
+def double_barrier_price_bs(S0, K, T, r, q=0.0, *, sigma, lower, upper,
+                            kind: str = "call", knock: str = "out",
+                            rebate=0.0, n_images: int = 5):
+    """Closed-form CONTINUOUSLY-monitored double-barrier option under GBM
+    (Ikeda-Kunitomo 1992 image series, flat barriers L < U).
+
+    ``knock="out"`` dies (collecting ``rebate`` AT EXPIRY) if either
+    barrier is touched; ``knock="in"`` is alive only if one is
+    (rebate paid at expiry when it never is) — the same rebate-at-expiry
+    convention as :func:`barrier_price_bs` and the MC/PDE engines.  A
+    spot at/beyond either barrier counts as already hit.  Strikes
+    outside (L, U) are legitimate (a K ≤ L knock-out call is a leveraged
+    corridor bet) and handled by the integral form of the expansion.
+
+    Broadcasting over inputs, differentiable.  The reference has no
+    double-barrier support at all; here the same contract is also
+    priced by MC (``exotics.double_barrier_price``) and by the PDE on
+    an absorbing corridor (``pde.fd_price_double_barrier``) — this
+    series is the truth both converge to.
+    """
+    if kind not in ("call", "put"):
+        raise ValueError("kind must be 'call' or 'put'")
+    if knock not in ("in", "out"):
+        raise ValueError("knock must be 'in' or 'out'")
+    dt_ = canonical(None)
+    S, K_, T_, r_, q_, sig, L, U, reb = (
+        jnp.asarray(v, dt_)
+        for v in (S0, K, T, r, q, sigma, lower, upper, rebate))
+    dfr = jnp.exp(-r_ * T_)
+    dfb = jnp.exp(-q_ * T_)                # e^{(b−r)T} = e^{−qT}
+    if kind == "call":
+        A = jnp.clip(K_, L, U)
+        xint, pint = _dbko_sums(S, A, U, L, U, T_, r_, q_, sig,
+                                int(n_images))
+        ko = S * dfb * xint - K_ * dfr * pint
+    else:
+        B = jnp.clip(K_, L, U)
+        xint, pint = _dbko_sums(S, L, B, L, U, T_, r_, q_, sig,
+                                int(n_images))
+        ko = K_ * dfr * pint - S * dfb * xint
+    _, p_surv = _dbko_sums(S, L, U, L, U, T_, r_, q_, sig, int(n_images))
+    p_surv = jnp.clip(p_surv, 0.0, 1.0)
+    ko = jnp.maximum(ko, 0.0)
+    already = (S <= L) | (S >= U)
+    vanilla = price_core(S, K_, T_, r_, q_, sig,
+                         jnp.asarray(kind == "call"))
+    if knock == "out":
+        live = ko + reb * dfr * (1.0 - p_surv)
+        return jnp.where(already, reb * dfr, live)
+    live = (vanilla - ko) + reb * dfr * p_surv
+    return jnp.where(already, vanilla, live)

@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["barrier_price", "asian_price", "digital_price", "lookback_price"]
+__all__ = ["barrier_price", "asian_price", "digital_price", "lookback_price",
+           "double_barrier_price"]
 
 _VALID_BARRIERS = {"up-and-out", "up-and-in", "down-and-out", "down-and-in"}
 
@@ -121,4 +122,35 @@ def lookback_price(paths, r, T, kind, K: float = 0.0,
     else:
         payoff = (jnp.maximum(S_max - K, 0.0) if kind == "call"
                   else jnp.maximum(K - S_min, 0.0))
+    return _price_from_payoff(payoff, r, T)
+
+
+def double_barrier_price(paths, K, r, T, kind, lower, upper,
+                         knock: str = "out", rebate: float = 0.0):
+    """European double-barrier option, discrete monitoring over the
+    supplied paths: knocked if the path ever leaves the corridor
+    ``(lower, upper)``.  ``knock="out"`` pays the vanilla only on
+    surviving paths (rebate at expiry otherwise); ``"in"`` the reverse —
+    the conventions of :func:`barrier_price` with two barriers.
+
+    The n_steps→∞ limit is the Ikeda-Kunitomo closed form
+    (:func:`~optpricer_tpu.models.analytic.double_barrier_price_bs`);
+    with discrete monitoring the KO price converges to it from ABOVE
+    (a discrete extremum undershoots the continuous one).  The
+    reference's barrier machinery is single-sided only
+    (``exotics.py:33-96``).
+    """
+    _check_kind(kind)
+    if knock not in ("in", "out"):
+        raise ValueError("knock must be 'in' or 'out'")
+    if not lower < upper:
+        raise ValueError("need lower < upper")
+    paths = jnp.asarray(paths)
+    ST = paths[-1, :]
+    crossed = jnp.any((paths >= upper) | (paths <= lower), axis=0)
+    vanilla = _vanilla(ST, K, kind)
+    if knock == "out":
+        payoff = jnp.where(crossed, rebate, vanilla)
+    else:
+        payoff = jnp.where(crossed, vanilla, rebate)
     return _price_from_payoff(payoff, r, T)

@@ -33,12 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import CALL, OptionSpec
+from ..core import CALL, PUT, OptionSpec
 from ..dtypes import canonical
 from ..ops.black_scholes import is_call_mask
 from ..ops.tridiag import tridiag_solve, tridiag_solve_thomas
 
-__all__ = ["fd_price", "fd_price_barrier", "fd_greeks", "fd_price_local_vol",
+__all__ = ["fd_price", "fd_price_barrier", "fd_price_double_barrier",
+           "fd_greeks", "fd_price_local_vol",
            "fd_price_batch", "fd_price_local_vol_batch"]
 
 
@@ -467,6 +468,82 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
                      solver=solver,
                      barrier_operator=barrier_mode == "operator")
     return float(_readout(x_np, V, opt.S0))
+
+
+def fd_price_double_barrier(opt: OptionSpec,
+                            kind: Literal["call", "put"] = CALL, *,
+                            lower: float, upper: float,
+                            knock: str = "out", rebate: float = 0.0,
+                            N_S: int = 200, N_t: int = 200,
+                            theta: float = 0.5, dtype=None,
+                            solver: str = "auto") -> float:
+    """European double-barrier price on an absorbing corridor.
+
+    The grid IS the corridor: uniform log-spot nodes with ln(lower) and
+    ln(upper) EXACTLY on nodes (no placement error), two padding nodes
+    beyond each barrier, and the in-operator Dirichlet scheme of
+    ``fd_price_barrier(barrier_mode="operator")`` — masked rows become
+    identity rows of the θ-system, so this is true continuous
+    monitoring and converges to the Ikeda-Kunitomo series
+    (:func:`~optpricer_tpu.models.analytic.double_barrier_price_bs`)
+    at O(Δx² + Δt²).  Rebates pay AT EXPIRY (the MC and analytic convention), which a
+    constant Dirichlet value cannot represent: the discounted survival
+    probability e^{−rT}·p_surv is instead extracted EXACTLY as the
+    difference of two corridor puts struck beyond the upper barrier
+    (their payoffs differ by the constant 1 on surviving paths) and
+    the rebate legs are assembled analytically —
+    KO(reb) = KO(0) + reb·e^{−rT}(1 − p_surv),
+    KI(reb) = vanilla − KO(0) + reb·e^{−rT}·p_surv.  The reference
+    has no double-barrier machinery (single-sided only,
+    ``pde.py:271-329``).
+    """
+    _check_solver(solver)
+    if knock not in ("in", "out"):
+        raise ValueError("knock must be 'in' or 'out'")
+    if not 0.0 < lower < upper:
+        raise ValueError("need 0 < lower < upper")
+    disc = float(np.exp(-opt.r * opt.T))
+    vanilla_bs = None
+    if not lower < opt.S0 < upper:          # already knocked
+        if knock == "out":
+            return rebate * disc
+        return fd_price(opt, kind, N_S=N_S, N_t=N_t, theta=theta,
+                        dtype=dtype, solver=solver)
+
+    def corridor(K, kind_, reb):
+        dt_ = canonical(dtype)
+        pad = 2
+        dx = (np.log(upper) - np.log(lower)) / N_S
+        x_np = np.log(lower) + dx * np.arange(-pad, N_S + pad + 1)
+        x_grid = jnp.asarray(x_np, dt_)
+        args = dict(
+            x_grid=x_grid, dt=jnp.asarray(opt.T / N_t, dt_),
+            K=jnp.asarray(K, dt_), r=jnp.asarray(opt.r, dt_),
+            q=jnp.asarray(opt.q, dt_), sigma=jnp.asarray(opt.sigma, dt_),
+            is_call=jnp.asarray(is_call_mask(kind_)),
+            theta=jnp.asarray(theta, dt_))
+        mask = jnp.asarray((x_np <= np.log(lower) + 1e-12 * abs(np.log(lower)))
+                           | (x_np >= np.log(upper)
+                              - 1e-12 * abs(np.log(upper))))
+        V, _ = _fd_solve(**args, barrier_mask=mask,
+                         barrier_value=jnp.asarray(reb, dt_),
+                         N_t=int(N_t), american=False, two_layers=False,
+                         solver=solver, barrier_operator=True)
+        return float(_readout(x_np, V, opt.S0))
+
+    ko0 = corridor(opt.K, kind, 0.0)
+    disc_psurv = 0.0
+    if rebate != 0.0 or knock == "in":
+        # e^{−rT}·p_surv, EXACT as a payoff difference: two corridor
+        # puts struck beyond the upper barrier differ by the constant
+        # (K2 − K1) on every surviving path
+        disc_psurv = corridor(upper + 1.0, PUT, 0.0) - corridor(upper, PUT,
+                                                                0.0)
+    if knock == "out":
+        return ko0 + rebate * (disc - disc_psurv)
+    vanilla = fd_price(opt, kind, N_S=N_S, N_t=N_t, theta=theta,
+                       dtype=dtype, solver=solver)
+    return vanilla - ko0 + rebate * disc_psurv
 
 
 def fd_greeks(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
