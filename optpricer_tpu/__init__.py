@@ -112,7 +112,9 @@ from .models.analytic import (merton_price, heston_price_cos,
                               barrier_price_bs, chooser_price,
                               compound_price, lookback_price_bs,
                               double_barrier_price_bs)
-from .models.processes import bates_paths
+from .models.processes import (bates_paths, gbm_paths,
+                               merton_jump_paths, heston_paths,
+                               sabr_paths, local_vol_paths)
 from .models.binomial import american_implied_vol
 from .models.american_analytic import (bjerksund_stensland_price,
                                        baw_price, rgw_price)
@@ -159,7 +161,8 @@ __all__ = [
     # FEM (Finite Element)
     "fem_price",
     # Milstein
-    "gbm_milstein_paths", "milstein_local_vol_paths",
+    "gbm_milstein_paths", "milstein_local_vol_paths", "gbm_paths",
+    "merton_jump_paths", "heston_paths", "sabr_paths", "local_vol_paths",
     # Risk
     "numerical_greeks", "scenario_grid", "portfolio_risk",
     "var_historical", "cvar_historical",
