@@ -260,6 +260,55 @@ def _run_basket(ns) -> str:
 
 
 # engine name -> (help text, extra flags, runner)
+def _run_barrier(ns) -> str:
+    double = ns.lower > 0.0 or ns.upper > 0.0
+    if double:
+        if not 0.0 < ns.lower < ns.upper:
+            raise SystemExit("double barrier needs 0 < --lower < --upper")
+        if ns.engine == "fd":
+            from .models.pde import fd_price_double_barrier
+
+            value = fd_price_double_barrier(
+                _spec_of(ns), ns.kind, lower=ns.lower, upper=ns.upper,
+                knock=ns.knock, rebate=ns.rebate, N_S=ns.N_S, N_t=ns.N_t)
+        else:
+            from .models.analytic import double_barrier_price_bs
+
+            value = float(double_barrier_price_bs(
+                ns.S0, ns.K, ns.T, ns.r, ns.q, sigma=ns.sigma,
+                lower=ns.lower, upper=ns.upper, kind=ns.kind,
+                knock=ns.knock, rebate=ns.rebate))
+        return f"{value:.10f}"
+    if ns.barrier <= 0.0:
+        raise SystemExit("need --barrier (single) or --lower/--upper "
+                         "(double)")
+    if ns.engine == "fd":
+        from .models.pde import fd_price_barrier
+
+        value = fd_price_barrier(
+            _spec_of(ns), ns.kind, ns.barrier, ns.barrier_type,
+            rebate=ns.rebate, N_S=ns.N_S, N_t=ns.N_t,
+            barrier_mode="operator")
+    else:
+        from .models.analytic import barrier_price_bs
+
+        value = float(barrier_price_bs(
+            ns.S0, ns.K, ns.T, ns.r, ns.q, sigma=ns.sigma,
+            barrier=ns.barrier, barrier_type=ns.barrier_type,
+            kind=ns.kind, rebate=ns.rebate))
+    return f"{value:.10f}"
+
+
+def _run_lookback(ns) -> str:
+    from .models.analytic import lookback_price_bs
+
+    value = float(lookback_price_bs(
+        ns.S0, ns.T, ns.r, ns.q, sigma=ns.sigma, kind=ns.kind,
+        strike_type=ns.strike_type, K=ns.K,
+        running_extremum=ns.running_extremum))
+    return f"{value:.10f}"
+
+
 _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
     "bs": ("Black-Scholes price", (), _run_bs),
     "binomial": ("CRR binomial price", (
@@ -313,6 +362,32 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
         ("--t-div", dict(dest="t_div", type=float, default=0.0,
                          help="ex-dividend date (with --D)")),
     ), _run_american),
+    "barrier": ("continuously-monitored barrier, closed form or PDE", (
+        ("--barrier", dict(type=float, default=0.0,
+                           help="single-barrier level")),
+        ("--barrier-type", dict(dest="barrier_type",
+                                default="up-and-out")),
+        ("--lower", dict(type=float, default=0.0,
+                         help="double-barrier corridor floor")),
+        ("--upper", dict(type=float, default=0.0,
+                         help="double-barrier corridor cap")),
+        ("--knock", dict(choices=("in", "out"), default="out",
+                         help="double-barrier direction")),
+        ("--rebate", dict(type=float, default=0.0,
+                          help="paid at expiry")),
+        ("--engine", dict(choices=("analytic", "fd"), default="analytic")),
+        ("--N-S", dict(dest="N_S", type=int, default=400)),
+        ("--N-t", dict(dest="N_t", type=int, default=400)),
+    ), _run_barrier),
+    "lookback": ("continuously-monitored lookback, closed form", (
+        ("--strike-type", dict(dest="strike_type",
+                               choices=("floating", "fixed"),
+                               default="floating")),
+        ("--running-extremum", dict(dest="running_extremum", type=float,
+                                    default=None,
+                                    help="already-observed min/max for "
+                                         "seasoned contracts")),
+    ), _run_lookback),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),
         ("--seed", dict(type=int, default=None)),
