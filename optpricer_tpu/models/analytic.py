@@ -945,11 +945,16 @@ def _dbko_sums(S, A, B, L, U, T, r, q, sigma, n_images: int):
     """
     from jax.scipy.stats import norm
 
+    # The batch shape may live on ANY input (a strike ladder with scalar
+    # spot, a maturity sweep, ...), so broadcast everything to the common
+    # shape before prepending the image axis.
+    S, A, B, L, U, T, r, q, sigma = jnp.broadcast_arrays(
+        S, A, B, L, U, T, r, q, sigma)
     bb = r - q
     st = sigma * jnp.sqrt(T)
     m1 = 2.0 * bb / (sigma * sigma) + 1.0
     n = jnp.arange(-n_images, n_images + 1, dtype=S.dtype)
-    shp = n.shape + (1,) * jnp.ndim(S)
+    shp = n.shape + (1,) * S.ndim
     n = n.reshape(shp)                      # broadcast images × inputs
     lnU_L = jnp.log(U / L)
     drift = (bb + 0.5 * sigma * sigma) * T
@@ -961,19 +966,25 @@ def _dbko_sums(S, A, B, L, U, T, r, q, sigma, n_images: int):
         return ((2.0 * (n + 1.0) * jnp.log(L) - 2.0 * n * jnp.log(U)
                  - jnp.log(S * level)) + drift) / st
 
+    def term(lg, hi, lo):
+        # exp(lg)·(Φ(hi) − Φ(lo)) computed in log space: for wide
+        # corridors with large 2b/σ² the image weight exp(lg) overflows
+        # while the cdf difference underflows to exactly 0 — the product
+        # is finite (the series converges) but inf·0 = NaN.  hi ≥ lo by
+        # construction (integration bounds A ≤ B), so diff ≥ 0.
+        diff = norm.cdf(hi) - norm.cdf(lo)
+        logdiff = jnp.log(jnp.where(diff > 0.0, diff, 1.0))
+        return jnp.where(diff > 0.0, jnp.exp(lg + logdiff), 0.0)
+
     lgR1 = n * m1 * lnU_L
     lgR2 = m1 * ((n + 1.0) * jnp.log(L) - n * jnp.log(U) - jnp.log(S))
     lgR1k = n * (m1 - 2.0) * lnU_L
     lgR2k = (m1 - 2.0) * ((n + 1.0) * jnp.log(L) - n * jnp.log(U)
                           - jnp.log(S))
     dA, dB, dpA, dpB = d(A), d(B), dp(A), dp(B)
-    xint = jnp.sum(jnp.exp(lgR1) * (norm.cdf(dA) - norm.cdf(dB))
-                   - jnp.exp(lgR2) * (norm.cdf(dpA) - norm.cdf(dpB)),
-                   axis=0)
-    pint = jnp.sum(jnp.exp(lgR1k) * (norm.cdf(dA - st) - norm.cdf(dB - st))
-                   - jnp.exp(lgR2k) * (norm.cdf(dpA - st)
-                                       - norm.cdf(dpB - st)),
-                   axis=0)
+    xint = jnp.sum(term(lgR1, dA, dB) - term(lgR2, dpA, dpB), axis=0)
+    pint = jnp.sum(term(lgR1k, dA - st, dB - st)
+                   - term(lgR2k, dpA - st, dpB - st), axis=0)
     return xint, pint
 
 

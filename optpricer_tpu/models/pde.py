@@ -414,7 +414,8 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
                      rebate: float = 0.0, N_S: int = 200, N_t: int = 200,
                      theta: float = 0.5, S_max_mult: float = 4.0,
                      dtype=None, solver: str = "auto",
-                     barrier_mode: str = "node") -> float:
+                     barrier_mode: str = "node",
+                     rebate_mode: str = "expiry") -> float:
     """European barrier price: knock-out via Dirichlet nodes at/beyond the
     barrier; knock-in via parity V_in = V_vanilla − V_out
     (reference ``pde.py:271-329``).
@@ -428,20 +429,65 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
     the knocked-out rows into the θ-scheme system itself (identity
     rows — true continuous monitoring, the scheme the Heston ADI uses):
     −2e-3 at 400² on the same contract.
+
+    ``rebate_mode="expiry"`` (default) pays the rebate AT EXPIRY — the
+    convention of the analytic (:func:`barrier_price_bs`) and MC
+    engines, so every engine prices the same contract.  A constant
+    Dirichlet value cannot represent that, so the discounted survival
+    probability e^{−rT}·p_surv is extracted EXACTLY as a
+    strike-difference of two zero-rebate solves on the same grid
+    (their payoffs differ by a constant on surviving paths) and the
+    rebate legs assembled analytically: KO(reb) = KO(0) +
+    reb·e^{−rT}(1 − p_surv), KI(reb) = vanilla − KO(0) +
+    reb·e^{−rT}·p_surv.  ``rebate_mode="node"`` reproduces the
+    reference's scheme instead — rebate as the Dirichlet value,
+    i.e. paid at hit, undiscounted (reference ``pde.py:209-211``).
     """
     _check_solver(solver)
     if barrier_mode not in ("node", "operator"):
         raise ValueError("barrier_mode must be 'node' or 'operator'")
+    if rebate_mode not in ("expiry", "node"):
+        raise ValueError("rebate_mode must be 'expiry' or 'node'")
     grid_kw = dict(N_S=N_S, N_t=N_t, theta=theta, S_max_mult=S_max_mult,
-                   dtype=dtype, solver=solver, barrier_mode=barrier_mode)
+                   dtype=dtype, solver=solver, barrier_mode=barrier_mode,
+                   rebate_mode=rebate_mode)
     if barrier_type.endswith("in"):
         out_type = barrier_type.replace("in", "out")
         vanilla = fd_price(opt, kind, **{k: v for k, v in grid_kw.items()
-                                         if k != "barrier_mode"})
-        knock_out = fd_price_barrier(opt, kind, barrier, out_type,
-                                     rebate=rebate, **grid_kw)
-        return vanilla - knock_out
+                                         if k not in ("barrier_mode",
+                                                      "rebate_mode")})
+        if rebate == 0.0 or rebate_mode == "node":
+            # node mode keeps the reference's parity exactly:
+            # V_in = vanilla − V_out(rebate-as-Dirichlet)
+            knock_out = fd_price_barrier(opt, kind, barrier, out_type,
+                                         rebate=rebate, **grid_kw)
+            return vanilla - knock_out
+        ko0, disc_psurv = _fd_barrier_ko_and_psurv(
+            opt, kind, barrier, out_type, N_S, N_t, theta, S_max_mult,
+            dtype, solver, barrier_mode)
+        return vanilla - ko0 + rebate * disc_psurv
 
+    if rebate != 0.0 and rebate_mode == "expiry":
+        ko0, disc_psurv = _fd_barrier_ko_and_psurv(
+            opt, kind, barrier, barrier_type, N_S, N_t, theta, S_max_mult,
+            dtype, solver, barrier_mode)
+        disc = float(np.exp(-opt.r * opt.T))
+        return ko0 + rebate * (disc - disc_psurv)
+
+    x_np, args, mask = _fd_barrier_setup(opt, kind, barrier, barrier_type,
+                                         N_S, N_t, theta, S_max_mult,
+                                         dtype, barrier_mode)
+    V, _ = _fd_solve(**args, barrier_mask=mask,
+                     barrier_value=jnp.asarray(rebate, args["x_grid"].dtype),
+                     N_t=int(N_t), american=False, two_layers=False,
+                     solver=solver,
+                     barrier_operator=barrier_mode == "operator")
+    return float(_readout(x_np, V, opt.S0))
+
+
+def _fd_barrier_setup(opt, kind, barrier, barrier_type, N_S, N_t, theta,
+                      S_max_mult, dtype, barrier_mode):
+    """Shared grid + knocked-node mask for a single-barrier solve."""
     x_np, x_grid, args = _prep_solve(opt.S0, opt.K, opt.T, opt.r, opt.q,
                                      opt.sigma, kind, N_S, N_t, theta,
                                      S_max_mult, dtype)
@@ -456,18 +502,50 @@ def fd_price_barrier(opt: OptionSpec, kind: Literal["call", "put"] = CALL,
         # mask then gives the vanilla/rebate far-barrier degeneration.
         x_np = x_np + (x_barrier
                        - x_np[int(np.argmin(np.abs(x_np - x_barrier)))])
-        x_grid = jnp.asarray(x_np, x_grid.dtype)
-        args["x_grid"] = x_grid
+        args["x_grid"] = jnp.asarray(x_np, x_grid.dtype)
     if barrier_type.startswith("up"):
         mask = jnp.asarray(x_np >= x_barrier - 1e-12)
     else:
         mask = jnp.asarray(x_np <= x_barrier + 1e-12)
-    V, _ = _fd_solve(**args, barrier_mask=mask,
-                     barrier_value=jnp.asarray(rebate, x_grid.dtype),
-                     N_t=int(N_t), american=False, two_layers=False,
-                     solver=solver,
-                     barrier_operator=barrier_mode == "operator")
-    return float(_readout(x_np, V, opt.S0))
+    return x_np, args, mask
+
+
+def _fd_barrier_ko_and_psurv(opt, kind, barrier, out_type, N_S, N_t, theta,
+                             S_max_mult, dtype, solver, barrier_mode):
+    """(KO(0), e^{−rT}·p_surv) for a single knock-OUT barrier.
+
+    The discounted survival probability is extracted exactly as a
+    strike-difference of two zero-rebate knock-out solves on the SAME
+    grid/mask: surviving paths of an up-barrier B end below B, so two
+    puts struck B and 2B differ by the constant B there; a down-barrier's
+    survivors end above B, so calls struck B/2 and B differ by B/2.
+    Grid/monitoring errors cancel between the paired solves because the
+    grid is strike-independent (``_build_grid`` uses S0/σ/T only).
+    """
+    x_np, args, mask = _fd_barrier_setup(opt, kind, barrier, out_type,
+                                         N_S, N_t, theta, S_max_mult,
+                                         dtype, barrier_mode)
+    dt_ = args["x_grid"].dtype
+
+    def solve(K, is_call):
+        a = dict(args, K=jnp.asarray(K, dt_),
+                 is_call=jnp.asarray(bool(is_call)))
+        V, _ = _fd_solve(**a, barrier_mask=mask,
+                         barrier_value=jnp.asarray(0.0, dt_),
+                         N_t=int(N_t), american=False, two_layers=False,
+                         solver=solver,
+                         barrier_operator=barrier_mode == "operator")
+        return float(_readout(x_np, V, opt.S0))
+
+    ko0 = solve(opt.K, is_call_mask(kind))
+    if out_type.startswith("up"):
+        disc_psurv = (solve(2.0 * barrier, False)
+                      - solve(barrier, False)) / barrier
+    else:
+        disc_psurv = (solve(0.5 * barrier, True)
+                      - solve(barrier, True)) / (0.5 * barrier)
+    disc = float(np.exp(-opt.r * opt.T))
+    return ko0, float(np.clip(disc_psurv, 0.0, disc))
 
 
 def fd_price_double_barrier(opt: OptionSpec,
@@ -522,9 +600,13 @@ def fd_price_double_barrier(opt: OptionSpec,
             q=jnp.asarray(opt.q, dt_), sigma=jnp.asarray(opt.sigma, dt_),
             is_call=jnp.asarray(is_call_mask(kind_)),
             theta=jnp.asarray(theta, dt_))
-        mask = jnp.asarray((x_np <= np.log(lower) + 1e-12 * abs(np.log(lower)))
-                           | (x_np >= np.log(upper)
-                              - 1e-12 * abs(np.log(upper))))
+        # absolute floor in the tolerance: a barrier level of exactly 1.0
+        # has log 0, and the upper node is reconstructed as
+        # log(lower) + N_S·dx so it can land one ulp inside log(upper)
+        tol_lo = 1e-12 * max(1.0, abs(np.log(lower)))
+        tol_hi = 1e-12 * max(1.0, abs(np.log(upper)))
+        mask = jnp.asarray((x_np <= np.log(lower) + tol_lo)
+                           | (x_np >= np.log(upper) - tol_hi))
         V, _ = _fd_solve(**args, barrier_mask=mask,
                          barrier_value=jnp.asarray(reb, dt_),
                          N_t=int(N_t), american=False, two_layers=False,

@@ -108,6 +108,39 @@ class TestDoubleBarrierAnalytic:
                 jnp.asarray(125.0, jnp.float64))
         assert float(gU) < 0.0
 
+    def test_batch_on_any_input(self):
+        # the batch axis may live on K/T/sigma with a SCALAR spot — and a
+        # batch length equal to the image count (2·5+1=11) must not be
+        # silently paired with the image axis
+        Ks = jnp.linspace(85.0, 125.0, 3)
+        pk = double_barrier_price_bs(S0, Ks, T, R, Q, sigma=SIG,
+                                     lower=L, upper=U, kind="call")
+        assert pk.shape == (3,)
+        for i, k in enumerate(np.asarray(Ks)):
+            ps = float(double_barrier_price_bs(S0, float(k), T, R, Q,
+                                               sigma=SIG, lower=L, upper=U,
+                                               kind="call"))
+            assert abs(float(pk[i]) - ps) < 1e-12
+        Ts = jnp.linspace(0.1, 1.1, 11)
+        pt = double_barrier_price_bs(S0, K, Ts, R, Q, sigma=SIG,
+                                     lower=L, upper=U, kind="call")
+        assert pt.shape == (11,)
+        mid = float(double_barrier_price_bs(S0, K, float(Ts[5]), R, Q,
+                                            sigma=SIG, lower=L, upper=U,
+                                            kind="call"))
+        assert abs(float(pt[5]) - mid) < 1e-12
+
+    def test_wide_corridor_high_drift_no_overflow(self):
+        # n·m1·ln(U/L) > 709 overflows exp() in the naive image weights;
+        # the log-space evaluation must degenerate to the vanilla price
+        # instead of inf·0 = NaN
+        px = float(double_barrier_price_bs(100.0, 100.0, 1.0, 0.05, 0.0,
+                                           sigma=0.1, lower=1.0,
+                                           upper=10_000.0, kind="call"))
+        v = float(bs_price_vec(100.0, 100.0, 1.0, 0.05, 0.0, 0.1, "call"))
+        assert np.isfinite(px)
+        assert abs(px - v) < 1e-6
+
 
 class TestDoubleBarrierPDE:
     @pytest.mark.parametrize("kind,knock,rebate", [

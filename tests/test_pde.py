@@ -262,6 +262,59 @@ class TestBarrierOperatorMode:
         assert abs(far - van) < 1e-9
 
 
+class TestRebateAtExpiry:
+    """Default rebate semantics match the analytic/MC engines (rebate paid
+    AT EXPIRY), assembled from zero-rebate solves + an exact
+    strike-difference survival probability. The reference's
+    rebate-as-Dirichlet scheme (pde.py:209-211) stays reachable as
+    rebate_mode='node'."""
+
+    @pytest.mark.parametrize("bt,B,kind", [
+        ("up-and-out", 130.0, CALL), ("down-and-out", 80.0, PUT),
+        ("up-and-in", 130.0, PUT), ("down-and-in", 80.0, CALL),
+    ])
+    def test_matches_analytic(self, bt, B, kind):
+        from optpricer_tpu.models.analytic import barrier_price_bs
+
+        fd = fd_price_barrier(OPT, kind, B, bt, rebate=3.0,
+                              N_S=400, N_t=400, barrier_mode="operator")
+        an = float(barrier_price_bs(
+            OPT.S0, OPT.K, OPT.T, OPT.r, OPT.q, sigma=OPT.sigma,
+            barrier=B, barrier_type=bt, kind=kind, rebate=3.0))
+        assert abs(fd - an) < 2e-3, (bt, kind, fd, an)
+
+    def test_in_out_rebate_identity(self):
+        # KO(reb) + KI(reb) = vanilla + reb·e^{-rT}: exactly one of the
+        # two legs pays the rebate at expiry on every path
+        reb = 5.0
+        kw = dict(N_S=300, N_t=300, barrier_mode="operator")
+        ko = fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                              rebate=reb, **kw)
+        ki = fd_price_barrier(OPT, CALL, 130.0, "up-and-in",
+                              rebate=reb, **kw)
+        van = fd_price(OPT, CALL, N_S=300, N_t=300)
+        assert abs((ko + ki) - (van + reb * np.exp(-OPT.r * OPT.T))) < 1e-6
+
+    def test_zero_rebate_modes_identical(self):
+        e = fd_price_barrier(OPT, CALL, 130.0, "up-and-out")
+        n = fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                             rebate_mode="node")
+        assert e == n
+
+    def test_node_mode_is_the_reference_scheme(self):
+        # rebate-at-hit undiscounted is worth MORE than rebate-at-expiry
+        # (r > 0): the legacy scheme stays available and biased the
+        # expected way
+        e = fd_price_barrier(OPT, CALL, 130.0, "up-and-out", rebate=5.0,
+                             N_S=200, N_t=200)
+        n = fd_price_barrier(OPT, CALL, 130.0, "up-and-out", rebate=5.0,
+                             N_S=200, N_t=200, rebate_mode="node")
+        assert n > e
+        with pytest.raises(ValueError, match="rebate_mode"):
+            fd_price_barrier(OPT, CALL, 130.0, "up-and-out",
+                             rebate_mode="hit")
+
+
 class TestDiscreteDividends:
     """Piecewise-GBM cash dividends via jump conditions on the marching
     layer. Oracle: exact 1-D quadrature (the inner segment is a BS call
