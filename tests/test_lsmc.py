@@ -329,7 +329,11 @@ class TestHestonLsmc:
         # bound="both" under lsv=: flat UNIT leverage under the QE scheme
         # is plain Heston, so the leverage-aware Andersen-Broadie dual
         # (_lsmc_dual_upper_lsv) must bracket the deterministic ADI
-        # American price, exactly like the Heston dual above
+        # price of the SAME contract — the Bermudan with the 9 grid
+        # exercise dates. (With the Black-budget CV the dual is tight
+        # enough to resolve the Bermudan-9 vs continuous-American gap
+        # (~0.11 here), so the matching-oracle comparison is the honest
+        # one; the continuous ADI price stays as an upper sanity line.)
         import jax.numpy as jnp
 
         from optpricer_tpu import LSVModel, heston_fd_price
@@ -337,17 +341,24 @@ class TestHestonLsmc:
         model = LSVModel(S0=100.0, r=0.05, q=0.0, T=1.0, **self.HP,
                          x_bins=jnp.linspace(-1.0, 1.0, 9),
                          leverage=jnp.ones((9, 9)), scheme="qe")
+        dates = [j / 9.0 for j in range(1, 10)]
         ref = float(heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0,
                                     **self.HP, kind="put",
-                                    american=True))
+                                    exercise_dates=dates))
+        ref_amer = float(heston_fd_price(100.0, 110.0, 1.0, 0.05, 0.0,
+                                         **self.HP, kind="put",
+                                         american=True))
         br = lsmc_price(self.OPT, "put", lsv=model, n_paths=20_000,
                         seed=2, bound="both", n_inner=64,
                         n_upper_paths=1_024)
         lo, lo_se = br["lower"]
         up, up_se = br["upper"]
-        assert lo - 2 * lo_se <= ref <= up + 2 * up_se, (lo, ref, up)
+        assert lo - 3 * lo_se <= ref <= up + 2 * up_se, (lo, ref, up)
+        # an implementable Bermudan-9 policy can never beat the
+        # continuous-exercise American price
+        assert lo - 2 * lo_se <= ref_amer
         assert br["gap"] >= -(lo_se + up_se)
-        assert br["gap"] < 0.15 * ref
+        assert br["gap"] < 0.05 * ref
 
     def test_sharded_heston_matches_single(self):
         from optpricer_tpu import lsmc_price_sharded

@@ -483,8 +483,11 @@ class TestAmericanLsmc:
         opt = OptionSpec(S0=S0, K=100.0, T=T, r=R, q=Q, sigma=0.2)
         with pytest.raises(ValueError, match="not both"):
             lsmc_price(opt, "put", lsv=m, heston=HESTON)
-        with pytest.raises(ValueError, match="GBM-only"):
-            lsmc_price(opt, "put", lsv=m, bound="both")
+        # bound="both" under lsv= is SUPPORTED since the LSV dual landed;
+        # Bermudan dates remain single-pass-only
+        with pytest.raises(ValueError, match="single-pass"):
+            lsmc_price(opt, "put", lsv=m, bound="both",
+                       exercise_dates=[0.5])
         bad = OptionSpec(S0=95.0, K=100.0, T=T, r=R, q=Q, sigma=0.2)
         with pytest.raises(ValueError, match="disagrees"):
             lsmc_price(bad, "put", lsv=m)
