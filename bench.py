@@ -543,12 +543,45 @@ def bench_amer_analytic() -> None:
         f"spot-check |err vs CRR2048|={abs(out[i]-ref):.1e}")
 
 
+def _bench_mlmc_subprocess() -> None:
+    """Run the MLMC diagnostic in a CHILD process.
+
+    Measured on the chip this round: after ``bench_mlmc``'s adaptive
+    Giles loop (dozens of variable-shape programs, HBM high-water), the
+    runtime enters a degraded dispatch mode where EVERY subsequent
+    launch — even a jitted 256×256 multiply — costs ~24 ms
+    (0.02 ms before), which mis-stated every later sub-50 ms diagnostic
+    by up to 35× (``[heston-cos]`` 0.8 ms → 28 ms in rounds 2-3).
+    ``jax.clear_caches()`` does not recover it, so the only reliable
+    isolation is a process boundary; the child's stderr (the two
+    ``[mlmc]`` lines) is streamed through.
+    """
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--only", "mlmc"],
+        stderr=subprocess.PIPE, stdout=subprocess.DEVNULL, timeout=900)
+    sys.stderr.write(
+        "\n".join(l for l in proc.stderr.decode().splitlines()
+                  if l.startswith("[")) + "\n")
+    sys.stderr.flush()
+    if proc.returncode != 0:
+        raise RuntimeError(f"mlmc child exited {proc.returncode}")
+
+
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        globals()["bench_" + sys.argv[2].replace("-", "_")]()
+        return
+
     pps, price, ref = bench_mc()
     err = abs(price - ref)
     gate = 1e-4
     if err > gate:
         log(f"[mc] ACCURACY GATE FAILED: |err|={err:.2e} > {gate}")
+    # mlmc degrades the runtime's dispatch path for the rest of the
+    # process (see _bench_mlmc_subprocess) — run it last AND in a child
+    # process so every other diagnostic stays trustworthy
     for name, fn in (("pde", bench_pde), ("crr", bench_crr),
                      ("asian", bench_asian), ("localvol", bench_localvol),
                      ("lv-ladder", bench_lv_ladder), ("lsmc", bench_lsmc),
@@ -558,13 +591,14 @@ def main():
                      ("qmc-path-2^22", bench_qmc_path_large),
                      ("basket", bench_basket),
                      ("basket-path", bench_basket_path),
-                     ("lsv", bench_lsv), ("mlmc", bench_mlmc),
+                     ("lsv", bench_lsv),
                      ("heston-cos", bench_heston_cos),
                      ("heston-adi", bench_heston_adi),
                      ("forward-pde", bench_forward_pde),
                      ("american-basket", bench_american_basket),
                      ("rbergomi", bench_rbergomi),
-                     ("amer-analytic", bench_amer_analytic)):
+                     ("amer-analytic", bench_amer_analytic),
+                     ("mlmc", _bench_mlmc_subprocess)):
         try:  # secondary metrics must not break the bench line
             fn()
         except Exception as e:
