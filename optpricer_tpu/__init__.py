@@ -115,6 +115,8 @@ from .models.analytic import (merton_price, heston_price_cos,
 from .models.processes import (bates_paths, gbm_paths,
                                merton_jump_paths, heston_paths,
                                sabr_paths, local_vol_paths)
+from .models.levy import (vg_price_cos, nig_price_cos, cgmy_price_cos,
+                          vg_paths, nig_paths)
 from .models.binomial import american_implied_vol
 from .models.american_analytic import (bjerksund_stensland_price,
                                        baw_price, rgw_price)
@@ -178,6 +180,8 @@ __all__ = [
     "merton_price", "heston_price_cos", "cev_price", "barrier_price_bs",
     "lookback_price_bs", "double_barrier_price_bs",
     "bates_price_cos", "bates_paths", "american_implied_vol",
+    "vg_price_cos", "nig_price_cos", "cgmy_price_cos",
+    "vg_paths", "nig_paths",
     "quanto_price", "quanto_adjusted_carry",
     "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",

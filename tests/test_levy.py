@@ -1,0 +1,185 @@
+"""Infinite-activity Lévy models (VG / NIG / CGMY) via the COS machinery.
+
+Correctness strategy follows the suite's oracle pattern: each model is
+pinned to its exact degenerate limit (VG ν→0 and NIG α→∞ are
+Black-Scholes; CGMY Y→0 is Variance Gamma with the root mapping
+ν = 1/C, θν = 1/M − 1/G, σ²ν = 2/(MG)), put-call parity must hold to
+machine precision (the call is constructed from the put by parity), the
+exact-transition path generators must reprice the COS vanilla within MC
+error at ANY step count, and the paths feed the path-matrix exotics API
+under its usual no-arbitrage identities.
+"""
+import numpy as np
+import pytest
+
+from optpricer_tpu import (
+    bs_price_vec, cgmy_price_cos, nig_paths, nig_price_cos, vg_paths,
+    vg_price_cos,
+)
+
+S0, R, Q, T = 100.0, 0.05, 0.01, 1.0
+VGP = dict(sigma=0.12, theta=-0.14, nu=0.2)      # equity-skew VG
+NIGP = dict(alpha=8.0, beta=-4.0, delta=0.4)     # skewed NIG
+
+
+class TestVarianceGamma:
+    def test_bs_limit(self):
+        # ν→0 freezes the gamma clock at its mean: plain BS
+        vg = float(vg_price_cos(S0, 100.0, T, R, Q, sigma=0.2,
+                                theta=0.0, nu=1e-6))
+        bs = float(bs_price_vec(S0, 100.0, T, R, Q, 0.2, "call"))
+        assert abs(vg - bs) < 1e-5
+
+    def test_put_call_parity(self):
+        c = float(vg_price_cos(S0, 110.0, T, R, Q, **VGP, kind="call"))
+        p = float(vg_price_cos(S0, 110.0, T, R, Q, **VGP, kind="put"))
+        fwd = S0 * np.exp(-Q * T) - 110.0 * np.exp(-R * T)
+        assert abs((c - p) - fwd) < 1e-10
+
+    def test_strike_batch_and_monotonicity(self):
+        Ks = np.linspace(70.0, 130.0, 13)
+        px = np.asarray(vg_price_cos(S0, Ks, T, R, Q, **VGP))
+        assert px.shape == (13,)
+        assert np.all(np.diff(px) < 0.0)          # calls fall in strike
+        # convexity in strike (no butterfly arbitrage)
+        assert np.all(px[:-2] - 2.0 * px[1:-1] + px[2:] > -1e-9)
+
+    def test_negative_theta_skews_left(self):
+        # θ < 0 fattens the left tail: OTM puts gain value vs θ = 0 at
+        # matched total variance c2 = (σ² + νθ²)T
+        th = -0.2
+        sig0 = np.sqrt(0.12**2 + 0.2 * th * th)
+        skew = float(vg_price_cos(S0, 80.0, T, R, Q, sigma=0.12,
+                                  theta=th, nu=0.2, kind="put"))
+        sym = float(vg_price_cos(S0, 80.0, T, R, Q, sigma=sig0,
+                                 theta=0.0, nu=0.2, kind="put"))
+        assert skew > sym
+
+    def test_paths_match_cos(self):
+        # exact gamma-subordinated transitions: no step-count bias
+        paths = vg_paths(S0, T, R, Q, **VGP, n_steps=4,
+                         n_paths=200_000, seed=3)
+        assert paths.shape == (5, 400_000)
+        ST = np.asarray(paths[-1], np.float64)
+        assert abs(ST.mean() - S0 * np.exp((R - Q) * T)) < 0.1
+        disc = np.exp(-R * T)
+        pay = disc * np.maximum(ST - 100.0, 0.0)
+        mc, se = pay.mean(), pay.std() / np.sqrt(ST.size)
+        cos = float(vg_price_cos(S0, 100.0, T, R, Q, **VGP))
+        assert abs(mc - cos) < 4.0 * se + 1e-3, (mc, cos)
+
+    def test_guards(self):
+        with pytest.raises(ValueError, match="moment"):
+            vg_paths(S0, T, R, Q, sigma=0.5, theta=2.0, nu=2.0,
+                     n_steps=2, n_paths=8)
+        with pytest.raises(ValueError, match="positive"):
+            vg_paths(S0, T, R, Q, **VGP, n_steps=0, n_paths=8)
+
+
+class TestNIG:
+    def test_bs_limit(self):
+        # α→∞ at matched variance δ/α = σ² collapses to BS
+        alpha = 400.0
+        nig = float(nig_price_cos(S0, 100.0, T, R, Q, alpha=alpha,
+                                  beta=0.0, delta=0.04 * alpha))
+        bs = float(bs_price_vec(S0, 100.0, T, R, Q, 0.2, "call"))
+        assert abs(nig - bs) < 2e-3
+
+    def test_put_call_parity(self):
+        c = float(nig_price_cos(S0, 90.0, T, R, Q, **NIGP, kind="call"))
+        p = float(nig_price_cos(S0, 90.0, T, R, Q, **NIGP, kind="put"))
+        fwd = S0 * np.exp(-Q * T) - 90.0 * np.exp(-R * T)
+        assert abs((c - p) - fwd) < 1e-10
+
+    def test_paths_match_cos(self):
+        paths = nig_paths(S0, T, R, Q, **NIGP, n_steps=4,
+                          n_paths=200_000, seed=5)
+        ST = np.asarray(paths[-1], np.float64)
+        assert abs(ST.mean() - S0 * np.exp((R - Q) * T)) < 0.25
+        disc = np.exp(-R * T)
+        pay = disc * np.maximum(ST - 100.0, 0.0)
+        mc, se = pay.mean(), pay.std() / np.sqrt(ST.size)
+        cos = float(nig_price_cos(S0, 100.0, T, R, Q, **NIGP))
+        assert abs(mc - cos) < 4.0 * se + 2e-3, (mc, cos)
+
+    def test_step_count_invariance(self):
+        # the IG transition is exact, so 2 steps and 64 steps agree
+        # statistically (independent draws, shared tolerance)
+        disc = np.exp(-R * T)
+        out = []
+        for n_steps, seed in ((2, 11), (64, 12)):
+            ST = np.asarray(nig_paths(S0, T, R, Q, **NIGP,
+                                      n_steps=n_steps, n_paths=100_000,
+                                      seed=seed)[-1], np.float64)
+            pay = disc * np.maximum(ST - 100.0, 0.0)
+            out.append((pay.mean(), pay.std() / np.sqrt(ST.size)))
+        (m1, s1), (m2, s2) = out
+        assert abs(m1 - m2) < 4.0 * (s1 + s2)
+
+    def test_guards(self):
+        with pytest.raises(ValueError, match="moment"):
+            nig_paths(S0, T, R, Q, alpha=2.0, beta=1.5, delta=0.3,
+                      n_steps=2, n_paths=8)
+        with pytest.raises(ValueError, match="delta"):
+            nig_paths(S0, T, R, Q, alpha=8.0, beta=0.0, delta=-1.0,
+                      n_steps=2, n_paths=8)
+
+
+class TestCGMY:
+    def test_vg_limit(self):
+        # Y→0: CGMY(C,G,M,Y) → VG with ν = 1/C, θν = 1/M − 1/G,
+        # σ²ν = 2/(MG) (the VG cf's root factorisation)
+        C, G, M = 5.0, 10.0, 14.0
+        nu = 1.0 / C
+        th = (1.0 / M - 1.0 / G) / nu
+        sig = np.sqrt(2.0 / (M * G * nu))
+        cg = float(cgmy_price_cos(S0, 100.0, T, R, Q, C=C, G=G, M=M,
+                                  Y=1e-4))
+        vg = float(vg_price_cos(S0, 100.0, T, R, Q, sigma=sig, theta=th,
+                                nu=nu))
+        assert abs(cg - vg) < 5e-3
+
+    def test_put_call_parity_both_regimes(self):
+        for Y in (0.5, 1.5):                      # finite & infinite var.
+            c = float(cgmy_price_cos(S0, 105.0, T, R, Q, C=0.5, G=5.0,
+                                     M=9.0, Y=Y, kind="call"))
+            p = float(cgmy_price_cos(S0, 105.0, T, R, Q, C=0.5, G=5.0,
+                                     M=9.0, Y=Y, kind="put"))
+            fwd = S0 * np.exp(-Q * T) - 105.0 * np.exp(-R * T)
+            assert abs((c - p) - fwd) < 1e-9, Y
+
+    def test_more_activity_more_value(self):
+        # OTM value grows with the activity level C (more jumps)
+        px = [float(cgmy_price_cos(S0, 120.0, T, R, Q, C=c, G=5.0,
+                                   M=9.0, Y=0.5)) for c in (0.1, 0.3, 0.9)]
+        assert px[0] < px[1] < px[2]
+
+    def test_strike_batch_convex(self):
+        Ks = np.linspace(80.0, 120.0, 9)
+        px = np.asarray(cgmy_price_cos(S0, Ks, T, R, Q, C=0.5, G=5.0,
+                                       M=9.0, Y=0.8))
+        assert np.all(np.diff(px) < 0.0)
+        assert np.all(px[:-2] - 2.0 * px[1:-1] + px[2:] > -1e-9)
+
+
+class TestExoticsIntegration:
+    def test_vg_barrier_parity_through_path_api(self):
+        from optpricer_tpu import barrier_price
+
+        paths = vg_paths(S0, T, R, Q, **VGP, n_steps=64,
+                         n_paths=50_000, seed=9)
+        ko, se_ko = barrier_price(paths, 100.0, R, T, "call", 130.0,
+                                  "up-and-out")
+        ki, se_ki = barrier_price(paths, 100.0, R, T, "call", 130.0,
+                                  "up-and-in")
+        vanilla = float(vg_price_cos(S0, 100.0, T, R, Q, **VGP))
+        assert abs((ko + ki) - vanilla) < 4.0 * (se_ko + se_ki) + 1e-2
+
+    def test_nig_asian_below_vanilla(self):
+        from optpricer_tpu import asian_price
+
+        paths = nig_paths(S0, T, R, Q, **NIGP, n_steps=64,
+                          n_paths=50_000, seed=13)
+        asian, _ = asian_price(paths, 100.0, R, T, "call")
+        vanilla = float(nig_price_cos(S0, 100.0, T, R, Q, **NIGP))
+        assert asian < vanilla
