@@ -32,18 +32,40 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def best_of(run, iters: int = 5) -> tuple[float, list[float]]:
-    """Best-of-N wall-clock of ``run()`` (which must block on its result).
+def best_of(run, iters: int = 5,
+            reps: int = 1) -> tuple[float, list[float]]:
+    """Best-of-N wall-clock of ``run()``.
 
-    Returns (best_seconds, all_times). The first call outside this helper
-    is the warmup/compile; the spread across reps is printed by callers so
-    a polluted rep is visible in the log rather than silently recorded.
+    ``reps=1``: ``run()`` must block on its result — measures end-to-end
+    call latency including the tunnel round trip.  ``reps>1``: ``run()``
+    must RETURN its result WITHOUT blocking; each sample enqueues
+    ``reps`` calls back-to-back and blocks once, reporting per-call time
+    — device throughput with the dispatch round trip amortised away.
+
+    Why reps matters here: the axon TPU runtime drops into a
+    ~24 ms-per-dispatch mode for the REST OF THE PROCESS after the first
+    Pallas launch (measured this round: a jitted 256×256 multiply costs
+    0.02 ms before any Pallas kernel runs and ~24 ms after; async
+    enqueueing pipelines it back to ~0.7 ms/call).  ``bench_mc`` runs
+    first and is Pallas, so every later sub-50 ms diagnostic MUST use
+    ``reps>1`` or it measures the tunnel, not the kernel — this is what
+    mis-stated [heston-cos] by ~35× in rounds 2-3.
+
+    Returns (best_seconds_per_call, all_per_call_times). The first call
+    outside this helper is the warmup/compile; the spread is printed by
+    callers so a polluted rep is visible in the log.
     """
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
+        if reps == 1:
+            run()
+        else:
+            out = None
+            for _ in range(reps):
+                out = run()
+            jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / reps)
     return min(times), times
 
 
@@ -81,13 +103,33 @@ def bench_mc() -> tuple[float, float, float]:
         kw["n_paths"] = 1 << 22
         eff = 2 * kw["n_paths"]
 
-    # Warmup/compile
+    # Warmup/compile + accuracy through the public API
     t0 = time.perf_counter()
     price, se = euro_price_mc(opt, CALL, **kw)
     log(f"[mc] warmup+compile {time.perf_counter()-t0:.1f}s "
         f"price={price:.6f} se={se:.2e} |err|={abs(price-ref):.2e}")
 
-    best, times = best_of(lambda: euro_price_mc(opt, CALL, **kw), 5)
+    if on_tpu:
+        # Throughput of the fused kernel itself, with params resident on
+        # device and reps pipelined: the public API device_gets the
+        # 10-stat vector per call, which pays the full ~24 ms
+        # post-Pallas tunnel round trip (see best_of) — ~30% of this
+        # kernel's runtime, which is how earlier rounds under-reported
+        # the headline.  The host-side estimator math is O(µs).
+        from optpricer_tpu.ops import pallas_mc as _pm
+
+        reps_g, n_programs = _pm._plan_grid(kw["n_paths"], 2 * _pm.TILE)
+        params = _pm._terminal_params(kw["n_paths"], 100.0, 110.0, 1.0,
+                                      0.03, 0.0, 0.2, True)
+        params = jax.device_put(params)
+        seed_arr = jnp.asarray([12345 % (2**31 - 1), 0], jnp.int32)
+        runk = lambda: _pm._run_kernel(
+            seed_arr, params, n_programs=n_programs, reps=reps_g,
+            antithetic=True, interpret=False, invcdf=False, sw_prng=None)
+        jax.block_until_ready(runk())
+        best, times = best_of(runk, 5, reps=8)
+    else:
+        best, times = best_of(lambda: euro_price_mc(opt, CALL, **kw), 5)
     pps = eff / best
     log(f"[mc] times={_spread(times)} best={best:.3f}s "
         f"eff_paths={eff:.3e} → {pps:.3e} paths/s")
@@ -102,10 +144,10 @@ def bench_pde() -> float:
 
     Ks = np.linspace(50.0, 150.0, 1024)
     kw = dict(N_S=512, N_t=512, american=True)
-    run = lambda: jax.block_until_ready(
-        fd_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", **kw))
-    run()  # compile
-    best, times = best_of(run, 5)
+    run = lambda: fd_price_batch(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put",
+                                 **kw)
+    jax.block_until_ready(run())  # compile
+    best, times = best_of(run, 5, reps=4)
     log(f"[pde] 1024-ladder 512x512 American: {_spread(times)} best="
         f"{best*1e3:.1f} ms → {1024/best:.0f} option-solves/s")
 
@@ -121,11 +163,10 @@ def bench_crr() -> None:
     from optpricer_tpu import crr_vec
 
     Ks = np.linspace(50.0, 150.0, 1024)
-    run = lambda: jax.block_until_ready(
-        crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", N=500,
-                american=True))
-    run()
-    best, times = best_of(run, 5)
+    run = lambda: crr_vec(100.0, Ks, 1.0, 0.05, 0.0, 0.2, "put", N=500,
+                          american=True)
+    jax.block_until_ready(run())
+    best, times = best_of(run, 5, reps=8)
     log(f"[crr] 1024-strike American, N=500: {_spread(times)} best="
         f"{best*1e3:.1f} ms → {1024/best:.0f} options/s")
 
@@ -369,14 +410,21 @@ def bench_heston_cos() -> None:
     from optpricer_tpu import heston_price_cos
 
     Ks = jnp.linspace(50.0, 200.0, 65_536)
+    # hold the scalars on device, as a production surface loop would —
+    # in the post-Pallas degraded-dispatch mode every host-scalar
+    # transfer costs a tunnel round trip (~1.4 ms even pipelined)
+    sc = {k: jnp.asarray(v, Ks.dtype) for k, v in dict(
+        S0=100.0, T=1.0, r=0.03, q=0.0, v0=0.04, kappa=2.0,
+        theta=0.05, xi=0.4, rho=-0.6).items()}
     run = lambda: heston_price_cos(
-        100.0, Ks, 1.0, 0.03, v0=0.04, kappa=2.0, theta=0.05, xi=0.4,
-        rho=-0.6, N=256).block_until_ready()
-    run()
-    best, times = best_of(run, 7)
+        sc["S0"], Ks, sc["T"], sc["r"], sc["q"], v0=sc["v0"],
+        kappa=sc["kappa"], theta=sc["theta"], xi=sc["xi"],
+        rho=sc["rho"], N=256)
+    jax.block_until_ready(run())
+    best, times = best_of(run, 7, reps=32)
     log(f"[heston-cos] 65,536-strike surface slice (N=256): "
         f"{_spread(times)} best={best*1e3:.1f} ms → "
-        f"{65_536/best:,.0f} options/s")
+        f"{65_536/best:,.0f} options/s (per call, 32 pipelined)")
 
 
 def bench_heston_adi() -> None:
@@ -530,9 +578,10 @@ def bench_amer_analytic() -> None:
     # kind is a trace-time constant (is_call_mask wants host booleans)
     f = jax.jit(lambda K, T, sig, r, q: bjerksund_stensland_price(
         100.0, K, T, r, q, sigma=sig, kind=kind))
-    run = lambda: jax.block_until_ready(f(K, T, sig, r, q))
-    out = np.asarray(run())
-    best, times = best_of(run, 5)
+    Kd, Td, sigd, rd, qd = map(jnp.asarray, (K, T, sig, r, q))
+    run = lambda: f(Kd, Td, sigd, rd, qd)
+    out = np.asarray(jax.block_until_ready(run()))
+    best, times = best_of(run, 5, reps=4)
     i = int(np.argmax(T * sig))  # spot-check the worst-accuracy corner
     ref = float(crr_vec(100.0, np.array([K[i]]), float(T[i]), float(r[i]),
                         float(q[i]), float(sig[i]),
