@@ -427,6 +427,37 @@ def bench_heston_cos() -> None:
         f"{65_536/best:,.0f} options/s (per call, 32 pipelined)")
 
 
+def bench_levy_cos() -> None:
+    """Diagnostic: Lévy COS strike-batch throughput — the VG/NIG/CGMY cf
+    rides the same complex-matvec machinery as Heston."""
+    from optpricer_tpu import cgmy_price_cos, nig_price_cos, vg_price_cos
+
+    Ks = jnp.linspace(50.0, 200.0, 65_536)
+    sc = {k: jnp.asarray(v, Ks.dtype) for k, v in dict(
+        S0=100.0, T=1.0, r=0.03, q=0.0, sigma=0.12, theta=-0.14, nu=0.2,
+        alpha=8.0, beta=-4.0, delta=0.4, C=0.5, G=5.0, M=9.0,
+        Y=0.8).items()}
+    runs = {
+        "vg": lambda: vg_price_cos(sc["S0"], Ks, sc["T"], sc["r"],
+                                   sc["q"], sigma=sc["sigma"],
+                                   theta=sc["theta"], nu=sc["nu"], N=256),
+        "nig": lambda: nig_price_cos(sc["S0"], Ks, sc["T"], sc["r"],
+                                     sc["q"], alpha=sc["alpha"],
+                                     beta=sc["beta"], delta=sc["delta"],
+                                     N=256),
+        "cgmy": lambda: cgmy_price_cos(sc["S0"], Ks, sc["T"], sc["r"],
+                                       sc["q"], C=sc["C"], G=sc["G"],
+                                       M=sc["M"], Y=sc["Y"], N=256),
+    }
+    parts = []
+    for name, run in runs.items():
+        jax.block_until_ready(run())
+        best, _ = best_of(run, 5, reps=16)
+        parts.append(f"{name} {best*1e3:.1f} ms")
+    log("[levy-cos] 65,536-strike slices (N=256, per call, 16 "
+        "pipelined): " + ", ".join(parts))
+
+
 def bench_heston_adi() -> None:
     """Diagnostic: Heston 2-D ADI PDE — American put at production
     resolution (256x96 grid, 512 Douglas steps; implicit half-steps as
@@ -642,6 +673,7 @@ def main():
                      ("basket-path", bench_basket_path),
                      ("lsv", bench_lsv),
                      ("heston-cos", bench_heston_cos),
+                     ("levy-cos", bench_levy_cos),
                      ("heston-adi", bench_heston_adi),
                      ("forward-pde", bench_forward_pde),
                      ("american-basket", bench_american_basket),

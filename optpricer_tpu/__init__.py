@@ -116,7 +116,7 @@ from .models.processes import (bates_paths, gbm_paths,
                                merton_jump_paths, heston_paths,
                                sabr_paths, local_vol_paths)
 from .models.levy import (vg_price_cos, nig_price_cos, cgmy_price_cos,
-                          vg_paths, nig_paths)
+                          vg_paths, nig_paths, fit_vg)
 from .models.binomial import american_implied_vol
 from .models.american_analytic import (bjerksund_stensland_price,
                                        baw_price, rgw_price)
@@ -181,7 +181,7 @@ __all__ = [
     "lookback_price_bs", "double_barrier_price_bs",
     "bates_price_cos", "bates_paths", "american_implied_vol",
     "vg_price_cos", "nig_price_cos", "cgmy_price_cos",
-    "vg_paths", "nig_paths",
+    "vg_paths", "nig_paths", "fit_vg",
     "quanto_price", "quanto_adjusted_carry",
     "sabr_implied_vol",
     "sabr_price_hagan", "geometric_asian_price", "fit_heston",

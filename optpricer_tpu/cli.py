@@ -309,6 +309,22 @@ def _run_lookback(ns) -> str:
     return f"{value:.10f}"
 
 
+def _run_levy(ns) -> str:
+    from .models import levy
+
+    common = (ns.S0, ns.K, ns.T, ns.r, ns.q)
+    if ns.model == "vg":
+        value = levy.vg_price_cos(*common, sigma=ns.sigma, theta=ns.theta,
+                                  nu=ns.nu, kind=ns.kind, N=ns.N)
+    elif ns.model == "nig":
+        value = levy.nig_price_cos(*common, alpha=ns.alpha, beta=ns.beta,
+                                   delta=ns.delta, kind=ns.kind, N=ns.N)
+    else:
+        value = levy.cgmy_price_cos(*common, C=ns.C, G=ns.G, M=ns.M,
+                                    Y=ns.Y, kind=ns.kind, N=ns.N)
+    return f"{float(value):.10f}"
+
+
 _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
     "bs": ("Black-Scholes price", (), _run_bs),
     "binomial": ("CRR binomial price", (
@@ -388,6 +404,22 @@ _ENGINES: dict[str, tuple[str, tuple, Callable]] = {
                                     help="already-observed min/max for "
                                          "seasoned contracts")),
     ), _run_lookback),
+    "levy": ("European price under a pure-jump Lévy model (COS)", (
+        ("--model", dict(choices=("vg", "nig", "cgmy"), default="vg")),
+        ("--theta", dict(type=float, default=-0.14,
+                         help="VG drift of the subordinated BM")),
+        ("--nu", dict(type=float, default=0.2,
+                      help="VG variance rate of the gamma clock")),
+        ("--alpha", dict(type=float, default=8.0, help="NIG tail")),
+        ("--beta", dict(type=float, default=-4.0, help="NIG skew")),
+        ("--delta", dict(type=float, default=0.4, help="NIG scale")),
+        ("--C", dict(type=float, default=0.5, help="CGMY activity")),
+        ("--G", dict(type=float, default=5.0, help="CGMY left temper")),
+        ("--M", dict(type=float, default=9.0, help="CGMY right temper")),
+        ("--Y", dict(type=float, default=0.8,
+                     help="CGMY stability index, (0,2) \\ {1}")),
+        ("--N", dict(type=int, default=256, help="COS terms")),
+    ), _run_levy),
     "greeks": ("MC Greek ladder from one kernel run", (
         ("--n-paths", dict(dest="n_paths", type=int, default=1_000_000)),
         ("--seed", dict(type=int, default=None)),

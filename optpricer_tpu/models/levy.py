@@ -43,6 +43,7 @@ __all__ = [
     "cgmy_price_cos",
     "vg_paths",
     "nig_paths",
+    "fit_vg",
 ]
 
 
@@ -106,13 +107,24 @@ def _prep(S0, K, T, r, q, kind, extra, dtype):
 # Variance Gamma
 # ---------------------------------------------------------------------------
 
+def _expm1_c(z):
+    """Complex expm1, elementarily (TPU supports real expm1/exp/trig but
+    not the complex composite): e^{x+iy} − 1 = (expm1(x)·cos y −
+    2 sin²(y/2)) + i·e^x·sin y — every term well-conditioned near 0."""
+    x, y = jnp.real(z), jnp.imag(z)
+    re = jnp.expm1(x) * jnp.cos(y) - 2.0 * jnp.sin(0.5 * y) ** 2
+    return jax.lax.complex(re, jnp.exp(x) * jnp.sin(y))
+
+
 def _vg_omega(theta, nu, sigma):
     """Martingale correction: ω = ln(1 − θν − σ²ν/2)/ν, finite only when
-    θν + σ²ν/2 < 1 (the moment condition E[S_T] < ∞)."""
-    return jnp.log(1.0 - theta * nu - 0.5 * sigma * sigma * nu) / nu
+    θν + σ²ν/2 < 1 (the moment condition E[S_T] < ∞).  ``log1p`` keeps
+    the ν→0 limit exact in f32 — plain log rounds 1 − O(ν) to 1.0 below
+    ν ≈ 1e-5 and silently drops the whole correction."""
+    return jnp.log1p(-(theta * nu + 0.5 * sigma * sigma * nu)) / nu
 
 
-@partial(jax.jit, static_argnames=("kind", "N"))
+@partial(jax.jit, static_argnames=("kind", "N", "dtype"))
 def vg_price_cos(S0, K, T, r, q=0.0, *, sigma, theta, nu,
                  kind: str = "call", N: int = 256, dtype=None):
     """European option under VARIANCE GAMMA via the COS method.
@@ -132,10 +144,13 @@ def vg_price_cos(S0, K, T, r, q=0.0, *, sigma, theta, nu,
     om = _vg_omega(th, nu_, sig)
 
     def phi(u):
+        # (1 + z)^{−T/ν} with z = −iuθν + ½σ²νu²: complex log1p so the
+        # ν→0 limit stays exact in f32 (see _vg_omega)
+        from .analytic import _log1p_c
+
         iu = 1j * u
-        base = 1.0 - iu * th * nu_ + 0.5 * sig * sig * nu_ * u * u
-        return jnp.exp(iu * (r - q + om) * T
-                       - (T / nu_) * jnp.log(base))
+        z = -iu * th * nu_ + 0.5 * sig * sig * nu_ * u * u
+        return jnp.exp(iu * (r - q + om) * T - (T / nu_) * _log1p_c(z))
 
     c1 = (r - q + om + th) * T
     c2 = (sig * sig + nu_ * th * th) * T
@@ -211,7 +226,7 @@ def _nig_gamma(alpha, beta):
     return jnp.sqrt(alpha * alpha - beta * beta)
 
 
-@partial(jax.jit, static_argnames=("kind", "N"))
+@partial(jax.jit, static_argnames=("kind", "N", "dtype"))
 def nig_price_cos(S0, K, T, r, q=0.0, *, alpha, beta, delta,
                   kind: str = "call", N: int = 256, dtype=None):
     """European option under NORMAL INVERSE GAUSSIAN via the COS method.
@@ -313,7 +328,7 @@ def nig_paths(S0: float, T: float, r: float, q: float = 0.0, *,
 # CGMY
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("kind", "N"))
+@partial(jax.jit, static_argnames=("kind", "N", "dtype"))
 def cgmy_price_cos(S0, K, T, r, q=0.0, *, C, G, M, Y,
                    kind: str = "call", N: int = 256, dtype=None):
     """European option under CGMY (tempered stable) via the COS method.
@@ -334,14 +349,20 @@ def cgmy_price_cos(S0, K, T, r, q=0.0, *, C, G, M, Y,
         S0, K, T, r, q, kind, (C, G, M, Y), dtype)
     gneg = -jnp.pi / (jnp.sin(jnp.pi * Y_)
                       * jnp.exp(gammaln(1.0 + Y_)))      # Γ(−Y)
+    MY, GY = M_ ** Y_, G_ ** Y_
 
     def psi(u):
-        iu = 1j * u
-        return C_ * gneg * ((M_ - iu) ** Y_ - M_ ** Y_
-                            + (G_ + iu) ** Y_ - G_ ** Y_)
+        # (M−iu)^Y − M^Y as M^Y·expm1(Y·log1p(−iu/M)): the direct
+        # difference cancels catastrophically in f32 for small Y, where
+        # the Γ(−Y) ~ −1/Y prefactor amplifies the rounding residual
+        from .analytic import _log1p_c
 
-    om = -C_ * gneg * ((M_ - 1.0) ** Y_ - M_ ** Y_
-                       + (G_ + 1.0) ** Y_ - G_ ** Y_)
+        iu = 1j * u
+        return C_ * gneg * (MY * _expm1_c(Y_ * _log1p_c(-iu / M_))
+                            + GY * _expm1_c(Y_ * _log1p_c(iu / G_)))
+
+    om = -C_ * gneg * (MY * jnp.expm1(Y_ * jnp.log1p(-1.0 / M_))
+                       + GY * jnp.expm1(Y_ * jnp.log1p(1.0 / G_)))
 
     def phi(u):
         return jnp.exp(T * psi(u) + 1j * u * (r - q + om) * T)
@@ -356,3 +377,81 @@ def cgmy_price_cos(S0, K, T, r, q=0.0, *, C, G, M, Y,
     out = _levy_cos_put_call(S0, K, T, r, q, phi, c1, c2, c4, is_call,
                              int(N))
     return out[0] if scalar and out.shape == (1,) else out
+
+
+# ---------------------------------------------------------------------------
+# VG smile calibration
+# ---------------------------------------------------------------------------
+
+_VG_LOWER = (1e-3, -1.5, 1e-4)        # sigma, theta, nu
+_VG_UPPER = (1.5, 1.5, 1.5)
+
+
+@partial(jax.jit, static_argnames=("n_cos", "max_iter"))
+def _fit_vg_core(Kv, Tv, px_mkt, wv, S0, r, q, x0, lower, upper, *,
+                 n_cos: int, max_iter: int):
+    from .calibration import _lm_loop
+
+    def residuals(x):
+        sig, th, nu = x
+
+        def one(K, T):
+            return vg_price_cos(S0, K, T, r, q, sigma=sig, theta=th,
+                                nu=nu, N=n_cos)
+
+        res = (jax.vmap(one)(Kv, Tv) - px_mkt) * wv
+        # soft wall on the moment condition thetanu + sigma^2 nu/2 < 1
+        # (the bound box alone cannot express the joint constraint)
+        viol = jnp.maximum(th * nu + 0.5 * sig * sig * nu - 0.95, 0.0)
+        return res + 1e3 * viol
+
+    return _lm_loop(residuals, x0, lower, upper, max_iter)
+
+
+def fit_vg(strikes, expiries, market_ivs, S0, r, q=0.0, *, x0=None,
+           n_cos: int = 128, max_iter: int = 200):
+    """Calibrate Variance Gamma ``(sigma, theta, nu)`` to a vanilla smile.
+
+    Same design as :func:`~optpricer_tpu.models.analytic.fit_heston`:
+    quotes → call prices, vega-weighted price residuals (≈ IV residuals
+    to first order), the shared bound-projected Levenberg-Marquardt loop
+    with exact ``jacfwd`` Jacobians through the COS transform — one XLA
+    program, each iteration prices the whole quote set as a batched COS
+    matvec.  A soft penalty keeps the optimizer inside the VG moment
+    condition θν + σ²ν/2 < 1 (the martingale correction diverges at the
+    boundary).  Three parameters fit a single-expiry smile's level,
+    skew and kurtosis; calendar structure needs a term-dependent model
+    (the reference has no parametric-dynamics calibration at all —
+    ``fit_svi`` is its only fitter, ``calibration.py:166-229``).
+
+    Returns ``{"sigma", "theta", "nu", "rmse"}``; ``rmse`` is the RMS
+    vega-weighted price error (≈ RMS IV error).
+    """
+    import numpy as np
+
+    from ..ops.black_scholes import bs_price_vec, vega_core
+
+    f64 = jax.config.jax_enable_x64
+    dt_ = jnp.float64 if f64 else jnp.float32
+    Kv = jnp.asarray(np.ravel(strikes), dt_)
+    Tv = jnp.asarray(np.ravel(expiries), dt_)
+    iv = jnp.asarray(np.ravel(market_ivs), dt_)
+    if not (Kv.shape == Tv.shape == iv.shape):
+        raise ValueError("strikes, expiries and market_ivs must be "
+                         "same-length vectors")
+    S0_, r_, q_ = (jnp.asarray(v, dt_) for v in (S0, r, q))
+    px_mkt = bs_price_vec(S0_, Kv, Tv, r_, q_, iv, "call")
+    vega = vega_core(S0_, Kv, Tv, r_, q_, iv)
+    wv = 1.0 / jnp.maximum(vega, 1e-4)
+    if x0 is None:
+        x0 = (float(jnp.median(iv)), -0.1, 0.2)
+    x, _ = _fit_vg_core(
+        Kv, Tv, px_mkt, wv, S0_, r_, q_, jnp.asarray(x0, dt_),
+        jnp.asarray(_VG_LOWER, dt_), jnp.asarray(_VG_UPPER, dt_),
+        n_cos=int(n_cos), max_iter=int(max_iter))
+    sig, th, nu = (float(v) for v in x)
+    fit_px = jax.vmap(
+        lambda K, T: vg_price_cos(S0_, K, T, r_, q_, sigma=sig, theta=th,
+                                  nu=nu, N=int(n_cos)))(Kv, Tv)
+    rmse = float(jnp.sqrt(jnp.mean(((fit_px - px_mkt) * wv) ** 2)))
+    return {"sigma": sig, "theta": th, "nu": nu, "rmse": rmse}

@@ -219,6 +219,38 @@ def _price_row(row: dict, compute_greeks: bool) -> dict:
 
             result["price"] = float(heston_price_cos(S0, K, T, r, q, **hp,
                                                      kind=kind))
+    elif method == "levy":
+        # pure-jump Lévy rows: 'model' column vg|nig|cgmy with the
+        # model's parameter columns (VG reads theta_vg/nu and the row's
+        # sigma; NIG alpha/beta/delta; CGMY C/G/M/Y), priced by the COS
+        # transform with the martingale correction built in
+        model = (row.get("model", "vg") or "vg").strip().lower()
+        if model == "vg":
+            from optpricer_tpu import vg_price_cos
+
+            result["price"] = float(vg_price_cos(
+                S0, K, T, r, q, sigma=sigma,
+                theta=float(row.get("theta_vg", -0.14) or -0.14),
+                nu=float(row.get("nu", 0.2) or 0.2), kind=kind))
+        elif model == "nig":
+            from optpricer_tpu import nig_price_cos
+
+            result["price"] = float(nig_price_cos(
+                S0, K, T, r, q,
+                alpha=float(row.get("alpha", 8.0) or 8.0),
+                beta=float(row.get("beta", -4.0) or -4.0),
+                delta=float(row.get("delta", 0.4) or 0.4), kind=kind))
+        elif model == "cgmy":
+            from optpricer_tpu import cgmy_price_cos
+
+            result["price"] = float(cgmy_price_cos(
+                S0, K, T, r, q,
+                C=float(row.get("C", 0.5) or 0.5),
+                G=float(row.get("G", 5.0) or 5.0),
+                M=float(row.get("M", 9.0) or 9.0),
+                Y=float(row.get("Y", 0.8) or 0.8), kind=kind))
+        else:
+            raise ValueError(f"Unknown levy model: {model!r}")
     elif method == "quanto":
         # foreign asset paid in domestic currency: sigma_fx / rho_sfx
         # columns feed the adjusted-carry closed form

@@ -124,7 +124,8 @@ class TestPriceBookScript:
                   "eps", "dividends", "N_S", "N_t", "american", "qs",
                   "sigma_fx", "rho_sfx", "k_ratio", "T0", "n_periods",
                   "local_floor", "local_cap", "engine", "D", "t_div",
-                  "t_choose", "K2", "underlying"]
+                  "t_choose", "K2", "underlying", "model", "theta_vg",
+                  "nu", "alpha", "beta", "delta", "C", "G", "M", "Y"]
         rows = [
             dict(id="f1", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="fd", dividends="0.5:5", N_S=200,
@@ -170,6 +171,12 @@ class TestPriceBookScript:
             dict(id="co1", S0=100, K=10, T=1, r=0.05, sigma=0.2, q=0,
                  kind="call", method="compound", K2=100, t_choose=0.5,
                  underlying="call"),
+            dict(id="lv1", S0=100, K=100, T=1, r=0.05, sigma=0.12, q=0,
+                 kind="call", method="levy", model="vg", theta_vg=-0.14,
+                 nu=0.2),
+            dict(id="lv2", S0=100, K=100, T=1, r=0.05, sigma=0.2, q=0,
+                 kind="call", method="levy", model="nig", alpha=8,
+                 beta=-4, delta=0.4),
         ]
         with open(book, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)
@@ -213,8 +220,11 @@ class TestPriceBookScript:
         # two-timescale closed forms (library-validated values)
         assert abs(results["ch1"]["price"] - 13.8512) < 2e-3
         assert abs(results["co1"]["price"] - 4.0215) < 2e-3
+        # Lévy COS rows (library-validated f64 values)
+        assert abs(results["lv1"]["price"] - 8.04405) < 2e-3
+        assert abs(results["lv2"]["price"] - 12.61339) < 2e-3
         deterministic = ("h1", "h2", "f1", "qx1", "fs1", "cq1",
-                         "aa1", "aa2", "ch1", "co1")
+                         "aa1", "aa2", "ch1", "co1", "lv1", "lv2")
         for r in results.values():
             assert "error" not in r
             if r["id"] not in deterministic:
@@ -394,6 +404,24 @@ class TestCLIExtensions:
         out = capsys.readouterr().out.strip()
         px = float(out.split()[0])
         assert 5.0 < px < 10.0
+
+    def test_levy(self, capsys):
+        # library-validated COS values (f64): VG 8.044050, NIG 12.613393
+        _run_cli("levy", "--S0", "100", "--K", "100", "--T", "1",
+                 "--r", "0.05", "--sigma", "0.12", "--model", "vg",
+                 "--theta", "-0.14", "--nu", "0.2")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 8.04405) < 2e-3
+        _run_cli("levy", "--S0", "100", "--K", "100", "--T", "1",
+                 "--r", "0.05", "--sigma", "0.2", "--model", "nig",
+                 "--alpha", "8", "--beta", "-4", "--delta", "0.4")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 12.61339) < 2e-3
+        _run_cli("levy", "--S0", "100", "--K", "100", "--T", "1",
+                 "--r", "0.05", "--sigma", "0.2", "--model", "cgmy",
+                 "--Y", "0.8")
+        out = capsys.readouterr().out.strip()
+        assert abs(float(out) - 14.3302) < 3e-3
 
     def test_varswap(self, capsys):
         _run_cli("varswap", "--S0", "100", "--T", "1", "--r", "0.03",

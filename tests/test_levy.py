@@ -162,6 +162,60 @@ class TestCGMY:
         assert np.all(px[:-2] - 2.0 * px[1:-1] + px[2:] > -1e-9)
 
 
+class TestFitVG:
+    def test_parameter_recovery(self):
+        # noiseless smile generated by known VG params must round-trip
+        # (the suite's SVI-recovery pattern, reference
+        # test_calibration.py:38-52)
+        from optpricer_tpu import bs_implied_vol_vec, fit_vg
+
+        true = dict(sigma=0.15, theta=-0.12, nu=0.25)
+        Ks = np.linspace(80.0, 120.0, 15)
+        Ts = np.full_like(Ks, 0.75)
+        px = np.asarray(vg_price_cos(S0, Ks, 0.75, R, Q, **true))
+        ivs = np.asarray(bs_implied_vol_vec(S0, Ks, Ts, R, Q, px,
+                                            "call"))
+        fit = fit_vg(Ks, Ts, ivs, S0, R, Q)
+        assert fit["rmse"] < 5e-4
+        assert abs(fit["sigma"] - true["sigma"]) < 0.01
+        assert abs(fit["theta"] - true["theta"]) < 0.02
+        assert abs(fit["nu"] - true["nu"]) < 0.04
+
+    def test_guards(self):
+        from optpricer_tpu import fit_vg
+
+        with pytest.raises(ValueError, match="same-length"):
+            fit_vg([100.0, 105.0], [1.0], [0.2, 0.2], S0, R)
+
+
+class TestF32Conditioning:
+    """The default TPU dtype is f32; the degenerate limits must survive
+    it (log1p/expm1 formulations — plain log/power differences round the
+    whole correction away below ν ≈ 1e-5 / amplify O(eps) residuals by
+    the Γ(−Y) ~ −1/Y prefactor)."""
+
+    def test_vg_nu_limit_f32(self):
+        import jax.numpy as jnp
+
+        vg = float(vg_price_cos(S0, 100.0, T, R, Q, sigma=0.2,
+                                theta=0.0, nu=1e-6, dtype=jnp.float32))
+        bs = float(bs_price_vec(S0, 100.0, T, R, Q, 0.2, "call"))
+        assert abs(vg - bs) < 1e-4
+
+    def test_cgmy_y_limit_f32(self):
+        import jax.numpy as jnp
+
+        C, G, M = 5.0, 10.0, 14.0
+        nu = 1.0 / C
+        th = (1.0 / M - 1.0 / G) / nu
+        sig = np.sqrt(2.0 / (M * G * nu))
+        cg = float(cgmy_price_cos(S0, 100.0, T, R, Q, C=C, G=G, M=M,
+                                  Y=1e-4, dtype=jnp.float32))
+        vg = float(vg_price_cos(S0, 100.0, T, R, Q, sigma=sig, theta=th,
+                                nu=nu, dtype=jnp.float32))
+        assert abs(cg - vg) < 5e-3
+
+
 class TestExoticsIntegration:
     def test_vg_barrier_parity_through_path_api(self):
         from optpricer_tpu import barrier_price
