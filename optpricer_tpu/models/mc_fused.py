@@ -826,6 +826,8 @@ def exotic_price_mc(
     heston: Optional[dict] = None,
     merton: Optional[dict] = None,
     sabr: Optional[dict] = None,
+    vg: Optional[dict] = None,
+    nig: Optional[dict] = None,
     kind: str = "call",
     n_steps: int = 252,
     n_paths: int = 100_000,
@@ -869,6 +871,15 @@ def exotic_price_mc(
     O(Δ²) from the trapezoid ∫α²; call-side vanilla/digital/
     zero-rebate barrier payoffs, vanilla puts by parity).
 
+    Pure-jump Lévy dynamics: ``vg={'sigma','theta','nu'}`` /
+    ``nig={'alpha','beta','delta'}`` run the EXACT subordinated
+    transitions inside the scan (gamma / inverse-Gaussian clock per step
+    + conditional Gaussian, pairs sharing the clock under antithetic —
+    the same scheme as :func:`~optpricer_tpu.models.levy.vg_paths` with
+    O(1) memory instead of a path matrix); the COS pricers of
+    :mod:`~optpricer_tpu.models.levy` are the vanilla oracles.  XLA scan
+    engine (+ ``mesh=``); the Pallas kernel has no gamma sampler.
+
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), paths are split across
     devices (per-device streams from ``fold_in(key, device_idx)``) and the
     payoff statistics ride one ``psum``; ``n_paths`` is rounded up to a
@@ -885,11 +896,15 @@ def exotic_price_mc(
     if payoff not in _PAYOFFS:
         raise ValueError(f"payoff must be one of {_PAYOFFS}, got {payoff!r}")
     n_models = sum(x is not None
-                   for x in (sigma, sigma_loc, heston, merton, sabr))
+                   for x in (sigma, sigma_loc, heston, merton, sabr, vg,
+                             nig))
     if n_models != 1:
         raise ValueError(
             "provide exactly one of sigma / sigma_loc / heston / merton"
-            " / sabr")
+            " / sabr / vg / nig")
+    if (vg is not None or nig is not None) and scheme != "log_euler":
+        raise ValueError("vg=/nig= use the exact subordinated transition "
+                         "(no scheme choice)")
     if merton is not None and sigma is None:
         sigma = merton["sigma"]
     if kind not in ("call", "put"):
@@ -973,7 +988,7 @@ def exotic_price_mc(
                   and average_type == "arithmetic"
                   and strike_type == "fixed" and heston is None
                   and sabr is None and merton is None
-                  and sigma_loc is None)
+                  and sigma_loc is None and vg is None and nig is None)
     geo_ey = None
     if use_geo_cv:
         from .analytic import geometric_asian_price_f64
@@ -1025,7 +1040,8 @@ def exotic_price_mc(
     # GBM and Heston dynamics are supported in-kernel (Dupire via
     # exotic_price_mc_dupire); traced sigma_loc closures and Merton stay
     # on the XLA scan path.
-    kernel_ok = (sigma_loc is None and merton is None and not dividends)
+    kernel_ok = (sigma_loc is None and merton is None and vg is None
+                 and nig is None and not dividends)
     use_pallas = kernel_ok and n_steps % 2 == 0 and (
         backend == "pallas" or (
             backend == "auto" and jax.default_backend() == "tpu"
@@ -1071,6 +1087,12 @@ def exotic_price_mc(
         s_beta=jnp.asarray(sabr["beta"] if sabr else 1.0, dt_),
         s_nu=jnp.asarray(sabr["nu"] if sabr else 0.0, dt_),
         s_rho=jnp.asarray(sabr["rho"] if sabr else 0.0, dt_),
+        v_sigma=jnp.asarray(vg["sigma"] if vg else 0.0, dt_),
+        v_theta=jnp.asarray(vg["theta"] if vg else 0.0, dt_),
+        v_nu=jnp.asarray(vg["nu"] if vg else 1.0, dt_),
+        n_alpha=jnp.asarray(nig["alpha"] if nig else 1.0, dt_),
+        n_beta=jnp.asarray(nig["beta"] if nig else 0.0, dt_),
+        n_delta=jnp.asarray(nig["delta"] if nig else 0.0, dt_),
     )
     if dividends:
         from .pde import _div_schedule
@@ -1084,6 +1106,10 @@ def exotic_price_mc(
         model_kind = "sabr_ln" if float(sabr["beta"]) == 1.0 else "sabr_cev"
     elif merton is not None:
         model_kind = "merton"
+    elif vg is not None:
+        model_kind = "vg"
+    elif nig is not None:
+        model_kind = "nig"
     elif sigma_loc is not None:
         model_kind = "lv_milstein" if scheme == "milstein" else "lv_euler"
     else:
@@ -1312,6 +1338,25 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
             + fixed["m_sJ"] * _sqrt0(kp_counts) * zj
         return S * exp_(drift + fixed["sigma"] * sqrt_dt * z + y_sum)
 
+    def vg_step(S, clock, z):
+        # exact VG transition: gamma clock + conditional Gaussian,
+        # log1p-form martingale correction (levy._vg_omega)
+        th, nu = fixed["v_theta"], fixed["v_nu"]
+        sig = fixed["v_sigma"]
+        om = jnp.log1p(-(th * nu + 0.5 * sig * sig * nu)) / nu
+        return S * exp_((fixed["r"] - fixed["q"] + om) * dt + th * clock
+                        + sig * _sqrt0(clock) * z)
+
+    def nig_step(S, clock, z):
+        # exact NIG transition: inverse-Gaussian clock + conditional
+        # Gaussian (levy.nig_paths discretisation)
+        al, be = fixed["n_alpha"], fixed["n_beta"]
+        de = fixed["n_delta"]
+        gam = jnp.sqrt(al * al - be * be)
+        om = de * (jnp.sqrt(al * al - (be + 1.0) ** 2) - gam)
+        return S * exp_((fixed["r"] - fixed["q"] + om) * dt + be * clock
+                        + _sqrt0(clock) * z)
+
     sv_model = model_kind in ("heston", "heston_qe", "sabr_ln", "sabr_cev")
     rho_sv = fixed["s_rho"] if model_kind.startswith("sabr") \
         else fixed["h_rho"]
@@ -1355,6 +1400,27 @@ def _fused_paths(key, fixed, *, payoff, kind, n_steps, n_paths, antithetic,
                 counts = jnp.concatenate([counts, counts])
                 zj = jnp.concatenate([zj, -zj])
             S_new = merton_step(S, z, counts, zj)
+        elif model_kind in ("vg", "nig"):
+            kc, kz = jax.random.split(zk)
+            z = jax.random.normal(kz, (n_paths,), dt_)
+            if model_kind == "vg":
+                clock = jax.random.gamma(
+                    kc, dt / fixed["v_nu"], (n_paths,), dt_) * fixed["v_nu"]
+            else:
+                from .levy import _sample_ig
+
+                gam = jnp.sqrt(fixed["n_alpha"] ** 2
+                               - fixed["n_beta"] ** 2)
+                clock = _sample_ig(kc, fixed["n_delta"] * dt / gam,
+                                   (fixed["n_delta"] * dt) ** 2,
+                                   (n_paths,), dt_)
+            if antithetic:
+                # pairs share the subordinator clock; the conditional
+                # Gaussian is negated (levy.vg_paths scheme)
+                clock = jnp.concatenate([clock, clock])
+                z = jnp.concatenate([z, -z])
+            step_levy = vg_step if model_kind == "vg" else nig_step
+            S_new = step_levy(S, clock, z)
         else:
             z = jax.random.normal(zk, (n_paths,), dt_)
             if antithetic:

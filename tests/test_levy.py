@@ -216,6 +216,69 @@ class TestF32Conditioning:
         assert abs(cg - vg) < 5e-3
 
 
+class TestFusedLevyDynamics:
+    """vg=/nig= in the O(1)-memory fused scan engine: exact subordinated
+    transitions per step, COS as the vanilla oracle."""
+
+    def test_vg_vanilla_matches_cos(self):
+        from optpricer_tpu import exotic_price_mc
+
+        p, se = exotic_price_mc("vanilla", S0, 100.0, T, R, Q, vg=VGP,
+                                n_steps=8, n_paths=200_000, seed=3)
+        cos = float(vg_price_cos(S0, 100.0, T, R, Q, **VGP))
+        assert abs(p - cos) < 4.0 * se + 1e-3, (p, cos)
+
+    def test_nig_vanilla_matches_cos(self):
+        from optpricer_tpu import exotic_price_mc
+
+        p, se = exotic_price_mc("vanilla", S0, 100.0, T, R, Q, nig=NIGP,
+                                n_steps=8, n_paths=200_000, seed=4)
+        cos = float(nig_price_cos(S0, 100.0, T, R, Q, **NIGP))
+        assert abs(p - cos) < 4.0 * se + 2e-3, (p, cos)
+
+    def test_vg_barrier_parity(self):
+        from optpricer_tpu import exotic_price_mc
+
+        kw = dict(barrier=130.0, n_steps=64, n_paths=100_000, seed=5)
+        ko, se_ko = exotic_price_mc("barrier", S0, 100.0, T, R, Q,
+                                    vg=VGP, barrier_type="up-and-out",
+                                    **kw)
+        ki, se_ki = exotic_price_mc("barrier", S0, 100.0, T, R, Q,
+                                    vg=VGP, barrier_type="up-and-in",
+                                    **kw)
+        cos = float(vg_price_cos(S0, 100.0, T, R, Q, **VGP))
+        assert abs((ko + ki) - cos) < 4.0 * (se_ko + se_ki) + 2e-3
+
+    def test_nig_asian_below_vanilla_fused(self):
+        from optpricer_tpu import exotic_price_mc
+
+        a, _ = exotic_price_mc("asian", S0, 100.0, T, R, Q, nig=NIGP,
+                               n_steps=32, n_paths=50_000, seed=6)
+        cos = float(nig_price_cos(S0, 100.0, T, R, Q, **NIGP))
+        assert a < cos
+
+    def test_mesh_sharded_runs(self):
+        from optpricer_tpu import exotic_price_mc
+        from optpricer_tpu.parallel.mesh import get_mesh
+
+        p, se = exotic_price_mc("vanilla", S0, 100.0, T, R, Q, vg=VGP,
+                                n_steps=8, n_paths=1 << 15, seed=7,
+                                mesh=get_mesh(8))
+        cos = float(vg_price_cos(S0, 100.0, T, R, Q, **VGP))
+        assert se > 0.0
+        assert abs(p - cos) < 5.0 * se + 5e-3
+
+    def test_guards(self):
+        from optpricer_tpu import exotic_price_mc
+
+        with pytest.raises(ValueError, match="exactly one"):
+            exotic_price_mc("vanilla", S0, 100.0, T, R, Q, sigma=0.2,
+                            vg=VGP)
+        with pytest.raises(ValueError, match="scheme"):
+            exotic_price_mc("vanilla", S0, 100.0, T, R, Q, vg=VGP,
+                            scheme="milstein")
+
+
 class TestExoticsIntegration:
     def test_vg_barrier_parity_through_path_api(self):
         from optpricer_tpu import barrier_price
