@@ -94,6 +94,13 @@ _AD_PARAMS = {
     "sabr_cev": (("vega", "s_alpha0"), ("d_nu", "s_nu"),
                  ("d_rho", "s_rho")),
     "merton": (("vega", "sigma"), ("d_mJ", "m_mJ"), ("d_sJ", "m_sJ")),
+    # VG: the gamma clock is differentiable in ν through JAX's implicit
+    # reparameterisation of random.gamma, so all three parameters admit
+    # pathwise AD. (NIG does NOT: the IG sampler's accept branch has a
+    # parameter-dependent selection probability that pathwise AD cannot
+    # see — use CRN bump-and-reprice there.)
+    "vg": (("vega", "v_sigma"), ("d_theta", "v_theta"),
+           ("d_nu", "v_nu")),
     "lv_euler": (), "lv_milstein": (),
     "gbm": (("vega", "sigma"),),
 }
@@ -101,6 +108,7 @@ _AD_PARAMS = {
 
 def _ad_exotic_greeks(payoff, S0, K, T, r, q, *, kind, strike_type,
                       heston=None, sabr=None, merton=None, sigma_loc=None,
+                      vg=None,
                       sigma=None, scheme="milstein", n_paths=100_000,
                       n_steps=252, antithetic=True, seed=None,
                       average_type="arithmetic", barrier_type="up-and-out",
@@ -140,6 +148,8 @@ def _ad_exotic_greeks(payoff, S0, K, T, r, q, *, kind, strike_type,
         model_kind = "merton"
         if sigma is None:
             sigma = merton["sigma"]
+    elif vg is not None:
+        model_kind = "vg"
     elif sigma_loc is not None:
         model_kind = "lv_milstein" if scheme == "milstein" else "lv_euler"
     else:
@@ -164,6 +174,12 @@ def _ad_exotic_greeks(payoff, S0, K, T, r, q, *, kind, strike_type,
         s_beta=jnp.asarray(sabr["beta"] if sabr else 1.0, dt_),
         s_nu=jnp.asarray(sabr["nu"] if sabr else 0.0, dt_),
         s_rho=jnp.asarray(sabr["rho"] if sabr else 0.0, dt_),
+        v_sigma=jnp.asarray(vg["sigma"] if vg else 0.0, dt_),
+        v_theta=jnp.asarray(vg["theta"] if vg else 0.0, dt_),
+        v_nu=jnp.asarray(vg["nu"] if vg else 1.0, dt_),
+        n_alpha=jnp.asarray(1.0, dt_),
+        n_beta=jnp.asarray(0.0, dt_),
+        n_delta=jnp.asarray(0.0, dt_),
     )
     names = (("delta", "S0"), ("rho", "r"), ("theta", "T")) \
         + _AD_PARAMS[model_kind]
@@ -275,8 +291,14 @@ def exotic_greeks_mc(payoff: str, S0, K, T, r, q=0.0, *, kind: str = "call",
         raise ValueError(
             "exotic_greeks_mc does not support dividends=; use CRN "
             "bump-and-reprice around exotic_price_mc(dividends=...)")
+    if kwargs.get("nig") is not None:
+        raise ValueError(
+            "NIG admits no pathwise-AD Greeks: the inverse-Gaussian "
+            "sampler's accept branch has a parameter-dependent selection "
+            "probability pathwise differentiation cannot see — use CRN "
+            "bump-and-reprice around exotic_price_mc(nig=...)")
     if any(kwargs.get(m) is not None
-           for m in ("heston", "sabr", "merton", "sigma_loc")):
+           for m in ("heston", "sabr", "merton", "sigma_loc", "vg")):
         # Non-GBM dynamics: pathwise-AD Jacobian through the fused scan
         # (delta/rho/theta + every differentiable model parameter).
         return _ad_exotic_greeks(payoff, S0, K, T, r, q, kind=kind,

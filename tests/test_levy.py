@@ -278,6 +278,38 @@ class TestFusedLevyDynamics:
             exotic_price_mc("vanilla", S0, 100.0, T, R, Q, vg=VGP,
                             scheme="milstein")
 
+    def test_vg_ad_greeks_match_cos_ad(self):
+        # pathwise AD through the fused scan (gamma clock differentiable
+        # in nu via implicit reparameterisation) vs jax.grad through the
+        # COS transform — the deterministic truth
+        import jax
+        import jax.numpy as jnp
+
+        from optpricer_tpu import exotic_greeks_mc
+
+        g = exotic_greeks_mc("vanilla", S0, 100.0, T, R, Q, vg=VGP,
+                             n_steps=8, n_paths=100_000, seed=3)
+        truth = {
+            "delta": jax.grad(lambda s: vg_price_cos(
+                s, 100.0, T, R, Q, **VGP))(jnp.float64(S0)),
+            "vega": jax.grad(lambda v: vg_price_cos(
+                S0, 100.0, T, R, Q, sigma=v, theta=VGP["theta"],
+                nu=VGP["nu"]))(jnp.float64(VGP["sigma"])),
+            "d_nu": jax.grad(lambda n: vg_price_cos(
+                S0, 100.0, T, R, Q, sigma=VGP["sigma"],
+                theta=VGP["theta"], nu=n))(jnp.float64(VGP["nu"])),
+        }
+        for name, ref in truth.items():
+            se = g[f"{name}_stderr"]
+            assert abs(g[name] - float(ref)) < 4.0 * se + 5e-3, \
+                (name, g[name], float(ref))
+
+    def test_nig_greeks_raise(self):
+        from optpricer_tpu import exotic_greeks_mc
+
+        with pytest.raises(ValueError, match="pathwise"):
+            exotic_greeks_mc("vanilla", S0, 100.0, T, R, Q, nig=NIGP)
+
 
 class TestExoticsIntegration:
     def test_vg_barrier_parity_through_path_api(self):
