@@ -125,6 +125,34 @@ def fit_heston_surface(strikes, forwards, ivs, rate):
     return fit, S0, q
 
 
+def fit_vg_surface(strikes, forwards, ivs, rate):
+    """One global Variance-Gamma fit across every quoted expiry."""
+    from optpricer_tpu import fit_vg
+
+    S0, q = spot_and_carry(forwards, rate)
+    Ks = np.concatenate([strikes[T] for T in sorted(strikes)])
+    Ts = np.concatenate([np.full(len(strikes[T]), T)
+                         for T in sorted(strikes)])
+    vols = np.concatenate([ivs[T] for T in sorted(strikes)])
+    fit = fit_vg(Ks, Ts, vols, S0, rate, q)
+    return fit, S0, q
+
+
+def vg_model_iv(fit, S0, rate, q):
+    """Per-expiry smile function k -> implied vol from the fitted VG."""
+    from optpricer_tpu import bs_implied_vol_vec, vg_price_cos
+
+    def iv_curve(T, forward, k):
+        K = forward * np.exp(np.asarray(k))
+        px = np.asarray(vg_price_cos(
+            S0, K, T, rate, q, sigma=fit["sigma"], theta=fit["theta"],
+            nu=fit["nu"]))
+        return np.asarray(bs_implied_vol_vec(
+            S0, K, np.full_like(K, T), rate, q, px, "call"))
+
+    return iv_curve
+
+
 def heston_model_iv(fit, S0, rate, q):
     """Per-expiry smile function k ↦ implied vol from the fitted model."""
     from optpricer_tpu import bs_implied_vol_vec, heston_price_cos
@@ -147,7 +175,7 @@ def main(argv=None):
     ap.add_argument("--output", required=True, help="output JSON")
     ap.add_argument("--plot", default=None, help="save smile plot PNG")
     ap.add_argument("--model", default="svi",
-                    choices=("svi", "heston", "essvi"),
+                    choices=("svi", "heston", "essvi", "vg"),
                     help="svi: per-slice raw SVI (reference contract); "
                          "heston: one global (v0,kappa,theta,xi,rho) via "
                          "LM through the COS transform; essvi: one "
@@ -173,6 +201,19 @@ def main(argv=None):
             render_smiles(ns.plot, None, strikes, forwards, ivs,
                           model_iv=heston_model_iv(fit, S0, ns.rate, q),
                           label="Heston fit")
+        return
+
+    if ns.model == "vg":
+        fit, S0, q = fit_vg_surface(strikes, forwards, ivs, ns.rate)
+        print("  VG: sigma={sigma:.4f} theta={theta:.4f} nu={nu:.4f} "
+              "RMSE={rmse:.6f}".format(**fit))
+        report = dict(model="vg", S0=S0, r=ns.rate, q=q, **fit)
+        Path(ns.output).write_text(json.dumps(report, indent=2))
+        print(f"\nFitted params written to {ns.output}")
+        if ns.plot:
+            render_smiles(ns.plot, None, strikes, forwards, ivs,
+                          model_iv=vg_model_iv(fit, S0, ns.rate, q),
+                          label="VG fit")
         return
 
     if ns.model == "essvi":

@@ -322,6 +322,41 @@ class TestCalibrateScript:
         fit = json.loads(out.read_text())
         assert fit["model"] == "heston" and fit["rmse"] < 1e-4
         assert abs(fit["S0"] - S0) < 0.01 and abs(fit["q"] - q) < 1e-6
+
+    def test_vg_mode(self, tmp_path):
+        from optpricer_tpu import bs_implied_vol_vec, vg_price_cos
+
+        true = dict(sigma=0.15, theta=-0.12, nu=0.25)
+        S0, r, q = 100.0, 0.03, 0.01
+        quotes = tmp_path / "quotes.csv"
+        with open(quotes, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["expiry", "strike", "forward", "iv"])
+            for T in (0.5, 1.0):
+                F = S0 * np.exp((r - q) * T)
+                Ks = np.linspace(85.0, 115.0, 9)
+                px = np.asarray(vg_price_cos(S0, Ks, T, r, q, **true))
+                ivs = np.asarray(bs_implied_vol_vec(
+                    S0, Ks, np.full_like(Ks, T), r, q, px, "call"))
+                for k, iv in zip(Ks, ivs):
+                    w.writerow([T, k, F, float(iv)])
+        out = tmp_path / "fit.json"
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts/calibrate_surface.py"),
+             "--input", str(quotes), "--output", str(out),
+             "--model", "vg", "--rate", "0.03"],
+            capture_output=True, text=True, cwd=REPO,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": str(REPO)},
+        )
+        assert proc.returncode == 0, proc.stderr
+        fit = json.loads(out.read_text())
+        assert fit["model"] == "vg"
+        # VG is a Lévy process: one (sigma, theta, nu) generates every
+        # expiry consistently, so the noiseless fit recovers the truth
+        assert fit["rmse"] < 1e-4
+        assert abs(fit["sigma"] - true["sigma"]) < 0.01
+        assert abs(fit["theta"] - true["theta"]) < 0.02
         for name, v in true.items():
             assert abs(fit[name] - v) < 5e-3, (name, fit[name], v)
 
