@@ -854,6 +854,7 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
                return_stderr: bool = True, bound: Optional[str] = None,
                n_inner: int = 256, n_upper_paths: int = 8_192,
                heston: Optional[dict] = None, lsv=None,
+               vg: Optional[dict] = None, nig: Optional[dict] = None,
                exercise_dates=None):
     """American vanilla price via Longstaff-Schwartz.
 
@@ -902,6 +903,15 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     ignored — the model carries the vol). Same (S, v) regression basis
     and ``bound`` support as ``heston=``.
 
+    ``vg={'sigma','theta','nu'}`` / ``nig={'alpha','beta','delta'}``
+    price the American under pure-jump LÉVY dynamics on the exact
+    subordinated path matrices of :mod:`~optpricer_tpu.models.levy`
+    (``opt.sigma`` is ignored).  The processes are Markov in the spot
+    alone, so the standard spot-polynomial basis applies unchanged.
+    Single-pass, Bermudan ``exercise_dates=`` and the two-pass
+    ``bound="lower"`` are supported; ``bound="both"`` raises (the dual's
+    nested rollouts are not wired for the Lévy transitions).
+
     ``exercise_dates=[t1, t2, ...]`` prices the BERMUDAN contract:
     exercise only at the given dates (snapped to the step grid;
     maturity is always exercisable, t=0 never). An empty list is the
@@ -912,6 +922,9 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     """
     if bound not in (None, "lower", "both"):
         raise ValueError("bound must be None, 'lower' or 'both'")
+    if sum(x is not None for x in (heston, lsv, vg, nig)) > 1:
+        raise ValueError("pass at most one of heston= / lsv= / vg= / "
+                         "nig= (GBM when none)")
     dt_ = canonical(dtype)
     seed_val = resolve_seed(seed)
     if lsv is not None:
@@ -1027,6 +1040,56 @@ def lsmc_price(opt: OptionSpec, kind: Literal["call", "put"] = CALL, *,
     args = (jnp.asarray(opt.K, dt_), jnp.asarray(opt.r, dt_),
             jnp.asarray(opt.T / n_steps, dt_),
             jnp.asarray(is_call_mask(kind)))
+
+    if vg is not None or nig is not None:
+        # Pure-jump Lévy dynamics (Markov in S, so the same spot-only
+        # regression basis is valid): exact subordinated path matrices
+        # from models.levy; opt.sigma is ignored — the model carries the
+        # vol. The Andersen-Broadie dual needs in-rollout transitions
+        # from intermediate states, which is not wired for the Lévy
+        # generators — two-pass lower bound only.
+        if bound == "both":
+            raise ValueError(
+                "bound='both' under vg=/nig= is not supported (the dual's "
+                "nested rollouts are not wired for the Lévy transitions) "
+                "— use bound='lower' for the honest low-biased estimate")
+        from .levy import nig_paths, vg_paths
+
+        def levy_paths(seed_k):
+            if vg is not None:
+                return vg_paths(opt.S0, opt.T, opt.r, opt.q,
+                                sigma=vg["sigma"], theta=vg["theta"],
+                                nu=vg["nu"], n_steps=n_steps,
+                                n_paths=n_paths, antithetic=antithetic,
+                                seed=seed_k, dtype=dt_)
+            return nig_paths(opt.S0, opt.T, opt.r, opt.q,
+                             alpha=nig["alpha"], beta=nig["beta"],
+                             delta=nig["delta"], n_steps=n_steps,
+                             n_paths=n_paths, antithetic=antithetic,
+                             seed=seed_k, dtype=dt_)
+
+        paths = levy_paths(seed_val)
+        if exercise_dates is not None:
+            if bound is not None:
+                raise ValueError("exercise_dates (Bermudan) supports the "
+                                 "single-pass estimator only (bound=None)")
+            mask = _bermudan_mask(exercise_dates, opt.T, n_steps)
+            price, se = _lsmc_backward(paths, *args, jnp.asarray(mask),
+                                       basis_dim=int(basis_dim))
+            return (float(price), float(se)) if return_stderr \
+                else float(price)
+        if bound is None:
+            price, se = _lsmc_backward(paths, *args,
+                                       basis_dim=int(basis_dim))
+            return (float(price), float(se)) if return_stderr \
+                else float(price)
+        betas = _lsmc_backward_betas(paths, *args,
+                                     basis_dim=int(basis_dim))
+        paths2 = levy_paths(seed_val + 0x5EED)
+        lo, lo_se = _lsmc_forward_fixed_policy(paths2, betas, *args,
+                                               basis_dim=int(basis_dim))
+        return float(lo), float(lo_se)
+
     paths = gbm_paths(opt.S0, opt.r, opt.q, opt.sigma, opt.T,
                       n_steps, n_paths, antithetic=antithetic,
                       seed=seed_val, dtype=dt_)

@@ -311,6 +311,44 @@ class TestFusedLevyDynamics:
             exotic_greeks_mc("vanilla", S0, 100.0, T, R, Q, nig=NIGP)
 
 
+class TestAmericanLevy:
+    """lsmc_price(vg=/nig=): early exercise on the exact subordinated
+    path matrices (Markov in spot, so the standard basis applies)."""
+
+    def test_vg_american_premium(self):
+        from optpricer_tpu import OptionSpec, lsmc_price
+
+        opt = OptionSpec(S0=S0, K=105.0, T=T, r=R, q=Q, sigma=0.2)
+        am, se = lsmc_price(opt, "put", vg=VGP, n_paths=50_000,
+                            n_steps=50, seed=3)
+        eu = float(vg_price_cos(S0, 105.0, T, R, Q, **VGP, kind="put"))
+        assert am > eu - 3.0 * se          # early exercise adds value
+        assert am >= 5.0 - 1e-9            # >= intrinsic
+
+    def test_vg_gbm_limit_vs_crr(self):
+        from optpricer_tpu import OptionSpec, crr, lsmc_price
+
+        opt = OptionSpec(S0=S0, K=110.0, T=T, r=R, sigma=0.2)
+        am, se = lsmc_price(opt, "put",
+                            vg=dict(sigma=0.2, theta=0.0, nu=1e-5),
+                            n_paths=100_000, n_steps=50, seed=4)
+        ref = float(crr(opt, "put", N=2000, american=True))
+        # LSMC is policy-low-biased; must land just under the lattice
+        assert ref - 0.08 - 3.0 * se < am < ref + 3.0 * se + 0.01
+
+    def test_nig_two_pass_and_guards(self):
+        from optpricer_tpu import OptionSpec, lsmc_price
+
+        opt = OptionSpec(S0=S0, K=105.0, T=T, r=R, q=Q, sigma=0.2)
+        lo, se = lsmc_price(opt, "put", nig=NIGP, n_paths=20_000,
+                            n_steps=25, seed=5, bound="lower")
+        assert se > 0.0 and lo > 0.0
+        with pytest.raises(ValueError, match="dual"):
+            lsmc_price(opt, "put", vg=VGP, bound="both")
+        with pytest.raises(ValueError, match="at most one"):
+            lsmc_price(opt, "put", vg=VGP, nig=NIGP)
+
+
 class TestExoticsIntegration:
     def test_vg_barrier_parity_through_path_api(self):
         from optpricer_tpu import barrier_price
