@@ -290,6 +290,7 @@ def _heston_cos_core(S0, K, T, r, q, v0, kappa, theta, xi, rho, is_call,
     return jnp.where(is_call, call, put)
 
 
+@partial(jax.jit, static_argnames=("kind", "N"))
 def heston_price_cos(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
                      kind="call", N: int = 256, L: float = 14.0):
     """European option under Heston via the COS method (Fang-Oosterlee 2008).
