@@ -481,7 +481,7 @@ class TestAmericanLsmc:
 
         m = _unit_leverage_model(HESTON, n_steps=12)
         opt = OptionSpec(S0=S0, K=100.0, T=T, r=R, q=Q, sigma=0.2)
-        with pytest.raises(ValueError, match="not both"):
+        with pytest.raises(ValueError, match="at most one"):
             lsmc_price(opt, "put", lsv=m, heston=HESTON)
         # bound="both" under lsv= is SUPPORTED since the LSV dual landed;
         # Bermudan dates remain single-pass-only
