@@ -311,6 +311,10 @@ def nig_paths(S0: float, T: float, r: float, q: float = 0.0, *,
     if not alpha > abs(beta + 1.0):
         raise ValueError("NIG moment condition violated: need "
                          "alpha > |beta + 1|")
+    if not alpha > abs(beta):
+        # NOT implied by the moment condition when beta < -0.5:
+        # gamma = sqrt(alpha^2 - beta^2) must be real
+        raise ValueError("NIG needs alpha > |beta|")
     if delta <= 0.0 or alpha <= 0.0:
         raise ValueError("need delta > 0 and alpha > 0")
     dt_ = canonical(dtype) if dtype is not None else (

@@ -927,6 +927,11 @@ def exotic_price_mc(
     if (vg is not None or nig is not None) and scheme != "log_euler":
         raise ValueError("vg=/nig= use the exact subordinated transition "
                          "(no scheme choice)")
+    if nig is not None and not (float(nig["alpha"]) > abs(float(nig["beta"]))
+                                and float(nig["alpha"])
+                                > abs(float(nig["beta"]) + 1.0)):
+        raise ValueError("NIG needs alpha > |beta| (real gamma) and "
+                         "alpha > |beta + 1| (martingale moment)")
     if merton is not None and sigma is None:
         sigma = merton["sigma"]
     if kind not in ("call", "put"):

@@ -123,6 +123,16 @@ class TestNIG:
         with pytest.raises(ValueError, match="delta"):
             nig_paths(S0, T, R, Q, alpha=8.0, beta=0.0, delta=-1.0,
                       n_steps=2, n_paths=8)
+        # alpha > |beta+1| does NOT imply alpha > |beta| when beta < -0.5
+        # — gamma = sqrt(alpha^2 - beta^2) would be NaN
+        with pytest.raises(ValueError, match=r"alpha > \|beta\|"):
+            nig_paths(S0, T, R, Q, alpha=3.5, beta=-4.0, delta=0.3,
+                      n_steps=2, n_paths=8)
+        from optpricer_tpu import exotic_price_mc
+
+        with pytest.raises(ValueError, match="alpha"):
+            exotic_price_mc("vanilla", S0, 100.0, T, R, Q,
+                            nig=dict(alpha=3.5, beta=-4.0, delta=0.3))
 
 
 class TestCGMY:
