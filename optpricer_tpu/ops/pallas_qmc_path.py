@@ -77,6 +77,26 @@ def bridge_matrix(d: int, T: float) -> np.ndarray:
     return C[1:].T                 # (d z-dims, d time steps)
 
 
+@partial(jax.jit, static_argnames=("R", "d", "d_pad"))
+def _replicate_shifts(seed, *, R: int, d: int, d_pad: int):
+    """(R, d_pad) int32 digital-shift words in ONE compiled program.
+
+    Identical values to the per-replicate eager loop
+    (``bits(fold_in(key(seed), i))``), but a single dispatch: after the
+    first Pallas launch the runtime charges ~24 ms per eager call, so R
+    replicate draws as 2R round trips used to dominate this kernel's
+    whole wall-clock."""
+    key0 = jax.random.key(seed)
+
+    def one(i):
+        return jax.random.bits(jax.random.fold_in(key0, i), (d,),
+                               jnp.uint32)
+
+    sh = jax.vmap(one)(jnp.arange(R))
+    out = jnp.zeros((R, d_pad), jnp.uint32).at[:, :d].set(sh)
+    return jax.lax.bitcast_convert_type(out, jnp.int32)
+
+
 def _u32(x):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -267,12 +287,7 @@ def path_qmc_sumstats_pallas(seed: int, n_points: int, n_steps: int,
     V[:, :d] = V_np
     V = jnp.asarray(V.view(np.int32))
 
-    key0 = jax.random.key(int(seed))
-    shifts = jnp.stack([
-        jax.random.bits(jax.random.fold_in(key0, i), (d,), jnp.uint32)
-        for i in range(R)])
-    shifts = jnp.zeros((R, d_pad), jnp.uint32).at[:, :d].set(shifts)
-    shifts = jax.lax.bitcast_convert_type(shifts, jnp.int32)
+    shifts = _replicate_shifts(int(seed), R=R, d=d, d_pad=d_pad)
 
     A = bridge_matrix(d, float(T))                          # f64 (d, d)
     c = float(r) - float(q) - 0.5 * float(sigma) ** 2
