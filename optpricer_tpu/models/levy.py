@@ -332,9 +332,28 @@ def nig_paths(S0: float, T: float, r: float, q: float = 0.0, *,
 # CGMY
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("kind", "N", "dtype"))
 def cgmy_price_cos(S0, K, T, r, q=0.0, *, C, G, M, Y,
                    kind: str = "call", N: int = 256, dtype=None):
+    """Host-side parameter gate for :func:`_cgmy_price_cos_jit`.
+
+    Y = 1 zeroes sin(πY) so Γ(−Y) is ±inf, and M ≤ 1 makes the
+    martingale compensator ω complex — both would return a silent NaN
+    price from the jitted body, so they are rejected here, before
+    tracing, while the parameters are still Python floats.
+    """
+    if not 0.0 < float(Y) < 2.0 or float(Y) == 1.0:
+        raise ValueError("CGMY needs Y in (0, 2) with Y != 1")
+    if not float(M) > 1.0:
+        raise ValueError("CGMY martingale condition needs M > 1")
+    if float(G) <= 0.0 or float(C) <= 0.0:
+        raise ValueError("CGMY needs C > 0 and G > 0")
+    return _cgmy_price_cos_jit(S0, K, T, r, q, C=C, G=G, M=M, Y=Y,
+                               kind=kind, N=N, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("kind", "N", "dtype"))
+def _cgmy_price_cos_jit(S0, K, T, r, q=0.0, *, C, G, M, Y,
+                        kind: str = "call", N: int = 256, dtype=None):
     """European option under CGMY (tempered stable) via the COS method.
 
     ψ(u) = CΓ(−Y)[(M−iu)^Y − M^Y + (G+iu)^Y − G^Y] with Y ∈ (0, 2),

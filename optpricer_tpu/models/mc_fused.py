@@ -932,6 +932,11 @@ def exotic_price_mc(
                                 > abs(float(nig["beta"]) + 1.0)):
         raise ValueError("NIG needs alpha > |beta| (real gamma) and "
                          "alpha > |beta + 1| (martingale moment)")
+    if vg is not None and not (float(vg["theta"]) * float(vg["nu"])
+                               + 0.5 * float(vg["sigma"]) ** 2
+                               * float(vg["nu"]) < 1.0):
+        raise ValueError("VG martingale moment condition violated: need "
+                         "theta*nu + sigma^2*nu/2 < 1")
     if merton is not None and sigma is None:
         sigma = merton["sigma"]
     if kind not in ("call", "put"):

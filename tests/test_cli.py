@@ -322,6 +322,8 @@ class TestCalibrateScript:
         fit = json.loads(out.read_text())
         assert fit["model"] == "heston" and fit["rmse"] < 1e-4
         assert abs(fit["S0"] - S0) < 0.01 and abs(fit["q"] - q) < 1e-6
+        for name, v in true.items():
+            assert abs(fit[name] - v) < 5e-3, (name, fit[name], v)
 
     def test_vg_mode(self, tmp_path):
         from optpricer_tpu import bs_implied_vol_vec, vg_price_cos
@@ -355,8 +357,6 @@ class TestCalibrateScript:
         # VG is a Lévy process: one (sigma, theta, nu) generates every
         # expiry consistently, so the noiseless fit recovers the truth
         assert fit["rmse"] < 1e-4
-        assert abs(fit["sigma"] - true["sigma"]) < 0.01
-        assert abs(fit["theta"] - true["theta"]) < 0.02
         for name, v in true.items():
             assert abs(fit[name] - v) < 5e-3, (name, fit[name], v)
 

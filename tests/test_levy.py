@@ -171,6 +171,17 @@ class TestCGMY:
         assert np.all(np.diff(px) < 0.0)
         assert np.all(px[:-2] - 2.0 * px[1:-1] + px[2:] > -1e-9)
 
+    def test_parameter_guards_raise_before_tracing(self):
+        # Y=1 → Γ(−Y)=±inf, M≤1 → ω complex: both were silent-NaN holes
+        with pytest.raises(ValueError, match="Y != 1"):
+            cgmy_price_cos(S0, 100.0, T, R, Q, C=0.5, G=5.0, M=9.0, Y=1.0)
+        with pytest.raises(ValueError, match="Y in"):
+            cgmy_price_cos(S0, 100.0, T, R, Q, C=0.5, G=5.0, M=9.0, Y=2.3)
+        with pytest.raises(ValueError, match="M > 1"):
+            cgmy_price_cos(S0, 100.0, T, R, Q, C=0.5, G=5.0, M=0.9, Y=0.5)
+        with pytest.raises(ValueError, match="G > 0"):
+            cgmy_price_cos(S0, 100.0, T, R, Q, C=0.5, G=0.0, M=9.0, Y=0.5)
+
 
 class TestFitVG:
     def test_parameter_recovery(self):
@@ -287,6 +298,11 @@ class TestFusedLevyDynamics:
         with pytest.raises(ValueError, match="scheme"):
             exotic_price_mc("vanilla", S0, 100.0, T, R, Q, vg=VGP,
                             scheme="milstein")
+        # θν + ½σ²ν ≥ 1 makes log1p in vg_step NaN — must raise, not
+        # return a silent-NaN price (mirrors the vg_paths guard)
+        with pytest.raises(ValueError, match="moment"):
+            exotic_price_mc("vanilla", S0, 100.0, T, R, Q,
+                            vg=dict(sigma=0.3, theta=2.0, nu=0.6))
 
     def test_vg_ad_greeks_match_cos_ad(self):
         # pathwise AD through the fused scan (gamma clock differentiable
