@@ -54,7 +54,8 @@ from .sobol import brownian_bridge_order, direction_numbers
 
 LANES = 128
 P_TILE = 256          # points (sublane rows) per in-kernel rep tile
-MAX_M_BITS = 30       # ≤ 2^30 points per replicate (Joe-Kuo table precision)
+MAX_M_BITS = 31       # ≤ 2^31 points per replicate (int32 tile indexing;
+#                       the direction-number table itself carries 32 bits)
 
 
 def bridge_matrix(d: int, T: float) -> np.ndarray:
@@ -126,7 +127,8 @@ def _qmc_path_kernel(seed_ref, par_ref, V_ref, shift_ref, B_ref, drift_ref,
     barrier = par_ref[3]
     rebate = par_ref[4]
     payout = par_ref[5]
-    n_rep = seed_ref[1]      # points per replicate (int32 — exact compare)
+    n_last = seed_ref[1]     # LAST valid point index, n_points−1 (int32:
+    #                          lets n_points reach exactly 2^31)
 
     sign = jnp.float32(1.0 if is_call else -1.0)
 
@@ -199,7 +201,7 @@ def _qmc_path_kernel(seed_ref, par_ref, V_ref, shift_ref, B_ref, drift_ref,
         else:                                                # vanilla
             pay = vanilla(ST)
 
-        w = (idx < n_rep).astype(jnp.float32)
+        w = (idx <= n_last).astype(jnp.float32)
         X = df * pay * w
         Y = df * ST * w
         s = jnp.stack([jnp.sum(w), jnp.sum(X), jnp.sum(X * pay * df),
@@ -306,7 +308,7 @@ def path_qmc_sumstats_pallas(seed: int, n_points: int, n_steps: int,
         [S0, K, np.exp(-float(r) * float(T)), barrier,
          rebate, payout], jnp.float32)
     rows = _run_qmc_path(
-        jnp.asarray([seed, n_points], jnp.int32), params, V,
+        jnp.asarray([seed, n_points - 1], jnp.int32), params, V,
         jnp.asarray(shifts),
         jnp.asarray(B), jnp.asarray(drift),
         n_programs=n_programs, reps=int(reps),

@@ -3,16 +3,15 @@
 Quasi-Monte Carlo for PATH-DEPENDENT payoffs needs one low-discrepancy
 coordinate per time step.  Three pieces:
 
-* **Direction numbers** — read from ``torch.quasirandom.SobolEngine``'s
-  initialised ``sobolstate`` (the Joe-Kuo table, baked into the image):
-  ``sobolstate[dim, k]`` IS direction number V_k scaled to 2^-MAXBIT, so
-  the full 30-bit table for any dimension count is one O(d·30) host read —
-  budgets up to 2^30 points per replicate with zero recovery cost. (The
-  earlier scheme recovered row k from the Gray-code identity
-  ``x_{2^k} ⊕ x_{2^k−1} = V[k]`` via ``fast_forward(2^k−1)`` — O(2^k)
-  host work per row, which is what capped budgets at 2^26; it survives
-  as the independent test oracle, ``_direction_numbers_xor``.)
-  Cached; no data files shipped.
+* **Direction numbers** — scipy's 64-bit Joe-Kuo table
+  (``scipy.stats._sobol._initialize_v``, the same data behind
+  ``scipy.stats.qmc.Sobol(bits=64)``), truncated to 32 bits: one
+  O(d·32) host call per (d, m_bits), cached.  The usable budget is
+  2^32 points per replicate — the binding cap is now the uint32
+  Gray-code word the kernels XOR in, not table precision.  Two
+  independent oracles pin the data: torch's ``SobolEngine.sobolstate``
+  (identical on the shared first 30 bits, tested) and the Gray-code
+  draw-recovery ``_direction_numbers_xor``.  No data files shipped.
 * **Device generation** — Gray-code Sobol as pure uint32 XOR arithmetic:
   ``x_i = ⊕_{k: bit k of i^(i>>1)} V[k]``, vectorised over points, one
   ``fori`` over bits.  Randomisation is a per-dimension digital shift
@@ -37,30 +36,60 @@ __all__ = ["direction_numbers", "sobol_uniforms", "brownian_bridge_order",
            "bridge_paths"]
 
 _DIR_CACHE: dict = {}
-_MAXBIT = 30  # torch's SobolEngine internal precision
+_MAXBIT = 32  # uint32 Gray-code word: 2^32 points per replicate
+_TORCH_MAXBIT = 30  # torch SobolEngine table precision (fallback/oracle)
 
 
 def direction_numbers(d: int, m_bits: int = 21) -> np.ndarray:
     """(m_bits, d) uint32 Sobol direction numbers, scaled to 2^-32.
 
     ``m_bits`` bounds the usable sequence length at 2^m_bits points;
-    ``m_bits ≤ 30`` (torch's table precision). Reading the initialised
-    ``sobolstate`` is O(d·m_bits) regardless of m_bits, so a 2^30-point
-    budget costs the same as 2^11.
+    ``m_bits ≤ 32`` (the kernels' uint32 Gray-code word).  Primary
+    source: scipy's 64-bit Joe-Kuo table (O(d·32) per call, cached);
+    falls back to torch's 30-bit ``sobolstate`` if scipy's internal
+    initialiser is unavailable.
     """
     key = (int(d), int(m_bits))
     if key in _DIR_CACHE:
         return _DIR_CACHE[key]
     if m_bits > _MAXBIT:
-        raise ValueError(f"m_bits={m_bits} exceeds the Joe-Kuo table "
+        raise ValueError(f"m_bits={m_bits} exceeds the generators' uint32 "
                          f"precision ({_MAXBIT} bits => 2^{_MAXBIT} points)")
+    out = _direction_numbers_scipy(d, m_bits)
+    if out is None:
+        out = _direction_numbers_torch(d, m_bits)
+    _DIR_CACHE[key] = out
+    return out
+
+
+def _direction_numbers_scipy(d: int, m_bits: int):
+    """Read the (m_bits, d) table from scipy's 64-bit Joe-Kuo data.
+
+    ``_initialize_v`` fills V_k already scaled to 2^-bits for
+    ``bits=32`` — verified bit-exact against torch's independent
+    ``sobolstate`` on the shared first 30 rows (tested).  Returns None
+    when the private initialiser is missing (scipy refactor guard).
+    """
+    try:
+        from scipy.stats._sobol import _initialize_v
+    except ImportError:                                   # pragma: no cover
+        return None
+    v = np.zeros((d, _MAXBIT), dtype=np.uint64)
+    _initialize_v(v, d, _MAXBIT)
+    return v.T[:m_bits].astype(np.uint32)
+
+
+def _direction_numbers_torch(d: int, m_bits: int) -> np.ndarray:
+    """Fallback 30-bit table from torch's initialised ``sobolstate``."""
+    if m_bits > _TORCH_MAXBIT:
+        raise ValueError(f"m_bits={m_bits} exceeds the Joe-Kuo table "
+                         f"precision ({_TORCH_MAXBIT} bits) of the torch "
+                         "fallback")
     import torch
 
     eng = torch.quasirandom.SobolEngine(d, scramble=False)
-    st = eng.sobolstate.numpy().astype(np.uint64)       # (d, _MAXBIT)
-    out = (st.T[:m_bits] << np.uint64(32 - _MAXBIT)).astype(np.uint32)
-    _DIR_CACHE[key] = out
-    return out
+    st = eng.sobolstate.numpy().astype(np.uint64)       # (d, 30)
+    return (st.T[:m_bits] << np.uint64(32 - _TORCH_MAXBIT)).astype(np.uint32)
 
 
 def _direction_numbers_xor(d: int, m_bits: int) -> np.ndarray:
@@ -75,10 +104,10 @@ def _direction_numbers_xor(d: int, m_bits: int) -> np.ndarray:
         if 2 ** k - 1 > 0:
             eng.fast_forward(2 ** k - 1)
         pts = eng.draw(2, dtype=torch.float64).numpy()  # i = 2^k−1, 2^k
-        a = np.round(pts[0] * (1 << _MAXBIT)).astype(np.uint64)
-        b = np.round(pts[1] * (1 << _MAXBIT)).astype(np.uint64)
+        a = np.round(pts[0] * (1 << _TORCH_MAXBIT)).astype(np.uint64)
+        b = np.round(pts[1] * (1 << _TORCH_MAXBIT)).astype(np.uint64)
         V[k] = a ^ b
-    return (V << np.uint64(32 - _MAXBIT)).astype(np.uint32)
+    return (V << np.uint64(32 - _TORCH_MAXBIT)).astype(np.uint32)
 
 
 @partial(jax.jit, static_argnames=("n", "m_bits"))

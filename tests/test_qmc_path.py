@@ -73,13 +73,26 @@ class TestSobol:
 
         _DIR_CACHE.pop((64, _MAXBIT), None)
         t0 = time.time()
-        V = direction_numbers(64, _MAXBIT)     # 2^30-point budget
+        V = direction_numbers(64, _MAXBIT)     # 2^32-point budget
         assert time.time() - t0 < 5.0          # was hours via fast_forward
         assert V.shape == (_MAXBIT, 64) and V.dtype == np.uint32
         # every dimension's leading direction number is 0.5 (Sobol axiom)
         assert np.all(V[0] == np.uint32(1) << 31)
         with pytest.raises(ValueError, match="precision"):
             direction_numbers(4, _MAXBIT + 1)
+
+    def test_scipy_table_matches_torch_oracle_on_shared_bits(self):
+        # scipy's 64-bit Joe-Kuo table (primary source, rows 0..31) must
+        # agree bit-for-bit with torch's independent 30-bit sobolstate
+        # on the rows both ship; rows 30-31 extend past torch's table
+        from optpricer_tpu.ops.sobol import (_direction_numbers_torch,
+                                             _TORCH_MAXBIT, _MAXBIT)
+
+        V32 = direction_numbers(128, _MAXBIT)
+        np.testing.assert_array_equal(
+            V32[:_TORCH_MAXBIT], _direction_numbers_torch(128, _TORCH_MAXBIT))
+        # the extra rows are real direction numbers, not zero padding
+        assert np.all(V32[_TORCH_MAXBIT:].any(axis=0))
 
 
 class TestBrownianBridge:
@@ -217,10 +230,11 @@ class TestFusedQmcKernel:
     def test_budget_guard(self):
         from optpricer_tpu.ops.pallas_qmc_path import path_qmc_sumstats_pallas
 
-        # beyond the Joe-Kuo 30-bit table: must raise BEFORE any compute
+        # beyond the kernel's int32 tile indexing (2^31 points): must
+        # raise BEFORE any compute
         with pytest.raises(ValueError, match="exceeds"):
-            path_qmc_sumstats_pallas(0, 1 << 31, 8, 100.0, 100.0, 1.0,
-                                     0.03, 0.0, 0.2, True)
+            path_qmc_sumstats_pallas(0, (1 << 31) + 1, 8, 100.0, 100.0,
+                                     1.0, 0.03, 0.0, 0.2, True)
 
     @pytest.mark.parametrize("payoff,extra", [
         ("barrier", {"barrier": 130.0}),
