@@ -22,8 +22,16 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# Persistent compiled-program cache: the heavyweight programs (ADI march,
+# fused Pallas kernels, operator builders) compile once per MACHINE, not
+# once per bench process — on a 1-core host a cold ADI compile alone is
+# minutes, the cached load is milliseconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 NORTH_STAR = 1.0e9  # paths/sec/chip (driver-set)
 

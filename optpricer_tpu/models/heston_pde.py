@@ -14,9 +14,16 @@ pde.py:134-217``; its only Heston pricing is Monte-Carlo,
 
 * **Implicit solves as precomputed dense propagators.** The Heston
   coefficients are time-independent, so (I − θΔt·A_x(v_j))⁻¹ for every
-  variance level j and (I − θΔt·A_v)⁻¹ are built ONCE on the host in f64
-  (n_v small dense inverses) and each ADI half-step becomes a batched
-  matvec on the MXU: ``einsum('jik,jk->ji')`` over the (n_v, n_x) state.
+  variance level j and (I − θΔt·A_v)⁻¹ are built ONCE — assembled and
+  inverted ON DEVICE from O(n) host-f64 stencil vectors (batched LU +
+  one Newton-Schulz refinement to the working-dtype floor; the host
+  builder ``_build_operators`` survives as the f64 oracle) — and each
+  ADI half-step becomes a batched matvec on the MXU:
+  ``einsum('jik,jk->ji')`` over the (n_v, n_x) state. Keeping the
+  2×25 MB propagators off the host↔device link and the n_v dense f64
+  inverses off the host CPU cut the production-resolution American
+  solve from ~1.4 s to the march's own wall-clock (see bench
+  ``[heston-adi]``).
   This is the 2-D generalisation of the 1-D "propagator" solver in
   :mod:`optpricer_tpu.models.pde` — no per-step elimination, no
   sequential dependence except time itself.
@@ -67,6 +74,136 @@ def _diff_ops(nodes: np.ndarray):
     D2[i, i] = -2.0 / (hm * hp)
     D2[i, i + 1] = 2.0 / (hp * (hm + hp))
     return D1, D2
+
+
+def _stencil_vectors(nodes: np.ndarray):
+    """Host f64 3-point stencil coefficient vectors (length n−2 each) for
+    the interior rows of ``_diff_ops`` — the only part of the operator
+    build that is rounding-sensitive (differences of nearby nodes)."""
+    hm = nodes[1:-1] - nodes[:-2]
+    hp = nodes[2:] - nodes[1:-1]
+    d1 = (-hp / (hm * (hm + hp)), (hp - hm) / (hm * hp),
+          hm / (hp * (hm + hp)))
+    d2 = (2.0 / (hm * (hm + hp)), -2.0 / (hm * hp),
+          2.0 / (hp * (hm + hp)))
+    return d1, d2
+
+
+def _banded_inv(lo, mid, hi, newton: bool = True):
+    """Inverse of batched tridiagonal matrices given as (…, n) bands.
+
+    Solves against the n unit vectors with the log-depth
+    :func:`~optpricer_tpu.ops.tridiag.tridiag_solve` (associative scans
+    — no LU, which XLA:TPU handles poorly for batched small systems),
+    then one Newton-Schulz step X ← X(2I − MX) on the MXU squares the
+    solver's O(cond·ε) error down to the working-dtype floor — in f32
+    this matches the old host path (f64 LAPACK inverse cast to f32)."""
+    from ..ops.tridiag import tridiag_solve
+
+    n = mid.shape[-1]
+    dtype = mid.dtype
+    batch = mid.shape[:-1]
+    I = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (*batch, n, n))
+    bshape = (*batch, n, n)
+    cols = tridiag_solve(jnp.broadcast_to(lo[..., None, :], bshape),
+                         jnp.broadcast_to(mid[..., None, :], bshape),
+                         jnp.broadcast_to(hi[..., None, :], bshape), I)
+    X = jnp.swapaxes(cols, -1, -2)           # col k of M⁻¹ ← solve(M, e_k)
+    if not newton:
+        return X
+    hiprec = jax.lax.Precision.HIGHEST
+    M = _dense_from_bands(lo, mid, hi)
+    MX = jnp.matmul(M, X, precision=hiprec)
+    return jnp.matmul(X, 2.0 * I - MX, precision=hiprec)
+
+
+def _dense_from_bands(lo, mid, hi):
+    """Dense (…, n, n) matrix from (…, n) bands (lo[...,0]/hi[...,-1]
+    unused, the :mod:`~optpricer_tpu.ops.tridiag` convention).  Shifted
+    identity masks instead of scatters — XLA:TPU compiles broadcasts in
+    seconds where the equivalent scatter costs minutes."""
+    n = mid.shape[-1]
+    dt_ = mid.dtype
+    return (mid[..., :, None] * jnp.eye(n, dtype=dt_)
+            + lo[..., :, None] * jnp.eye(n, k=-1, dtype=dt_)
+            + hi[..., :, None] * jnp.eye(n, k=1, dtype=dt_))
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _build_operators_jit(d1x, d2x, d1v, d2v, v, r, q, kappa, theta, xi,
+                         dt, theta_s, ko_mask, bc_v, *, dtype):
+    """Device-side twin of :func:`_build_operators`.
+
+    Assembles the x/v operators as BANDS from O(n) host-f64 stencil
+    vectors, inverts the implicit-step matrices with
+    :func:`_banded_inv`, and densifies for the march's MXU matvecs —
+    the dense matrices never cross the host↔device link (2×25 MB per
+    call at production resolution, which dominated the solve wall-clock
+    through a tunnelled chip), and the n_v dense f64 inverses leave the
+    host CPU. Same contract as the host builder.
+    """
+    n_x = d1x[0].shape[0] + 2
+    n_v = v.shape[0]
+    v = v.astype(dtype)
+    zx = jnp.zeros((n_v, 1), dtype)
+    pad = lambda w: jnp.concatenate([zx, w.astype(dtype), zx], axis=-1)
+    cv = 0.5 * v[:, None]                       # ½v  (D2 weight)
+    bv = (r - q) - cv                           # r−q−½v  (D1 weight)
+    live = (~ko_mask).astype(dtype)[None, :]
+    ax_lo = pad(cv * d2x[0][None] + bv * d1x[0][None]) * live
+    ax_mid = pad(cv * d2x[1][None] + bv * d1x[1][None]
+                 - 0.5 * r) * live
+    ax_hi = pad(cv * d2x[2][None] + bv * d1x[2][None]) * live
+    sd = jnp.asarray(theta_s * dt).astype(dtype)
+    Ax = _dense_from_bands(ax_lo, ax_mid, ax_hi)
+    one = jnp.ones((), dtype)
+    Px = _banded_inv(-sd * ax_lo, one - sd * ax_mid, -sd * ax_hi)
+
+    zv = jnp.zeros((1,), dtype)
+    padv = lambda w: jnp.concatenate([zv, w.astype(dtype), zv])
+    cvv = ((0.5 * xi ** 2) * v)[1:-1]           # interior ½ξ²v_i
+    bvv = (kappa * (theta - v))[1:-1]           # interior κ(θ−v_i)
+    av_lo = padv(cvv * d2v[0] + bvv * d1v[0])
+    av_mid = padv(cvv * d2v[1] + bvv * d1v[1]) \
+        - 0.5 * r * jnp.ones((n_v,), dtype)
+    av_hi = padv(cvv * d2v[2] + bvv * d1v[2])
+    # upwinded boundary rows (coefficients precomputed host-side in f64);
+    # note av_mid's −½r term applies on ALL rows in the host builder's
+    # boundary overwrite too (bc_v already carries it)
+    av_mid = av_mid.at[0].set(bc_v[0]).at[-1].set(bc_v[2])
+    av_hi = av_hi.at[0].set(bc_v[1])
+    av_lo = av_lo.at[-1].set(bc_v[3])
+    Av = _dense_from_bands(av_lo, av_mid, av_hi)
+    Pv = _banded_inv(-sd * av_lo, one - sd * av_mid, -sd * av_hi)
+    return Ax, Px, Av, Pv
+
+
+def _build_operators_dev(x, v, r, q, kappa, theta, xi, dt, theta_s,
+                         ko_mask=None, dtype=jnp.float32):
+    """Build (Ax, Px, Av, Pv) as DEVICE arrays in the march dtype.
+
+    Host does only the O(n) f64 stencil/boundary arithmetic; assembly
+    and inversion run jitted on device (see :func:`_build_operators_jit`).
+    Drop-in replacement for the host builder at the two call sites.
+    """
+    d1x, d2x = _stencil_vectors(np.asarray(x, np.float64))
+    d1v, d2v = _stencil_vectors(np.asarray(v, np.float64))
+    dv0 = v[1] - v[0]
+    dv_top = v[-1] - v[-2]
+    drift_top = kappa * (theta - v[-1])
+    bc_v = np.array([-kappa * theta / dv0 - 0.5 * r,
+                     kappa * theta / dv0,
+                     drift_top / dv_top - 0.5 * r,
+                     -drift_top / dv_top], np.float64)
+    if ko_mask is None:
+        ko_mask = np.zeros(len(x), bool)
+    dt_ = jnp.dtype(dtype).type
+    as_ = lambda t: tuple(jnp.asarray(a, dtype) for a in t)
+    return _build_operators_jit(
+        as_(d1x), as_(d2x), as_(d1v), as_(d2v), jnp.asarray(v, dtype),
+        dt_(r), dt_(q), dt_(kappa), dt_(theta), dt_(xi),
+        float(dt), float(theta_s), jnp.asarray(ko_mask),
+        jnp.asarray(bc_v, dtype), dtype=dt_)
 
 
 def _build_operators(x, v, r, q, kappa, theta, xi, dt, theta_s,
@@ -282,9 +419,9 @@ def heston_fd_grid(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi, rho,
         ko_mask = (S_grid >= barrier * (1.0 - 1e-12)) if barrier_up \
             else (S_grid <= barrier * (1.0 + 1e-12))
         payoff = np.where(ko_mask, rebate, payoff)
-    Ax, Px, Av, Pv = _build_operators(
+    Ax, Px, Av, Pv = _build_operators_dev(
         x, v, r, q, kappa, theta, xi, dt, theta_scheme,
-        ko_mask=ko_mask if has_barrier else None)
+        ko_mask=ko_mask if has_barrier else None, dtype=dt_)
     U0 = np.broadcast_to(payoff, (n_v, n_x)).copy()
 
     # Dirichlet x boundaries at τ_{n+1}: discounted-forward asymptotics
@@ -440,8 +577,8 @@ def heston_fd_price_batch(S0, K, T, r, q=0.0, *, v0, kappa, theta, xi,
     v = v_mult * vbar * np.sinh(c_str * u) / np.sinh(c_str)
     dt = T / n_t
     dx = x[1] - x[0]
-    Ax, Px, Av, Pv = _build_operators(x, v, r, q, kappa, theta, xi, dt,
-                                      theta_scheme)
+    Ax, Px, Av, Pv = _build_operators_dev(x, v, r, q, kappa, theta, xi, dt,
+                                          theta_scheme, dtype=dt_)
     S_grid = np.exp(x)
     payoff = np.maximum(sign[:, None] * (S_grid[None, :] - K_arr[:, None]),
                         0.0)                                   # (B, n_x)

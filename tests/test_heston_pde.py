@@ -276,3 +276,62 @@ class TestDiscreteDividendsADI:
 
 def got_equal(a, b):
     return abs(a - b) < 1e-12
+
+
+class TestDeviceOperatorBuild:
+    """The device-side operator assembly/inversion must reproduce the
+    host f64 builder (its oracle) to the working-dtype floor."""
+
+    def _grids(self, n_x=64, n_v=24):
+        vbar = 0.04
+        xh = 6.0 * np.sqrt(vbar)
+        x = np.linspace(np.log(100.0) - xh, np.log(100.0) + xh, n_x)
+        u = np.linspace(0.0, 1.0, n_v)
+        v = 10.0 * vbar * np.sinh(3.0 * u) / np.sinh(3.0)
+        return x, v
+
+    def test_matches_host_oracle_f64(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu.models.heston_pde import (_build_operators,
+                                                     _build_operators_dev)
+
+        x, v = self._grids()
+        args = (x, v, 0.05, 0.01, 1.5, 0.04, 0.5, 1.0 / 128, 0.5)
+        host = _build_operators(*args)
+        dev = _build_operators_dev(*args, dtype=jnp.float64)
+        for h, d in zip(host, dev):
+            np.testing.assert_allclose(np.asarray(d), h, rtol=0,
+                                       atol=1e-12)
+
+    def test_matches_host_oracle_with_barrier_mask(self):
+        import jax.numpy as jnp
+
+        from optpricer_tpu.models.heston_pde import (_build_operators,
+                                                     _build_operators_dev)
+
+        x, v = self._grids()
+        ko = np.exp(x) >= 130.0
+        args = (x, v, 0.05, 0.01, 1.5, 0.04, 0.5, 1.0 / 128, 0.5)
+        host = _build_operators(*args, ko_mask=ko)
+        dev = _build_operators_dev(*args, ko_mask=ko, dtype=jnp.float64)
+        for h, d in zip(host, dev):
+            np.testing.assert_allclose(np.asarray(d), h, rtol=0,
+                                       atol=1e-12)
+
+    def test_f32_build_at_working_dtype_floor(self):
+        # f32 assembly + LU + Newton-Schulz must match the f64 oracle as
+        # well as casting the f64 inverse to f32 would (~1e-7 relative)
+        import jax.numpy as jnp
+
+        from optpricer_tpu.models.heston_pde import (_build_operators,
+                                                     _build_operators_dev)
+
+        x, v = self._grids()
+        args = (x, v, 0.05, 0.01, 1.5, 0.04, 0.5, 1.0 / 128, 0.5)
+        host = _build_operators(*args)
+        dev = _build_operators_dev(*args, dtype=jnp.float32)
+        for h, d in zip(host, dev):
+            scale = np.max(np.abs(h))
+            err = np.max(np.abs(np.asarray(d, np.float64) - h)) / scale
+            assert err < 5e-7, err
