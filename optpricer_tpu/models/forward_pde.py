@@ -134,13 +134,21 @@ def _prop_host(y_np: np.ndarray, dt: float, r: float, q: float,
     b_L = np.full(M, -2.0 * alpha - q)
     c_L = np.full(M, alpha + beta)
     e = (1.0 - th) * dt
-    A = (np.diag(1.0 - th * dt * b_L)
-         + np.diag(-th * dt * a_L[1:], -1)
-         + np.diag(-th * dt * c_L[:-1], 1))
     B = (np.diag(1.0 + e * b_L)
          + np.diag(e * a_L[1:], -1) + np.diag(e * c_L[:-1], 1))
-    P = np.linalg.solve(A, B)
-    w = np.linalg.solve(A, np.eye(M)[:, [0, M - 1]])
+    # A is tridiagonal: LAPACK's banded solver is O(M·nrhs) — the dense
+    # np.linalg.solve here was ~1.4 GFLOP and dominated the march call
+    from scipy.linalg import solve_banded
+
+    ab = np.zeros((3, M))
+    ab[0, 1:] = -th * dt * c_L[:-1]
+    ab[1] = 1.0 - th * dt * b_L
+    ab[2, :-1] = -th * dt * a_L[1:]
+    rhs = np.zeros((M, 2))
+    rhs[0, 0] = 1.0
+    rhs[M - 1, 1] = 1.0
+    P = solve_banded((1, 1), ab, B)
+    w = solve_banded((1, 1), ab, rhs)
     return P, w[:, 0], w[:, 1], float(a_L[0]), float(c_L[-1])
 
 
