@@ -124,8 +124,17 @@ def _prop_host(y_np: np.ndarray, dt: float, r: float, q: float,
                sigma: float, th: float):
     """(P, w_lo, w_hi, a0, cM) for one θ, built on the HOST in f64 and
     rounded to the compute dtype ONCE: P = A⁻¹B dense propagator,
-    w = A⁻¹e_{0,M−1} the boundary-response columns.  Building these in
-    f32 on device costs ~2× the read-out error at n_y ≥ 1024."""
+    w = A⁻¹e_{0,M−1} the boundary-response columns, via LAPACK banded
+    solves (A is tridiagonal — the dense np.linalg.solve this replaces
+    was ~1.4 GFLOP of LU and dominated the march call on a 1-core
+    host).  An f32 DEVICE build (à la the Heston ADI's
+    ``ops.tridiag.tridiag_inv``) was tried and rejected, measured: the
+    boundary-response columns decay exponentially and the readout needs
+    their ENTRYWISE-relative accuracy; a normwise-refined f32 solve
+    leaves O(ε·‖w‖) noise in the tail entries, which the large deep-ITM
+    Dirichlet values amplify to a 12× worse ATM error (1.1e-4 →
+    1.3e-3) over 512 steps.  f64-then-cast keeps tiny entries
+    relatively exact."""
     M = y_np.size - 2
     dy = y_np[1] - y_np[0]
     alpha = 0.5 * sigma**2 / dy**2

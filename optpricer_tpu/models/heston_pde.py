@@ -89,44 +89,8 @@ def _stencil_vectors(nodes: np.ndarray):
     return d1, d2
 
 
-def _banded_inv(lo, mid, hi, newton: bool = True):
-    """Inverse of batched tridiagonal matrices given as (…, n) bands.
-
-    Solves against the n unit vectors with the log-depth
-    :func:`~optpricer_tpu.ops.tridiag.tridiag_solve` (associative scans
-    — no LU, which XLA:TPU handles poorly for batched small systems),
-    then one Newton-Schulz step X ← X(2I − MX) on the MXU squares the
-    solver's O(cond·ε) error down to the working-dtype floor — in f32
-    this matches the old host path (f64 LAPACK inverse cast to f32)."""
-    from ..ops.tridiag import tridiag_solve
-
-    n = mid.shape[-1]
-    dtype = mid.dtype
-    batch = mid.shape[:-1]
-    I = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (*batch, n, n))
-    bshape = (*batch, n, n)
-    cols = tridiag_solve(jnp.broadcast_to(lo[..., None, :], bshape),
-                         jnp.broadcast_to(mid[..., None, :], bshape),
-                         jnp.broadcast_to(hi[..., None, :], bshape), I)
-    X = jnp.swapaxes(cols, -1, -2)           # col k of M⁻¹ ← solve(M, e_k)
-    if not newton:
-        return X
-    hiprec = jax.lax.Precision.HIGHEST
-    M = _dense_from_bands(lo, mid, hi)
-    MX = jnp.matmul(M, X, precision=hiprec)
-    return jnp.matmul(X, 2.0 * I - MX, precision=hiprec)
-
-
-def _dense_from_bands(lo, mid, hi):
-    """Dense (…, n, n) matrix from (…, n) bands (lo[...,0]/hi[...,-1]
-    unused, the :mod:`~optpricer_tpu.ops.tridiag` convention).  Shifted
-    identity masks instead of scatters — XLA:TPU compiles broadcasts in
-    seconds where the equivalent scatter costs minutes."""
-    n = mid.shape[-1]
-    dt_ = mid.dtype
-    return (mid[..., :, None] * jnp.eye(n, dtype=dt_)
-            + lo[..., :, None] * jnp.eye(n, k=-1, dtype=dt_)
-            + hi[..., :, None] * jnp.eye(n, k=1, dtype=dt_))
+from ..ops.tridiag import tridiag_dense as _dense_from_bands  # noqa: E402
+from ..ops.tridiag import tridiag_inv as _banded_inv  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("dtype",))

@@ -158,3 +158,33 @@ class TestLocalVolRoundTrip:
         rms = np.sqrt(0.5 * lo**2 + 0.5 * hi**2)
         ref = float(bs_price_vec(S0, 100.0, 1.0, R, Q, rms, "call"))
         assert abs(fs.price(100.0, 1.0) - ref) < 5e-3
+
+
+class TestPropagatorBuild:
+    def test_banded_build_matches_dense_solve(self):
+        # _prop_host now uses LAPACK's banded solver; it must be
+        # bit-level equivalent to the dense np.linalg.solve it replaced
+        from optpricer_tpu.models.forward_pde import _prop_host
+
+        y = np.linspace(-2.0, 2.0, 258)
+        dt, r, q, sigma = 1.0 / 64, 0.05, 0.01, 0.25
+        for th in (1.0, 0.5):
+            P, w_lo, w_hi, a0, cM = _prop_host(y, dt, r, q, sigma, th)
+            M = y.size - 2
+            dy = y[1] - y[0]
+            alpha = 0.5 * sigma**2 / dy**2
+            beta = -(0.5 * sigma**2 + (r - q)) / (2.0 * dy)
+            a_L = np.full(M, alpha - beta)
+            b_L = np.full(M, -2.0 * alpha - q)
+            c_L = np.full(M, alpha + beta)
+            e = (1.0 - th) * dt
+            A = (np.diag(1.0 - th * dt * b_L)
+                 + np.diag(-th * dt * a_L[1:], -1)
+                 + np.diag(-th * dt * c_L[:-1], 1))
+            B = (np.diag(1.0 + e * b_L)
+                 + np.diag(e * a_L[1:], -1) + np.diag(e * c_L[:-1], 1))
+            np.testing.assert_allclose(P, np.linalg.solve(A, B),
+                                       rtol=0, atol=1e-13)
+            w = np.linalg.solve(A, np.eye(M)[:, [0, M - 1]])
+            np.testing.assert_allclose(w_lo, w[:, 0], rtol=0, atol=1e-15)
+            np.testing.assert_allclose(w_hi, w[:, 1], rtol=0, atol=1e-15)
